@@ -1,0 +1,87 @@
+"""Device-resident columnar Table.
+
+The reference ships the whole host matrix across the FFI on *every* query
+(``FutharkContext.py:65,70``). Here ``create_table`` pads + transfers columns
+to device once; queries run against resident arrays. Under a mesh, columns are
+row-sharded across devices at creation (see ``harkdb_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
+from harkdb_tpu.columnar.batch import ColumnBatch, align_capacity
+from harkdb_tpu.columnar.ingest import load_table
+
+
+class Table:
+    """Named schema + padded device-resident columns.
+
+    Mirrors the reference ``Table`` surface (``table.py:52-81``:
+    get_schema / get_data / get_name) while storing true columnar data.
+    """
+
+    def __init__(self, table_name: str, source, config: EngineConfig = DEFAULT_CONFIG,
+                 col_names: Optional[List[str]] = None, sharding=None):
+        self._table_name = table_name
+        self._config = config
+        host_cols, headers = load_table(source, config, col_names)
+        self._schema = headers
+        self._n_rows = len(next(iter(host_cols.values()))) if host_cols else 0
+        cap = align_capacity(self._n_rows, config.row_align)
+        self._sharding = sharding
+        cols = {}
+        for name in headers:
+            a = host_cols[name]
+            if cap > self._n_rows:
+                a = np.concatenate([a, np.zeros(cap - self._n_rows, dtype=a.dtype)])
+            if sharding is not None:
+                cols[name] = jax.device_put(a, sharding)
+            else:
+                cols[name] = jnp.asarray(a)
+        self._columns = cols
+
+    # -- reference-compatible surface (table.py:64-81) ------------------------
+    def get_schema(self) -> List[str]:
+        return list(self._schema)
+
+    def get_data(self) -> np.ndarray:
+        """Dense 2-D row-major matrix of live rows (reference layout)."""
+        return self.batch().to_numpy()[0]
+
+    def get_name(self) -> str:
+        return self._table_name
+
+    # -- engine surface -------------------------------------------------------
+    @property
+    def n_rows(self) -> int:
+        return self._n_rows
+
+    @property
+    def capacity(self) -> int:
+        if not self._columns:
+            return 0
+        return next(iter(self._columns.values())).shape[0]
+
+    @property
+    def columns(self) -> Dict[str, jax.Array]:
+        return self._columns
+
+    @property
+    def sharding(self):
+        return self._sharding
+
+    def batch(self) -> ColumnBatch:
+        return ColumnBatch(dict(self._columns), jnp.int32(self._n_rows))
+
+    def nbytes(self) -> int:
+        return sum(int(c.size) * c.dtype.itemsize for c in self._columns.values())
+
+    def __repr__(self):
+        return (f"Table({self._table_name!r}, rows={self._n_rows}, "
+                f"cols={self._schema})")

@@ -1,0 +1,61 @@
+"""Masked compaction — the primitive the reference left commented out.
+
+The reference stubs its WHERE filter (``select.fut:18``:
+``-- let rows_to_keep = filter f db``). On TPU under XLA's static shapes the
+idiomatic formulation is: predicate mask → exclusive prefix sum → scatter of
+surviving row *indices* → per-column gather. One scatter total regardless of
+column count; gathers stream at HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from harkdb_tpu.columnar.batch import ColumnBatch
+
+Array = jax.Array
+
+
+def compact_indices(mask: Array, n_valid: Array | None = None) -> Tuple[Array, Array]:
+    """Indices of set mask positions, packed to the front.
+
+    Returns ``(indices, count)``; ``indices`` has the mask's capacity, entries
+    past ``count`` equal ``capacity`` (out-of-bounds sentinel — pair with
+    ``mode='fill'``/clip gathers or pre-padded sources).
+    """
+    n = mask.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if n_valid is not None:
+        mask = mask & (idx < n_valid)
+    m = mask.astype(jnp.int32)
+    pos = jnp.cumsum(m) - m                       # exclusive scan: output slot
+    count = jnp.sum(m).astype(jnp.int32)
+    target = jnp.where(mask, pos, n)              # padding → dropped
+    indices = jnp.full((n,), n, dtype=jnp.int32).at[target].set(idx, mode="drop")
+    return indices, count
+
+
+def compact(values: Array, mask: Array, n_valid: Array | None = None,
+            fill=0) -> Tuple[Array, Array]:
+    """Compact one array by mask. Returns (packed, count)."""
+    indices, count = compact_indices(mask, n_valid)
+    out = values.at[indices].get(mode="fill", fill_value=fill)
+    return out, count
+
+
+def compact_batch(batch: ColumnBatch, mask: Array) -> ColumnBatch:
+    """Filter a ColumnBatch by a boolean mask over its rows.
+
+    Output keeps the input capacity (filter can only shrink); surviving rows
+    are packed to the front in original order (stable — required for parity
+    with reference row-order preservation, SURVEY §3.3).
+    """
+    indices, count = compact_indices(mask, batch.n_valid)
+    cols = {
+        name: col.at[indices].get(mode="fill", fill_value=0)
+        for name, col in batch.columns.items()
+    }
+    return ColumnBatch(cols, count)
