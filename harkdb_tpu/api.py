@@ -1,28 +1,90 @@
 """Context — the BlazingSQL-style public API (reference FutharkContext.py:38-71).
 
-Placeholder while lower layers land; full implementation follows the planner.
+Surface parity:
+  * ``create_table(name, source)``   — FutharkContext.py:44-50
+  * ``drop_table(name)``             — FutharkContext.py:52-53
+  * ``sql(statement)`` → numpy 2-D matrix (the reference returns the
+    ``from_futhark``-marshalled matrix, FutharkContext.py:66,71)
+
+Extensions: ``sql_df`` (DataFrame with column names), ``explain``, plan
+caching (repeated queries skip parse/plan/trace entirely), and optional
+mesh sharding (see ``harkdb_tpu.parallel``).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
 
 from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
 from harkdb_tpu.columnar.table import Table
+from harkdb_tpu.columnar.batch import ColumnBatch
 
 
 class Context:
     def __init__(self, config: EngineConfig = DEFAULT_CONFIG):
         self.config = config
         self.tables: Dict[str, Table] = {}
+        self._plan_cache: Dict[tuple, object] = {}
 
+    # -- tables (reference surface) -------------------------------------------
     def create_table(self, table_name: str, source, col_names=None) -> None:
         self.tables[table_name] = Table(
             table_name, source, self.config, col_names=col_names
         )
+        self._plan_cache.clear()
 
     def drop_table(self, table_name: str) -> None:
         del self.tables[table_name]
+        self._plan_cache.clear()
 
-    def sql(self, sql_statement: str):
-        raise NotImplementedError
+    # -- queries --------------------------------------------------------------
+    def _plan(self, sql_statement: str):
+        from harkdb_tpu.plan.planner import plan_query
+
+        key = (sql_statement, self._table_signature())
+        plan = self._plan_cache.get(key)
+        if plan is None:
+            plan = plan_query(self.tables, sql_statement, self.config)
+            self._plan_cache[key] = plan
+        return plan
+
+    def _table_signature(self) -> tuple:
+        return tuple(
+            (name, t.capacity, tuple(t.get_schema()),
+             tuple(str(c.dtype) for c in t.columns.values()))
+            for name, t in sorted(self.tables.items())
+        )
+
+    def sql_batch(self, sql_statement: str) -> Tuple[ColumnBatch, List[str]]:
+        """Run a query; return the device-resident result batch + headers."""
+        plan = self._plan(sql_statement)
+        return plan.execute(self.tables), plan.output_names
+
+    def sql(self, sql_statement: str) -> np.ndarray:
+        """Run a query, returning a dense row-major numpy matrix (reference
+        output shape, ``FutharkContext.py:66,71``)."""
+        batch, _names = self.sql_batch(sql_statement)
+        return batch.to_numpy()[0]
+
+    def sql_df(self, sql_statement: str):
+        """Run a query, returning a pandas DataFrame with output headers."""
+        import pandas as pd
+
+        batch, names = self.sql_batch(sql_statement)
+        n = int(batch.n_valid)
+        data = {}
+        for display, internal in zip(names, batch.names):
+            col = np.asarray(batch.columns[internal])[:n]
+            # duplicate display names get pandas-style disambiguation
+            key = display
+            i = 1
+            while key in data:
+                key = f"{display}.{i}"
+                i += 1
+            data[key] = col
+        return pd.DataFrame(data)
+
+    def explain(self, sql_statement: str) -> str:
+        return self._plan(sql_statement).explain()

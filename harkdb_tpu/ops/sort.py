@@ -1,0 +1,91 @@
+"""Sort operators (ORDER BY / SORT BY and the substrate for sort-based ops).
+
+The reference has no user-facing SORT BY at all — its radix sort exists only as
+an internal groupby/join step (32 sequential single-bit passes,
+``groupby.fut:8-22``, ``join.fut:9-23``). Here sorting is a first-class
+operator built on ``jax.lax.sort``, which XLA lowers to an optimized on-device
+sort; a Pallas multi-bit radix path exists for large single-key int sorts
+(see ``harkdb_tpu.kernels.radix``).
+
+Engine conventions honored:
+  * padded batches — padding rows always sort to the back, regardless of the
+    junk values they carry;
+  * stability — equal keys preserve input row order (required for the
+    reference's observable join ordering, SURVEY §3.5);
+  * multi-key lexicographic sort with per-key ASC/DESC.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from harkdb_tpu.columnar.batch import ColumnBatch
+
+Array = jax.Array
+
+
+def _descending_transform(key: Array) -> Array:
+    """Order-reversing bijection so a DESC key can ride an ascending sort.
+
+    Signed ints: bitwise-not (``~x = -x-1``) is strictly decreasing and total
+    (handles INT_MIN, unlike negation). Floats: negation.
+    """
+    if jnp.issubdtype(key.dtype, jnp.floating):
+        return -key
+    return ~key
+
+
+def _pad_to_max(key: Array, n_valid: Array) -> Array:
+    """Replace padding rows' key values with the dtype max so they sort last
+    while keeping the key array monotone after the sort (searchsorted-safe)."""
+    n = key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if jnp.issubdtype(key.dtype, jnp.floating):
+        hi = jnp.array(jnp.finfo(key.dtype).max, key.dtype)
+    else:
+        hi = jnp.array(jnp.iinfo(key.dtype).max, key.dtype)
+    return jnp.where(idx < n_valid, key, hi)
+
+
+def sort_permutation(
+    keys: Sequence[Array],
+    n_valid: Array,
+    descending: Optional[Sequence[bool]] = None,
+) -> Tuple[Array, List[Array]]:
+    """Stable lexicographic sort of the live rows.
+
+    Returns ``(perm, sorted_keys)``: ``perm[i]`` = source row of output row i.
+    Live rows occupy output positions ``[0, n_valid)``; padding rows follow in
+    their original relative order. ``sorted_keys`` are the transformed keys
+    after permutation (pads replaced with dtype max; DESC keys transformed) —
+    callers that need searchsorted monotonicity use ``sorted_keys[0]`` of a
+    single ASC key.
+    """
+    keys = list(keys)
+    if descending is None:
+        descending = [False] * len(keys)
+    n = keys[0].shape[0]
+    eff = []
+    for k, desc in zip(keys, descending):
+        if desc:
+            k = _descending_transform(k)
+        eff.append(_pad_to_max(k, n_valid))
+    iota = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort(eff + [iota], num_keys=len(eff), is_stable=True)
+    perm = out[-1]
+    return perm, list(out[:-1])
+
+
+def sort_batch(
+    batch: ColumnBatch,
+    key_names: Sequence[str],
+    descending: Optional[Sequence[bool]] = None,
+) -> ColumnBatch:
+    """ORDER BY: reorder all columns by the sort permutation over key columns."""
+    keys = [batch.column(k) for k in key_names]
+    perm, _ = sort_permutation(keys, batch.n_valid, descending)
+    cols = {name: col[perm] for name, col in batch.columns.items()}
+    return ColumnBatch(cols, batch.n_valid)

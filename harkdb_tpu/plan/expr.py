@@ -1,0 +1,97 @@
+"""Vectorized expression evaluation over columnar batches.
+
+Expressions are *resolved* AST trees — every ``Col`` node's ``name`` is an
+internal column key of the working batch (resolution happens in the planner).
+Evaluation is pure ``jnp`` over whole columns: one fused elementwise pass on
+the VPU under jit, no per-row interpretation (the reference has no expression
+engine at all — its WHERE support is a commented-out stub, ``select.fut:18``).
+
+Semantics:
+  * int ∘ int arithmetic stays int; `/` and `%` use C-style truncation
+    (``lax.div``/``lax.rem``) like generated C would;
+  * int ∘ float promotes to the engine float dtype;
+  * comparisons yield bool; and/or/not operate on bool.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from harkdb_tpu.sql.ast_nodes import Agg, BinOp, Col, Lit, UnOp
+
+Array = jax.Array
+
+
+class ExprError(Exception):
+    pass
+
+
+def _promote(a, b):
+    if jnp.issubdtype(a.dtype, jnp.floating) or jnp.issubdtype(b.dtype, jnp.floating):
+        tgt = a.dtype if jnp.issubdtype(a.dtype, jnp.floating) else b.dtype
+        return a.astype(tgt), b.astype(tgt)
+    return a, b
+
+
+def eval_expr(expr, columns: Dict[str, Array], capacity: int) -> Array:
+    """Evaluate a resolved expression to a column of shape (capacity,)."""
+    if isinstance(expr, Lit):
+        if isinstance(expr.value, float):
+            return jnp.full((capacity,), expr.value, jnp.float32)
+        return jnp.full((capacity,), expr.value, jnp.int32)
+    if isinstance(expr, Col):
+        try:
+            return columns[expr.name]
+        except KeyError:
+            raise ExprError(f"Unresolved column {expr.name!r}") from None
+    if isinstance(expr, UnOp):
+        v = eval_expr(expr.operand, columns, capacity)
+        if expr.op == "-":
+            return -v
+        if expr.op == "not":
+            return jnp.logical_not(v.astype(jnp.bool_))
+        raise ExprError(f"Unknown unary op {expr.op!r}")
+    if isinstance(expr, BinOp):
+        a = eval_expr(expr.left, columns, capacity)
+        b = eval_expr(expr.right, columns, capacity)
+        op = expr.op
+        if op in ("and", "or"):
+            a = a.astype(jnp.bool_)
+            b = b.astype(jnp.bool_)
+            return jnp.logical_and(a, b) if op == "and" else jnp.logical_or(a, b)
+        a, b = _promote(a, b)
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return a / b
+            return jax.lax.div(a, b)          # C-style trunc toward zero
+        if op == "%":
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return jnp.fmod(a, b)
+            return jax.lax.rem(a, b)
+        if op == "=":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == ">":
+            return a > b
+        if op == ">=":
+            return a >= b
+        raise ExprError(f"Unknown operator {op!r}")
+    if isinstance(expr, Agg):
+        raise ExprError(
+            "Aggregate reached the evaluator unrewritten — planner bug"
+        )
+    raise ExprError(f"Cannot evaluate node {expr!r}")

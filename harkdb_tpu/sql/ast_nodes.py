@@ -1,0 +1,111 @@
+"""SQL AST.
+
+The reference has no AST of its own — it leans on ``moz_sql_parser``'s JSON
+trees and immediately flattens them to an index dict (``parse.py:16-91``).
+Here a small typed AST is the planner's input, covering the full advertised
+grammar (reference ``README.md:8-15``): SELECT / FROM / WHERE / GROUP BY /
+HAVING / SORT BY (ORDER BY) / JOIN, plus arithmetic & boolean expressions and
+the aggregate set {sum, prod, max, min} (``parse.py:81``) extended with
+count/avg.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple, Union
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: Union[int, float]
+
+
+@dataclass(frozen=True)
+class Col:
+    name: str
+    table: Optional[str] = None      # qualifier: "t.col"
+
+    def display(self) -> str:
+        return f"{self.table}.{self.name}" if self.table else self.name
+
+
+@dataclass(frozen=True)
+class Star:
+    table: Optional[str] = None      # "t.*"
+
+
+@dataclass(frozen=True)
+class BinOp:
+    op: str                          # + - * / % = != < <= > >= and or
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass(frozen=True)
+class UnOp:
+    op: str                          # "not", "-"
+    operand: "Expr"
+
+
+@dataclass(frozen=True)
+class Agg:
+    func: str                        # sum prod max min count avg
+    arg: Union["Expr", Star]
+
+
+Expr = Union[Lit, Col, BinOp, UnOp, Agg]
+
+
+@dataclass(frozen=True)
+class SelectItem:
+    expr: Union[Expr, Star]
+    alias: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class TableRef:
+    name: str
+    alias: Optional[str] = None
+
+    @property
+    def binding(self) -> str:
+        return self.alias or self.name
+
+
+@dataclass(frozen=True)
+class JoinClause:
+    table: TableRef
+    left_on: Col
+    right_on: Col
+    kind: str = "inner"
+
+
+@dataclass(frozen=True)
+class OrderItem:
+    expr: Expr
+    descending: bool = False
+
+
+@dataclass(frozen=True)
+class SelectStmt:
+    items: Tuple[SelectItem, ...]
+    table: TableRef
+    joins: Tuple[JoinClause, ...] = ()
+    where: Optional[Expr] = None
+    group_by: Tuple[Col, ...] = ()
+    having: Optional[Expr] = None
+    order_by: Tuple[OrderItem, ...] = ()
+    limit: Optional[int] = None
+
+
+def walk(expr) -> list:
+    """All nodes of an expression tree, preorder."""
+    out = [expr]
+    if isinstance(expr, BinOp):
+        out += walk(expr.left) + walk(expr.right)
+    elif isinstance(expr, UnOp):
+        out += walk(expr.operand)
+    elif isinstance(expr, Agg) and not isinstance(expr.arg, Star):
+        out += walk(expr.arg)
+    return out

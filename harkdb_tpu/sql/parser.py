@@ -1,0 +1,336 @@
+"""Hand-written SQL lexer + recursive-descent parser.
+
+Replaces the reference's ``moz_sql_parser`` dependency (``parse.py:27``) with a
+zero-dependency parser for the engine's grammar:
+
+    SELECT select_list
+    FROM table [alias]
+    [ [INNER|LEFT] JOIN table [alias] ON col = col ]*
+    [ WHERE expr ]
+    [ GROUP BY col ]
+    [ HAVING expr ]
+    [ ORDER BY expr [ASC|DESC], ... | SORT BY ... ]
+    [ LIMIT n ]
+
+Expression grammar (precedence climbing): OR < AND < NOT < comparison
+(= == != <> < <= > >=) < additive (+ -) < multiplicative (* / %) < unary minus
+< primary (literal, [table.]column, aggregate call, parenthesized expr).
+
+Case-insensitive keywords; identifiers keep their case (reference schema
+lookup is exact-match, ``parse.py:9-13``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from harkdb_tpu.sql.ast_nodes import (
+    Agg, BinOp, Col, JoinClause, Lit, OrderItem, SelectItem, SelectStmt, Star,
+    TableRef, UnOp,
+)
+
+
+class SqlError(Exception):
+    """Parse-time SQL error (syntax)."""
+
+
+KEYWORDS = {
+    "select", "from", "where", "group", "order", "sort", "by", "having",
+    "limit", "join", "inner", "left", "right", "outer", "on", "as", "and",
+    "or", "not", "asc", "desc", "distinct",
+}
+
+AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+\.\d*|\.\d+|\d+)
+  | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<op><>|!=|==|<=|>=|=|<|>|\+|-|\*|/|%|\(|\)|,|\.)
+    """,
+    re.VERBOSE,
+)
+
+
+class Token:
+    __slots__ = ("kind", "text")
+
+    def __init__(self, kind: str, text: str):
+        self.kind = kind          # "num" | "ident" | "kw" | "op" | "eof"
+        self.text = text
+
+    def __repr__(self):
+        return f"Token({self.kind},{self.text!r})"
+
+
+def tokenize(sql: str) -> List[Token]:
+    tokens: List[Token] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            raise SqlError(f"Unexpected character {sql[pos]!r} at position {pos}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        text = m.group()
+        if m.lastgroup == "ident":
+            low = text.lower()
+            tokens.append(Token("kw" if low in KEYWORDS else "ident", text))
+        else:
+            tokens.append(Token(m.lastgroup, text))
+    tokens.append(Token("eof", ""))
+    return tokens
+
+
+class Parser:
+    def __init__(self, tokens: List[Token]):
+        self.tokens = tokens
+        self.i = 0
+
+    # -- token helpers --------------------------------------------------------
+    def peek(self) -> Token:
+        return self.tokens[self.i]
+
+    def next(self) -> Token:
+        t = self.tokens[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.text.lower() in words
+
+    def eat_kw(self, word: str) -> bool:
+        if self.at_kw(word):
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, word: str):
+        if not self.eat_kw(word):
+            raise SqlError(f"Expected {word.upper()}, got {self.peek().text!r}")
+
+    def eat_op(self, op: str) -> bool:
+        t = self.peek()
+        if t.kind == "op" and t.text == op:
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        if not self.eat_op(op):
+            raise SqlError(f"Expected {op!r}, got {self.peek().text!r}")
+
+    def expect_ident(self) -> str:
+        t = self.peek()
+        if t.kind != "ident":
+            raise SqlError(f"Expected identifier, got {t.text!r}")
+        return self.next().text
+
+    # -- statement ------------------------------------------------------------
+    def parse_select(self) -> SelectStmt:
+        self.expect_kw("select")
+        items = self.parse_select_list()
+        self.expect_kw("from")
+        table = self.parse_table_ref()
+        joins = []
+        while self.at_kw("join", "inner", "left", "right"):
+            joins.append(self.parse_join())
+        where = None
+        if self.eat_kw("where"):
+            where = self.parse_expr()
+        group_by: Tuple[Col, ...] = ()
+        if self.at_kw("group"):
+            self.next()
+            self.expect_kw("by")
+            cols = [self.parse_qualified_col()]
+            while self.eat_op(","):
+                cols.append(self.parse_qualified_col())
+            group_by = tuple(cols)
+        having = None
+        if self.eat_kw("having"):
+            having = self.parse_expr()
+        order_by: Tuple[OrderItem, ...] = ()
+        if self.at_kw("order", "sort"):
+            self.next()
+            self.expect_kw("by")
+            order = [self.parse_order_item()]
+            while self.eat_op(","):
+                order.append(self.parse_order_item())
+            order_by = tuple(order)
+        limit = None
+        if self.eat_kw("limit"):
+            t = self.peek()
+            if t.kind != "num" or "." in t.text:
+                raise SqlError(f"LIMIT expects an integer, got {t.text!r}")
+            limit = int(self.next().text)
+        if self.peek().kind != "eof":
+            raise SqlError(f"Unexpected trailing input at {self.peek().text!r}")
+        return SelectStmt(
+            items=tuple(items), table=table, joins=tuple(joins), where=where,
+            group_by=group_by, having=having, order_by=order_by, limit=limit,
+        )
+
+    def parse_select_list(self) -> List[SelectItem]:
+        items = [self.parse_select_item()]
+        while self.eat_op(","):
+            items.append(self.parse_select_item())
+        return items
+
+    def parse_select_item(self) -> SelectItem:
+        if self.eat_op("*"):
+            return SelectItem(Star())
+        # "t.*"
+        if (
+            self.peek().kind == "ident"
+            and self.tokens[self.i + 1].kind == "op"
+            and self.tokens[self.i + 1].text == "."
+            and self.tokens[self.i + 2].kind == "op"
+            and self.tokens[self.i + 2].text == "*"
+        ):
+            t = self.next().text
+            self.next()
+            self.next()
+            return SelectItem(Star(table=t))
+        expr = self.parse_expr()
+        alias = None
+        if self.eat_kw("as"):
+            alias = self.expect_ident()
+        elif self.peek().kind == "ident":
+            alias = self.next().text
+        return SelectItem(expr, alias)
+
+    def parse_table_ref(self) -> TableRef:
+        name = self.expect_ident()
+        alias = None
+        if self.eat_kw("as"):
+            alias = self.expect_ident()
+        elif self.peek().kind == "ident":
+            alias = self.next().text
+        return TableRef(name, alias)
+
+    def parse_join(self) -> JoinClause:
+        kind = "inner"
+        if self.eat_kw("inner"):
+            pass
+        elif self.eat_kw("left"):
+            self.eat_kw("outer")
+            kind = "left"
+        elif self.at_kw("right"):
+            raise SqlError("RIGHT JOIN is not supported; rewrite as LEFT JOIN")
+        self.expect_kw("join")
+        table = self.parse_table_ref()
+        self.expect_kw("on")
+        a = self.parse_qualified_col()
+        if not (self.eat_op("=") or self.eat_op("==")):
+            raise SqlError("JOIN ... ON expects an equality condition")
+        b = self.parse_qualified_col()
+        return JoinClause(table=table, left_on=a, right_on=b, kind=kind)
+
+    def parse_qualified_col(self) -> Col:
+        name = self.expect_ident()
+        if self.eat_op("."):
+            return Col(self.expect_ident(), table=name)
+        return Col(name)
+
+    def parse_order_item(self) -> OrderItem:
+        expr = self.parse_expr()
+        desc = False
+        if self.eat_kw("desc"):
+            desc = True
+        else:
+            self.eat_kw("asc")
+        return OrderItem(expr, desc)
+
+    # -- expressions ----------------------------------------------------------
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.eat_kw("or"):
+            left = BinOp("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.eat_kw("and"):
+            left = BinOp("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.eat_kw("not"):
+            return UnOp("not", self.parse_not())
+        return self.parse_cmp()
+
+    _CMP = {"=": "=", "==": "=", "!=": "!=", "<>": "!=",
+            "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+
+    def parse_cmp(self):
+        left = self.parse_add()
+        t = self.peek()
+        if t.kind == "op" and t.text in self._CMP:
+            op = self._CMP[self.next().text]
+            return BinOp(op, left, self.parse_add())
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while True:
+            if self.eat_op("+"):
+                left = BinOp("+", left, self.parse_mul())
+            elif self.eat_op("-"):
+                left = BinOp("-", left, self.parse_mul())
+            else:
+                return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while True:
+            if self.eat_op("*"):
+                left = BinOp("*", left, self.parse_unary())
+            elif self.eat_op("/"):
+                left = BinOp("/", left, self.parse_unary())
+            elif self.eat_op("%"):
+                left = BinOp("%", left, self.parse_unary())
+            else:
+                return left
+
+    def parse_unary(self):
+        if self.eat_op("-"):
+            return UnOp("-", self.parse_unary())
+        return self.parse_primary()
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.kind == "num":
+            self.next()
+            return Lit(float(t.text) if "." in t.text else int(t.text))
+        if self.eat_op("("):
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if t.kind == "ident":
+            low = t.text.lower()
+            nxt = self.tokens[self.i + 1]
+            if low in AGG_FUNCS and nxt.kind == "op" and nxt.text == "(":
+                self.next()          # func name
+                self.next()          # "("
+                if self.eat_op("*"):
+                    if low != "count":
+                        raise SqlError(f"{low}(*) is only valid for COUNT")
+                    arg = Star()
+                else:
+                    arg = self.parse_expr()
+                self.expect_op(")")
+                return Agg(low, arg)
+            return self.parse_qualified_col()
+        raise SqlError(f"Unexpected token {t.text!r} in expression")
+
+
+def parse_sql(sql: str) -> SelectStmt:
+    """Parse one SELECT statement into the typed AST."""
+    return Parser(tokenize(sql)).parse_select()
