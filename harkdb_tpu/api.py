@@ -23,8 +23,13 @@ from harkdb_tpu.columnar.batch import ColumnBatch
 
 
 class Context:
-    def __init__(self, config: EngineConfig = DEFAULT_CONFIG):
+    def __init__(self, config: EngineConfig = DEFAULT_CONFIG, mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` (see
+        ``harkdb_tpu.parallel.make_engine_mesh``). When given, tables are
+        row-sharded across it and queries run distributed (shard_map +
+        all_to_all shuffles); when None, the single-chip path is used."""
         self.config = config
+        self.mesh = mesh
         self.tables: Dict[str, Table] = {}
         self._plan_cache: Dict[tuple, object] = {}
 
@@ -60,7 +65,13 @@ class Context:
     def sql_batch(self, sql_statement: str) -> Tuple[ColumnBatch, List[str]]:
         """Run a query; return the device-resident result batch + headers."""
         plan = self._plan(sql_statement)
-        return plan.execute(self.tables), plan.output_names
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from harkdb_tpu.parallel.executor import DistExecutor
+
+            out = DistExecutor(plan, self.mesh, self.config).execute(self.tables)
+        else:
+            out = plan.execute(self.tables)
+        return out, plan.output_names
 
     def sql(self, sql_statement: str) -> np.ndarray:
         """Run a query, returning a dense row-major numpy matrix (reference

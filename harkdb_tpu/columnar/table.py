@@ -32,6 +32,7 @@ class Table:
         self._config = config
         host_cols, headers = load_table(source, config, col_names)
         self._schema = headers
+        self._host_cols = host_cols          # unpadded; kept for resharding
         self._n_rows = len(next(iter(host_cols.values()))) if host_cols else 0
         cap = align_capacity(self._n_rows, config.row_align)
         self._sharding = sharding
@@ -71,6 +72,11 @@ class Table:
     @property
     def columns(self) -> Dict[str, jax.Array]:
         return self._columns
+
+    @property
+    def host_columns(self) -> Dict[str, np.ndarray]:
+        """Unpadded host copies (used for mesh resharding and native IO)."""
+        return self._host_cols
 
     @property
     def sharding(self):

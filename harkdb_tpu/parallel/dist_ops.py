@@ -1,0 +1,283 @@
+"""Distributed operators: filter / group-by / join over a ShardedBatch.
+
+Host-level orchestration around ``jax.shard_map`` bodies built from the same
+single-chip operators (``harkdb_tpu.ops``) — the distributed layer composes,
+it does not reimplement. Overflow-retry loops double shuffle bucket capacity
+(powers of two, bounded jit cache) when a hash bucket exceeds its static size.
+
+Collective footprint per operator (all over the mesh axis, ICI on real
+hardware): group-by = 1 all_to_all (+1 psum for overflow) after local
+pre-aggregation; join = 2 all_to_all (both sides repartitioned) + local
+build/probe; filter = none (embarrassingly row-parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from harkdb_tpu.columnar.batch import ColumnBatch
+from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
+from harkdb_tpu.ops.groupby import groupby_batch
+from harkdb_tpu.ops.join import join_batches, join_match_count
+from harkdb_tpu.parallel.sharded import ShardedBatch
+from harkdb_tpu.parallel.shuffle import hash_to_bucket, repartition_by_key
+from harkdb_tpu.prims.compaction import compact_indices
+
+Array = jax.Array
+
+# How each aggregate op re-aggregates across shards: op on partials.
+REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max",
+         "prod": "prod"}
+
+
+def hash_keys(cols: Dict[str, Array], key_names: Sequence[str],
+              n_shards: int, salt: int = 0) -> Array:
+    """Combined bucket id for (possibly multi-) key rows."""
+    dest = hash_to_bucket(cols[key_names[0]], n_shards, salt)
+    for i, k in enumerate(key_names[1:], start=1):
+        extra = hash_to_bucket(cols[k], n_shards, salt + 31 * i)
+        dest = (dest + extra) % n_shards
+    return dest
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n - 1).bit_length(), 0) if n > 1 else 1
+
+
+class ShuffleOverflow(RuntimeError):
+    pass
+
+
+def dist_filter(
+    sb: ShardedBatch,
+    mask_fn: Callable[[Dict[str, Array], int], Array],
+    mesh: Mesh,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> ShardedBatch:
+    """Row-parallel WHERE: local masked compaction per shard, no collectives."""
+    axis = config.mesh_axis
+    C = sb.local_capacity
+
+    def body(cols: Dict[str, Array], cnt: Array):
+        n_local = cnt[0]
+        mask = mask_fn(cols, C).astype(jnp.bool_)
+        idx, n_out = compact_indices(mask, n_local)
+        out = {
+            name: col.at[idx].get(mode="fill", fill_value=0)
+            for name, col in cols.items()
+        }
+        return out, n_out.reshape(1)
+
+    specs_in = ({n: P(axis) for n in sb.names}, P(axis))
+    specs_out = ({n: P(axis) for n in sb.names}, P(axis))
+    f = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
+                              out_specs=specs_out))
+    out_cols, out_counts = f(sb.columns, sb.shard_counts)
+    return ShardedBatch(out_cols, out_counts)
+
+
+def dist_groupby(
+    sb: ShardedBatch,
+    key_names: Sequence[str],
+    agg_specs: Sequence[Tuple[str, str, str]],
+    mesh: Mesh,
+    config: EngineConfig = DEFAULT_CONFIG,
+    pre_fn: Callable[[Dict[str, Array], int], Dict[str, Array]] | None = None,
+) -> ShardedBatch:
+    """Distributed GROUP BY: local pre-aggregate → hash shuffle of partials →
+    local final aggregate. Output shards hold disjoint key sets, each locally
+    sorted ascending (global order restored at gather by one small sort).
+
+    ``pre_fn`` optionally derives extra columns (aggregate-argument
+    expressions) on the local block before aggregation.
+    """
+    axis = config.mesh_axis
+    D = mesh.devices.size
+    C = sb.local_capacity
+    key_names = list(key_names)
+
+    # Partial aggregation spec: same outputs, pre ops; final spec re-aggregates.
+    pre_specs = [(src, op, out) for src, op, out in agg_specs]
+    post_specs = [(out, REAGG[op], out) for _src, op, out in agg_specs]
+
+    def make(bucket_cap: int):
+        def body(cols: Dict[str, Array], cnt: Array):
+            n_local = cnt[0]
+            if pre_fn is not None:
+                cols = dict(cols)
+                cols.update(pre_fn(cols, C))
+            local = ColumnBatch(cols, n_local)
+            partial = groupby_batch(local, key_names, pre_specs)
+            shuf_cols, shuf_n, overflow = repartition_by_key(
+                dict(partial.columns), key_names[0], partial.n_valid,
+                axis, D, bucket_cap,
+            )
+            received = ColumnBatch(shuf_cols, shuf_n)
+            final = groupby_batch(received, key_names, post_specs)
+            out_cols = dict(final.columns)
+            return out_cols, final.n_valid.reshape(1), overflow.reshape(1)
+
+        out_names = key_names + [out for _, _, out in post_specs]
+        specs_in = ({n: P(axis) for n in sb.names}, P(axis))
+        specs_out = (
+            {n: P(axis) for n in out_names}, P(axis), P(axis),
+        )
+        return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
+                                     out_specs=specs_out))
+
+    # Multi-key: repartition on combined hash — handled by rewriting the
+    # shuffle destination inside repartition via a synthetic key column.
+    if len(key_names) > 1:
+        return _dist_groupby_multikey(
+            sb, key_names, agg_specs, mesh, config, pre_fn
+        )
+
+    bucket_cap = max(128, _next_pow2(-(-C // D)) * 2)
+    while True:
+        f = make(bucket_cap)
+        out_cols, out_counts, overflow = f(sb.columns, sb.shard_counts)
+        if int(jnp.max(overflow)) == 0:
+            return ShardedBatch(out_cols, out_counts)
+        if bucket_cap >= C * 2:
+            raise ShuffleOverflow("groupby shuffle bucket overflow")
+        bucket_cap *= 2
+
+
+def _dist_groupby_multikey(sb, key_names, agg_specs, mesh, config, pre_fn):
+    """Multi-key variant: pack the key tuple's hash into a synthetic routing
+    column, shuffle on it, then group on the real keys."""
+    axis = config.mesh_axis
+    D = mesh.devices.size
+    C = sb.local_capacity
+    pre_specs = list(agg_specs)
+    post_specs = [(out, REAGG[op], out) for _s, op, out in agg_specs]
+
+    def make(bucket_cap: int):
+        def body(cols, cnt):
+            n_local = cnt[0]
+            if pre_fn is not None:
+                cols = dict(cols)
+                cols.update(pre_fn(cols, C))
+            local = ColumnBatch(cols, n_local)
+            partial = groupby_batch(local, key_names, pre_specs)
+            pcols = dict(partial.columns)
+            pcols["#route"] = hash_keys(pcols, key_names, D)
+            shuf_cols, shuf_n, overflow = repartition_by_key(
+                pcols, "#route", partial.n_valid, axis, D, bucket_cap,
+                dest_is_bucket=True,
+            )
+            shuf_cols.pop("#route", None)
+            received = ColumnBatch(shuf_cols, shuf_n)
+            final = groupby_batch(received, key_names, post_specs)
+            return dict(final.columns), final.n_valid.reshape(1), overflow.reshape(1)
+
+        out_names = list(key_names) + [out for _, _, out in post_specs]
+        specs_in = ({n: P(axis) for n in sb.names}, P(axis))
+        specs_out = ({n: P(axis) for n in out_names}, P(axis), P(axis))
+        return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
+                                     out_specs=specs_out))
+
+    bucket_cap = max(128, _next_pow2(-(-C // D)) * 2)
+    while True:
+        f = make(bucket_cap)
+        out_cols, out_counts, overflow = f(sb.columns, sb.shard_counts)
+        if int(jnp.max(overflow)) == 0:
+            return ShardedBatch(out_cols, out_counts)
+        if bucket_cap >= C * 2:
+            raise ShuffleOverflow("groupby shuffle bucket overflow")
+        bucket_cap *= 2
+
+
+def dist_join(
+    left: ShardedBatch,
+    right: ShardedBatch,
+    l_key: str,
+    r_key: str,
+    mesh: Mesh,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> ShardedBatch:
+    """Distributed inner equi-join: co-partition both sides by key hash
+    (2 all_to_all), then a local sorted-probe join per shard.
+
+    Output columns: [left | right] (reference ``join.fut:74-75``); global
+    ordering is restored by the executor's gather (hidden row-id columns let
+    it reproduce the reference's sorted-by-key, stable order exactly).
+    """
+    axis = config.mesh_axis
+    D = mesh.devices.size
+
+    # ---- stage 1: co-partition + count --------------------------------------
+    def make_stage1(l_cap: int, r_cap: int):
+        def body(l_cols, l_cnt, r_cols, r_cnt):
+            ls, ln, lof = repartition_by_key(
+                dict(l_cols), l_key, l_cnt[0], axis, D, l_cap
+            )
+            rs, rn, rof = repartition_by_key(
+                dict(r_cols), r_key, r_cnt[0], axis, D, r_cap
+            )
+            cnt = join_match_count(ls[l_key], ln, rs[r_key], rn)
+            overflow = lof + rof
+            return (ls, ln.reshape(1), rs, rn.reshape(1),
+                    cnt.reshape(1), overflow.reshape(1))
+
+        specs_in = (
+            {n: P(axis) for n in left.names}, P(axis),
+            {n: P(axis) for n in right.names}, P(axis),
+        )
+        specs_out = (
+            {n: P(axis) for n in left.names}, P(axis),
+            {n: P(axis) for n in right.names}, P(axis),
+            P(axis), P(axis),
+        )
+        return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
+                                     out_specs=specs_out))
+
+    l_cap = max(128, _next_pow2(-(-left.local_capacity // D)) * 2)
+    r_cap = max(128, _next_pow2(-(-right.local_capacity // D)) * 2)
+    while True:
+        f = make_stage1(l_cap, r_cap)
+        (l_shuf, l_n, r_shuf, r_n, counts, overflow) = f(
+            left.columns, left.shard_counts, right.columns, right.shard_counts
+        )
+        if int(jnp.max(overflow)) == 0:
+            break
+        if l_cap >= left.local_capacity * 2 and r_cap >= right.local_capacity * 2:
+            raise ShuffleOverflow("join shuffle bucket overflow")
+        l_cap = min(l_cap * 2, _next_pow2(left.local_capacity) * 2)
+        r_cap = min(r_cap * 2, _next_pow2(right.local_capacity) * 2)
+
+    l_part = ShardedBatch(l_shuf, l_n)
+    r_part = ShardedBatch(r_shuf, r_n)
+    out_cap = max(128, _next_pow2(int(jnp.max(counts))))
+
+    # ---- stage 2: local join at uniform static capacity ---------------------
+    l_names, r_names = l_part.names, r_part.names
+    out_names = l_names + [n for n in r_names if n not in l_names]
+
+    def body2(l_cols, l_cnt, r_cols, r_cnt):
+        lb = ColumnBatch(l_cols, l_cnt[0])
+        rb = ColumnBatch(r_cols, r_cnt[0])
+        out = join_batches(
+            lb, rb, l_key, r_key, out_cap,
+            {n: n for n in l_names},
+            {n: n for n in r_names if n not in l_names},
+        )
+        return dict(out.columns), out.n_valid.reshape(1)
+
+    specs_in = (
+        {n: P(axis) for n in l_names}, P(axis),
+        {n: P(axis) for n in r_names}, P(axis),
+    )
+    specs_out = ({n: P(axis) for n in out_names}, P(axis))
+    f2 = jax.jit(jax.shard_map(body2, mesh=mesh, in_specs=specs_in,
+                               out_specs=specs_out))
+    out_cols, out_counts = f2(
+        l_part.columns, l_part.shard_counts,
+        r_part.columns, r_part.shard_counts,
+    )
+    return ShardedBatch(out_cols, out_counts)

@@ -1,0 +1,107 @@
+"""Distributed query execution over a device mesh.
+
+Drives a planned query (``harkdb_tpu.plan.planner.QueryPlan``) across
+row-sharded tables: joins and group-bys run under ``shard_map`` with
+all-to-all shuffles (``dist_ops``); the small post-aggregation tail (HAVING /
+projection / ORDER BY / LIMIT) runs on the gathered result via the plan's own
+``run_tail`` — one code path for semantics, two for placement.
+
+Ordering parity with the single-chip path (and hence the reference):
+
+  * WHERE-only queries: shard blocks are contiguous original row ranges and
+    local compaction is stable, so gather order == original row order
+    (SURVEY §3.3).
+  * GROUP BY: shards hold disjoint hash-partitioned key sets; one small sort
+    of the gathered groups restores global ascending-key order (§3.4).
+  * JOIN: hidden per-table row-id columns ride through the shuffle; the
+    gathered result is sorted by (join keys, newest-first, then row ids in
+    binding order), which reproduces the single-chip sorted-stable order
+    exactly (§3.5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from harkdb_tpu.columnar.batch import ColumnBatch
+from harkdb_tpu.columnar.table import Table
+from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
+from harkdb_tpu.ops.sort import sort_batch
+from harkdb_tpu.parallel.dist_ops import dist_filter, dist_groupby, dist_join
+from harkdb_tpu.parallel.sharded import ShardedBatch, shard_batch
+from harkdb_tpu.plan.expr import eval_expr
+from harkdb_tpu.plan.planner import QueryPlan
+
+
+class DistExecutor:
+    def __init__(self, plan: QueryPlan, mesh: Mesh,
+                 config: EngineConfig = DEFAULT_CONFIG):
+        self.plan = plan
+        self.mesh = mesh
+        self.config = config
+
+    # -- table sharding -------------------------------------------------------
+    def _shard_table(self, tables: Dict[str, Table], binding_idx: int) -> ShardedBatch:
+        b, tname, cols = self.plan.bindings[binding_idx]
+        t = tables[tname]
+        host = {f"{b}.{c}": t.host_columns[c] for c in cols}
+        host[f"#rid.{b}"] = np.arange(t.n_rows, dtype=np.int32)
+        return shard_batch(host, t.n_rows, self.mesh, self.config)
+
+    # -- execution ------------------------------------------------------------
+    def execute(self, tables: Dict[str, Table]) -> ColumnBatch:
+        plan = self.plan
+        work = self._shard_table(tables, 0)
+        join_keys_newest_first: List[str] = []
+        for step_idx, (rb, lk, rk) in enumerate(plan.join_steps):
+            right = self._shard_table(tables, 1 + step_idx)
+            work = dist_join(work, right, lk, rk, self.mesh, self.config)
+            join_keys_newest_first.insert(0, lk)
+
+        if plan.where is not None:
+            expr = plan.where
+            work = dist_filter(
+                work, lambda cols, cap: eval_expr(expr, cols, cap),
+                self.mesh, self.config,
+            )
+
+        if plan.grouped:
+            keys = list(plan.group_keys) or ["#const"]
+            agg_specs = list(plan.agg_specs)
+            arg_cols = list(plan.agg_arg_cols)
+            need_ones = any(src == "#ones" for src, _, _ in agg_specs)
+            need_const = not plan.group_keys
+
+            def pre_fn(cols, cap):
+                extra = {}
+                for internal, e in arg_cols:
+                    extra[internal] = eval_expr(e, cols, cap)
+                if need_ones:
+                    extra["#ones"] = jnp.ones((cap,), jnp.int32)
+                if need_const:
+                    extra["#const"] = jnp.zeros((cap,), jnp.int32)
+                return extra
+
+            work = dist_groupby(
+                work, keys, agg_specs, self.mesh, self.config, pre_fn
+            )
+            gathered = work.to_batch()
+            # Disjoint key sets per shard → one global sort restores the
+            # ascending-key output contract.
+            gathered = sort_batch(gathered, keys)
+        else:
+            gathered = work.to_batch()
+            if join_keys_newest_first:
+                rid_cols = [
+                    n for n in gathered.names if n.startswith("#rid.")
+                ]
+                sort_keys = [
+                    k for k in join_keys_newest_first if k in gathered.columns
+                ] + rid_cols
+                gathered = sort_batch(gathered, sort_keys)
+
+        return plan.run_tail(gathered)

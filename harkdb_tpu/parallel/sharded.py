@@ -1,0 +1,113 @@
+"""ShardedBatch — the distributed analog of ColumnBatch.
+
+A set of named 1-D columns of global shape ``(D * C,)`` sharded row-wise over
+the mesh (each device holds a contiguous ``C``-row block) plus per-shard valid
+counts ``shard_counts`` of shape ``(D,)`` (sharded likewise, so each device
+sees its own count as a length-1 block under ``shard_map``).
+
+Global row order convention: live rows of shard i are rows
+``[i*C, i*C + counts[i])``; concatenating shards in order yields the table's
+original row order (ingest splits rows into balanced contiguous chunks). This
+is what lets distributed WHERE preserve the reference's row-order semantics
+(SURVEY §3.3) without any cross-shard exchange.
+
+This replaces the "analog of sequence parallelism" slot in SURVEY §5: the
+long dimension (rows) is partitioned so no host materializes a full table.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from harkdb_tpu.columnar.batch import ColumnBatch, align_capacity
+from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedBatch:
+    def __init__(self, columns: Dict[str, jax.Array], shard_counts: jax.Array):
+        self.columns = dict(columns)
+        self.shard_counts = shard_counts
+
+    def tree_flatten(self):
+        names = tuple(self.columns.keys())
+        children = tuple(self.columns[n] for n in names) + (self.shard_counts,)
+        return children, names
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        *cols, counts = children
+        return cls(dict(zip(names, cols)), counts)
+
+    @property
+    def n_shards(self) -> int:
+        return self.shard_counts.shape[0]
+
+    @property
+    def global_capacity(self) -> int:
+        return next(iter(self.columns.values())).shape[0]
+
+    @property
+    def local_capacity(self) -> int:
+        return self.global_capacity // self.n_shards
+
+    @property
+    def names(self) -> List[str]:
+        return list(self.columns.keys())
+
+    def total_rows(self) -> jax.Array:
+        return jnp.sum(self.shard_counts).astype(jnp.int32)
+
+    def to_batch(self) -> ColumnBatch:
+        """Gather to a single packed ColumnBatch (host-driven compaction of
+        the inter-shard gaps; preserves shard order = original row order)."""
+        D, C = self.n_shards, self.local_capacity
+        counts = np.asarray(self.shard_counts)
+        keep = np.zeros(D * C, dtype=bool)
+        for i in range(D):
+            keep[i * C: i * C + int(counts[i])] = True
+        n = int(keep.sum())
+        cap = align_capacity(n, C) if n else C
+        cols = {}
+        for name, col in self.columns.items():
+            host = np.asarray(col)[keep]
+            if cap > n:
+                host = np.concatenate(
+                    [host, np.zeros(cap - n, dtype=host.dtype)]
+                )
+            cols[name] = jnp.asarray(host)
+        return ColumnBatch(cols, jnp.int32(n))
+
+
+def shard_batch(
+    host_cols: Dict[str, np.ndarray],
+    n_rows: int,
+    mesh: Mesh,
+    config: EngineConfig = DEFAULT_CONFIG,
+    min_local_capacity: Optional[int] = None,
+) -> ShardedBatch:
+    """Split host columns into D balanced contiguous row chunks, pad each to a
+    common local capacity, and place on the mesh."""
+    D = mesh.devices.size
+    per = -(-n_rows // D) if n_rows else 0           # ceil
+    local_align = max(config.row_align // D, 128)
+    C = align_capacity(per, local_align)
+    if min_local_capacity:
+        C = max(C, min_local_capacity)
+    counts = np.clip(n_rows - per * np.arange(D), 0, per).astype(np.int32)
+    sharding = NamedSharding(mesh, P(config.mesh_axis))
+    cols = {}
+    for name, a in host_cols.items():
+        a = np.asarray(a)[:n_rows]
+        buf = np.zeros((D * C,), dtype=a.dtype)
+        for i in range(D):
+            c = int(counts[i])
+            buf[i * C: i * C + c] = a[i * per: i * per + c]
+        cols[name] = jax.device_put(buf, sharding)
+    shard_counts = jax.device_put(counts, sharding)
+    return ShardedBatch(cols, shard_counts)

@@ -372,6 +372,14 @@ class QueryPlan:
                 work = ColumnBatch(cols, batch.n_valid)
                 keys = ["#const"]
             batch = groupby_batch(work, keys, self.agg_specs)
+
+        return self.run_tail(batch)
+
+    def run_tail(self, batch: ColumnBatch) -> ColumnBatch:
+        """Post-aggregation tail: avg computes → HAVING → projection →
+        ORDER BY → LIMIT. Reused by the distributed executor on the gathered
+        group/join results (traced; jit-safe)."""
+        if self.grouped and self.post_computes:
             gcols = dict(batch.columns)
             for out, spec in self.post_computes:
                 kind, s, c = spec
