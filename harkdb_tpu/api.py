@@ -32,6 +32,7 @@ class Context:
         self.mesh = mesh
         self.tables: Dict[str, Table] = {}
         self._plan_cache: Dict[tuple, object] = {}
+        self.last_metrics = None
 
     # -- tables (reference surface) -------------------------------------------
     def create_table(self, table_name: str, source, col_names=None) -> None:
@@ -64,14 +65,44 @@ class Context:
 
     def sql_batch(self, sql_statement: str) -> Tuple[ColumnBatch, List[str]]:
         """Run a query; return the device-resident result batch + headers."""
-        plan = self._plan(sql_statement)
-        if self.mesh is not None and self.mesh.devices.size > 1:
-            from harkdb_tpu.parallel.executor import DistExecutor
+        from harkdb_tpu.utils.metrics import QueryMetrics, StageTimer
 
-            out = DistExecutor(plan, self.mesh, self.config).execute(self.tables)
-        else:
-            out = plan.execute(self.tables)
+        m = QueryMetrics(sql=sql_statement)
+        key = (sql_statement, self._table_signature())
+        m.cached_plan = key in self._plan_cache
+        with StageTimer() as t:
+            plan = self._plan(sql_statement)
+        m.plan_ms = t.ms
+        distributed = self.mesh is not None and self.mesh.devices.size > 1
+        m.distributed = distributed
+        with StageTimer() as t:
+            if distributed:
+                from harkdb_tpu.parallel.executor import DistExecutor
+
+                out = DistExecutor(plan, self.mesh, self.config).execute(
+                    self.tables
+                )
+            else:
+                out = plan.execute(self.tables)
+        m.execute_ms = t.ms
+        if self.config.collect_metrics:
+            m.rows_out = int(out.n_valid)
+        self.last_metrics = m
+        m.log()
         return out, plan.output_names
+
+    # -- persistence (SURVEY §5 checkpoint slot) ------------------------------
+    def save(self, directory: str) -> None:
+        """Persist every registered table as an npz checkpoint."""
+        from harkdb_tpu.utils.persist import save_tables
+
+        save_tables(self.tables, directory)
+
+    def load(self, directory: str) -> None:
+        """Re-register tables previously saved with :meth:`save`."""
+        from harkdb_tpu.utils.persist import load_tables
+
+        load_tables(self, directory)
 
     def sql(self, sql_statement: str) -> np.ndarray:
         """Run a query, returning a dense row-major numpy matrix (reference

@@ -59,42 +59,81 @@ def _match_ranges(
     return l_perm, r_perm, lo, counts, total
 
 
-def join_match_count(l_key: Array, n_l: Array, r_key: Array, n_r: Array) -> Array:
-    """Exact number of output rows (device scalar) — the planner's count phase."""
-    return _match_ranges(l_key, n_l, r_key, n_r)[4]
+def join_match_count(
+    l_key: Array, n_l: Array, r_key: Array, n_r: Array, kind: str = "inner"
+) -> Array:
+    """Exact number of output rows (device scalar) — the planner's count phase.
+
+    LEFT JOIN emits one row for every unmatched left row, so its count is
+    ``sum(max(matches, 1))`` over live left rows.
+    """
+    _, _, _, counts, total = _match_ranges(l_key, n_l, r_key, n_r)
+    if kind == "left":
+        n = l_key.shape[0]
+        l_valid = jnp.arange(n, dtype=jnp.int32) < n_l
+        return jnp.sum(jnp.where(l_valid, jnp.maximum(counts, 1), 0)).astype(
+            jnp.int32
+        )
+    return total
 
 
-def inner_join_indices(
+def join_indices(
     l_key: Array,
     n_l: Array,
     r_key: Array,
     n_r: Array,
     out_capacity: int,
-) -> Tuple[Array, Array, Array]:
-    """Materialize pair indices ``(l_idx, r_idx, total)`` padded to capacity.
+    kind: str = "inner",
+) -> Tuple[Array, Array, Array, Array]:
+    """Materialize pair indices ``(l_idx, r_idx, matched, total)`` padded to
+    capacity.
 
     ``l_idx``/``r_idx`` index the *original* (unsorted) rows of each side.
-    Entries past ``total`` point at left/right row 0 (harmless gather targets).
-    If ``total > out_capacity`` the result is truncated — the planner prevents
-    this by sizing capacity from :func:`join_match_count`.
+    ``matched`` is False on LEFT-JOIN rows with no right match (their right
+    columns are filled with 0 — the engine has no NULLs, like the reference's
+    homogeneous numeric tables). Entries past ``total`` point at row 0
+    (harmless gather targets). If ``total > out_capacity`` the result is
+    truncated — the planner prevents this by sizing capacity from
+    :func:`join_match_count`.
     """
     l_perm, r_perm, lo, counts, total = _match_ranges(l_key, n_l, r_key, n_r)
+    n = l_key.shape[0]
+
+    if kind == "left":
+        l_valid = jnp.arange(n, dtype=jnp.int32) < n_l
+        emit = jnp.where(l_valid, jnp.maximum(counts, 1), 0)
+        total = jnp.sum(emit).astype(jnp.int32)
+    elif kind == "inner":
+        emit = counts
+    else:
+        raise ValueError(f"Unsupported join kind {kind!r}")
 
     # seg_ids: which sorted-left row produced each output pair.
-    seg_ids, _ = replicated_iota(counts, out_capacity)
+    seg_ids, _ = replicated_iota(emit, out_capacity)
     out_idx = jnp.arange(out_capacity, dtype=jnp.int32)
     live = out_idx < total
-    safe_seg = jnp.where(live, jnp.minimum(seg_ids, counts.shape[0] - 1), 0)
+    safe_seg = jnp.where(live, jnp.minimum(seg_ids, emit.shape[0] - 1), 0)
 
     starts = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), seg_ids[1:] != seg_ids[:-1]]
     )
     local = segmented_iota(starts)
 
+    matched = live & (local < counts[safe_seg])
     l_idx = jnp.where(live, l_perm[safe_seg], 0)
-    r_pos = jnp.where(live, lo[safe_seg] + local, 0)
+    r_pos = jnp.where(matched, lo[safe_seg] + local, 0)
     r_idx = r_perm[jnp.minimum(r_pos, r_perm.shape[0] - 1)]
-    r_idx = jnp.where(live, r_idx, 0)
+    r_idx = jnp.where(matched, r_idx, 0)
+    return l_idx, r_idx, matched, total
+
+
+def inner_join_indices(
+    l_key: Array, n_l: Array, r_key: Array, n_r: Array, out_capacity: int
+) -> Tuple[Array, Array, Array]:
+    """Inner-join pair indices ``(l_idx, r_idx, total)`` (see join_indices)."""
+    l_idx, r_idx, _, total = join_indices(
+        l_key, n_l, r_key, n_r, out_capacity, "inner"
+    )
     return l_idx, r_idx, total
 
 
@@ -106,23 +145,29 @@ def join_batches(
     out_capacity: int,
     l_out: Dict[str, str] | None = None,
     r_out: Dict[str, str] | None = None,
+    kind: str = "inner",
 ) -> ColumnBatch:
-    """Inner equi-join of two batches.
+    """Equi-join of two batches (inner or left).
 
     ``l_out``/``r_out`` map source column → output name (projection + rename,
     defaulting to all columns under their own names). Output column order is
-    [left cols | right cols] per the reference (``join.fut:74-75``).
+    [left cols | right cols] per the reference (``join.fut:74-75``). LEFT
+    JOIN fills right columns of unmatched rows with 0 (no NULLs in the
+    engine's numeric model).
     """
     l_out = l_out if l_out is not None else {n: n for n in left.names}
     r_out = r_out if r_out is not None else {n: n for n in right.names}
-    l_idx, r_idx, total = inner_join_indices(
+    l_idx, r_idx, matched, total = join_indices(
         left.column(l_key_name), left.n_valid,
         right.column(r_key_name), right.n_valid,
-        out_capacity,
+        out_capacity, kind,
     )
     cols = {}
     for src, dst in l_out.items():
         cols[dst] = left.column(src)[l_idx]
     for src, dst in r_out.items():
-        cols[dst] = right.column(src)[r_idx]
+        gathered = right.column(src)[r_idx]
+        if kind == "left":
+            gathered = jnp.where(matched, gathered, 0)
+        cols[dst] = gathered
     return ColumnBatch(cols, total)

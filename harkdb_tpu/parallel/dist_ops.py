@@ -200,6 +200,7 @@ def dist_join(
     r_key: str,
     mesh: Mesh,
     config: EngineConfig = DEFAULT_CONFIG,
+    kind: str = "inner",
 ) -> ShardedBatch:
     """Distributed inner equi-join: co-partition both sides by key hash
     (2 all_to_all), then a local sorted-probe join per shard.
@@ -220,7 +221,7 @@ def dist_join(
             rs, rn, rof = repartition_by_key(
                 dict(r_cols), r_key, r_cnt[0], axis, D, r_cap
             )
-            cnt = join_match_count(ls[l_key], ln, rs[r_key], rn)
+            cnt = join_match_count(ls[l_key], ln, rs[r_key], rn, kind)
             overflow = lof + rof
             return (ls, ln.reshape(1), rs, rn.reshape(1),
                     cnt.reshape(1), overflow.reshape(1))
@@ -266,6 +267,7 @@ def dist_join(
             lb, rb, l_key, r_key, out_cap,
             {n: n for n in l_names},
             {n: n for n in r_names if n not in l_names},
+            kind=kind,
         )
         return dict(out.columns), out.n_valid.reshape(1)
 

@@ -57,9 +57,10 @@ class DistExecutor:
         plan = self.plan
         work = self._shard_table(tables, 0)
         join_keys_newest_first: List[str] = []
-        for step_idx, (rb, lk, rk) in enumerate(plan.join_steps):
+        for step_idx, (rb, lk, rk, kind) in enumerate(plan.join_steps):
             right = self._shard_table(tables, 1 + step_idx)
-            work = dist_join(work, right, lk, rk, self.mesh, self.config)
+            work = dist_join(work, right, lk, rk, self.mesh, self.config,
+                             kind=kind)
             join_keys_newest_first.insert(0, lk)
 
         if plan.where is not None:

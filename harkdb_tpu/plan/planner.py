@@ -158,15 +158,16 @@ def _substitute_aggs(expr, agg_map):
 
 @functools.lru_cache(maxsize=256)
 def _jit_join(l_key: str, r_key: str, capacity: int,
-              l_out: tuple, r_out: tuple):
+              l_out: tuple, r_out: tuple, kind: str = "inner"):
     def f(left: ColumnBatch, right: ColumnBatch) -> ColumnBatch:
         return join_batches(
-            left, right, l_key, r_key, capacity, dict(l_out), dict(r_out)
+            left, right, l_key, r_key, capacity, dict(l_out), dict(r_out),
+            kind=kind,
         )
     return jax.jit(f)
 
 
-_jit_count = jax.jit(join_match_count)
+_jit_count = jax.jit(join_match_count, static_argnums=(4,))
 
 
 class QueryPlan:
@@ -201,8 +202,6 @@ class QueryPlan:
         self.join_steps = []
         avail = {bindings[0][0]}
         for j, ref in zip(stmt.joins, refs[1:]):
-            if j.kind != "inner":
-                raise PlanError(f"{j.kind.upper()} JOIN is not supported yet")
             a = res.rewrite(j.left_on)
             b = res.rewrite(j.right_on)
             rb = ref.binding
@@ -218,7 +217,7 @@ class QueryPlan:
                     f"JOIN ON must relate the joined table {rb} to an "
                     f"already-joined table"
                 )
-            self.join_steps.append((rb, lk, rk))
+            self.join_steps.append((rb, lk, rk, j.kind))
             avail.add(rb)
 
         # Select list: expand stars, resolve, classify.
@@ -327,16 +326,17 @@ class QueryPlan:
         # Phase A: load + joins (count-then-materialize per join).
         b0, t0, _ = self.bindings[0]
         batch = self._load(tables, 0)
-        for step_idx, (rb, lk, rk) in enumerate(self.join_steps):
+        for step_idx, (rb, lk, rk, kind) in enumerate(self.join_steps):
             right = self._load(tables, 1 + step_idx)
             total = int(_jit_count(
                 batch.column(lk), batch.n_valid,
                 right.column(rk), right.n_valid,
+                kind,
             ))
             cap = _next_pow2(max(total, self.config.row_align))
             l_out = tuple((n, n) for n in batch.names)
             r_out = tuple((n, n) for n in right.names)
-            batch = _jit_join(lk, rk, cap, l_out, r_out)(batch, right)
+            batch = _jit_join(lk, rk, cap, l_out, r_out, kind)(batch, right)
         # Phase B: compiled pipeline.
         return self._phase_b(batch)
 
@@ -423,8 +423,8 @@ class QueryPlan:
     # -- observability --------------------------------------------------------
     def explain(self) -> str:
         lines = [f"Scan {self.bindings[0][1]} as {self.bindings[0][0]}"]
-        for rb, lk, rk in self.join_steps:
-            lines.append(f"HashJoin(inner) {lk} = {rk} (+ {rb})")
+        for rb, lk, rk, kind in self.join_steps:
+            lines.append(f"HashJoin({kind}) {lk} = {rk} (+ {rb})")
         if self.stmt.where is not None:
             lines.append("Filter (WHERE) → masked-scan compaction")
         if self.grouped:

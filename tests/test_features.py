@@ -1,0 +1,101 @@
+"""LEFT JOIN, metrics, and persistence tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from harkdb_tpu import Context, EngineConfig
+from harkdb_tpu.parallel import make_engine_mesh
+
+CFG = EngineConfig()
+
+
+@pytest.fixture
+def join_ctx():
+    c = Context()
+    c.create_table("l", pd.DataFrame({"k": [1, 2, 3, 5], "a": [10, 20, 30, 50]}))
+    c.create_table("r", pd.DataFrame({"k2": [2, 3, 3, 4], "b": [200, 300, 301, 400]}))
+    return c
+
+
+class TestLeftJoin:
+    def test_basic(self, join_ctx):
+        out = join_ctx.sql(
+            "select k, a, b from l left join r on l.k = r.k2 order by k, b"
+        )
+        # unmatched left rows kept, right cols filled with 0
+        np.testing.assert_array_equal(out, [
+            [1, 10, 0], [2, 20, 200], [3, 30, 300], [3, 30, 301], [5, 50, 0],
+        ])
+
+    def test_count_includes_unmatched(self, join_ctx):
+        out = join_ctx.sql(
+            "select count(*) from l left join r on l.k = r.k2"
+        )
+        assert out[0, 0] == 5
+
+    def test_vs_pandas(self, rng):
+        c = Context()
+        nl, nr = 200, 100
+        ldf = pd.DataFrame({"k": rng.integers(0, 50, nl).astype(np.int32),
+                            "a": np.arange(nl, dtype=np.int32)})
+        rdf = pd.DataFrame({"j": rng.integers(0, 50, nr).astype(np.int32),
+                            "b": np.arange(nr, dtype=np.int32)})
+        c.create_table("l", ldf)
+        c.create_table("r", rdf)
+        out = c.sql("select k, a, b from l left join r on l.k = r.j "
+                    "order by k, a, b")
+        m = ldf.merge(rdf, left_on="k", right_on="j", how="left")
+        m["b"] = m.b.fillna(0).astype(np.int64)
+        e = m.sort_values(["k", "a", "b"], kind="stable")[["k", "a", "b"]]
+        np.testing.assert_array_equal(out, e.to_numpy())
+
+    def test_distributed_matches(self, rng):
+        mesh = make_engine_mesh(8)
+        ldf = pd.DataFrame({"k": rng.integers(0, 30, 300).astype(np.int32),
+                            "a": np.arange(300, dtype=np.int32)})
+        rdf = pd.DataFrame({"j": rng.integers(0, 30, 100).astype(np.int32),
+                            "b": np.arange(100, dtype=np.int32)})
+        dc = Context(CFG, mesh=mesh)
+        sc = Context(CFG)
+        for c in (dc, sc):
+            c.create_table("l", ldf)
+            c.create_table("r", rdf)
+        q = "select k, a, b from l left join r on l.k = r.j"
+        np.testing.assert_array_equal(dc.sql(q), sc.sql(q))
+
+
+class TestMetrics:
+    def test_collects(self, join_ctx):
+        out = join_ctx.sql("select k from l where k > 1")
+        m = join_ctx.last_metrics
+        assert m.rows_out == out.shape[0] == 3
+        assert m.execute_ms > 0
+        assert not m.distributed
+        assert "rows_out" in m.to_json()
+
+    def test_plan_cache_flag(self, join_ctx):
+        join_ctx.sql("select k from l")
+        assert not join_ctx.last_metrics.cached_plan
+        join_ctx.sql("select k from l")
+        assert join_ctx.last_metrics.cached_plan
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, tmp_path, join_ctx):
+        q = "select k, a from l order by k"
+        expect = join_ctx.sql(q)
+        join_ctx.save(str(tmp_path))
+        c2 = Context()
+        c2.load(str(tmp_path))
+        assert set(c2.tables) == {"l", "r"}
+        np.testing.assert_array_equal(c2.sql(q), expect)
+
+    def test_float_columns_roundtrip(self, tmp_path):
+        c = Context()
+        c.create_table("f", pd.DataFrame({"x": [1.5, 2.5], "i": [1, 2]}))
+        c.save(str(tmp_path))
+        c2 = Context()
+        c2.load(str(tmp_path))
+        out = c2.sql("select x, i from f")
+        np.testing.assert_allclose(out, [[1.5, 1.0], [2.5, 2.0]])
