@@ -1,12 +1,19 @@
 """Benchmark harness — run on the real TPU chip.
 
 Measures per-operator throughput (rows/s/chip) on synthetic numeric tables for
-the operator set in BASELINE.json: predicate filter (WHERE), hash aggregate
+the operator set in BASELINE.json: predicate filter (WHERE), aggregate
 (GROUP BY), inner join, and sort (ORDER BY), plus the full scan→filter→
 group→sort mix. Prints ONE JSON line to stdout:
 
     {"metric": "query_mix_rows_per_s", "value": N, "unit": "rows/s",
      "vs_baseline": R}
+
+Timing methodology (important on this platform): ``jax.block_until_ready``
+does NOT actually synchronize on the axon/tunnel TPU backend — it returns in
+~0.2 ms for multi-hundred-ms computations. Every benchmarked jit therefore
+returns a small scalar checksum of its outputs, each iteration perturbs the
+input (defeating any caching), and the measured wall time has the separately
+measured dispatch round-trip (RTT) subtracted.
 
 The reference publishes no numbers (BASELINE.md: "published: {}"), so
 ``vs_baseline`` is reported against the north-star target of 70% of the
@@ -14,7 +21,7 @@ HBM-bandwidth roofline for the mix (>1.0 means the target is beaten).
 Per-operator detail goes to stderr.
 
 Env knobs: HARKDB_BENCH_ROWS (default 2**26), HARKDB_BENCH_HBM_GBPS
-(default 800, the assumed per-chip HBM bandwidth for the roofline).
+(default 800 — TPU v5e class).
 """
 
 from __future__ import annotations
@@ -31,18 +38,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(fn, *args, warmup=2, iters=5):
-    import jax
+def _checksum(batch):
+    """Tiny scalar that depends on every output column (forces execution)."""
+    import jax.numpy as jnp
 
-    for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    return dt, out
+    acc = jnp.int32(0)
+    for col in batch.columns.values():
+        acc = acc + jnp.sum(col[:: max(1, col.shape[0] // 4096)]).astype(
+            jnp.int32
+        )
+    return acc + batch.n_valid
 
 
 def main():
@@ -58,76 +63,100 @@ def main():
     n = int(os.environ.get("HARKDB_BENCH_ROWS", 1 << 26))
     hbm_gbps = float(os.environ.get("HARKDB_BENCH_HBM_GBPS", 800.0))
     n_keys = 1 << 20
+    iters = int(os.environ.get("HARKDB_BENCH_ITERS", 3))
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}, "
         f"rows={n:,}")
 
     key = jax.random.randint(jax.random.key(0), (n,), 0, n_keys, jnp.int32)
     val = jax.random.randint(jax.random.key(1), (n,), -1000, 1000, jnp.int32)
-    jax.block_until_ready((key, val))
+    _ = int(jnp.sum(key) + jnp.sum(val))          # materialize (real sync)
     nv = jnp.int32(n)
+
+    # Dispatch RTT baseline: tiny jit + scalar readback.
+    tiny = jnp.arange(8, dtype=jnp.int32)
+
+    @jax.jit
+    def f_rtt(t, i):
+        return jnp.sum(t) + i
+
+    _ = int(f_rtt(tiny, 0))
+    t0 = time.perf_counter()
+    for i in range(1, 6):
+        _ = int(f_rtt(tiny, i))
+    rtt = (time.perf_counter() - t0) / 5
+    log(f"dispatch RTT: {rtt*1e3:.1f} ms (subtracted from all timings)")
+
+    def sync_time(fn, *args):
+        """fn(i, *args) -> scalar checksum; returns seconds per iter - RTT."""
+        _ = int(fn(0, *args))                      # warmup/compile
+        t0 = time.perf_counter()
+        for i in range(1, iters + 1):
+            _ = int(fn(i, *args))
+        dt = (time.perf_counter() - t0) / iters - rtt
+        return max(dt, 1e-9)
 
     results = {}
 
+    def report(name, dt):
+        results[name] = n / dt
+        log(f"{name:8s} {n / dt / 1e9:.3f} Grows/s  ({dt*1e3:.1f} ms)")
+
     # -- filter: WHERE v > 0 (≈50% selectivity) -------------------------------
     @jax.jit
-    def run_filter(k, v, nv):
-        b = ColumnBatch({"k": k, "v": v}, nv)
-        return compact_batch(b, v > 0)
+    def run_filter(i, k, v, nv):
+        b = ColumnBatch({"k": k, "v": v + i}, nv)
+        return _checksum(compact_batch(b, b.column("v") > 0))
 
-    dt, out = timeit(run_filter, key, val, nv)
-    results["filter"] = n / dt
-    log(f"filter:  {n / dt / 1e9:.3f} Grows/s  ({dt*1e3:.1f} ms)")
+    report("filter", sync_time(run_filter, key, val, nv))
 
     # -- groupby: sum/max/count over 1M keys ----------------------------------
     @jax.jit
-    def run_groupby(k, v, nv):
-        b = ColumnBatch({"k": k, "v": v}, nv)
-        return groupby_batch(
+    def run_groupby(i, k, v, nv):
+        b = ColumnBatch({"k": k + i - i, "v": v + i}, nv)
+        return _checksum(groupby_batch(
             b, "k", [("v", "sum", "s"), ("v", "max", "m"), ("v", "count", "c")]
-        )
+        ))
 
-    dt, _ = timeit(run_groupby, key, val, nv, iters=3)
-    results["groupby"] = n / dt
-    log(f"groupby: {n / dt / 1e9:.3f} Grows/s  ({dt*1e3:.1f} ms)")
+    report("groupby", sync_time(run_groupby, key, val, nv))
 
     # -- sort: ORDER BY k -----------------------------------------------------
     @jax.jit
-    def run_sort(k, v, nv):
-        b = ColumnBatch({"k": k, "v": v}, nv)
-        return sort_batch(b, ["k"])
+    def run_sort(i, k, v, nv):
+        b = ColumnBatch({"k": k + i, "v": v}, nv)
+        return _checksum(sort_batch(b, ["k"]))
 
-    dt, _ = timeit(run_sort, key, val, nv, iters=3)
-    results["sort"] = n / dt
-    log(f"sort:    {n / dt / 1e9:.3f} Grows/s  ({dt*1e3:.1f} ms)")
+    report("sort", sync_time(run_sort, key, val, nv))
 
     # -- join: probe n rows against 1M-row build side -------------------------
     m = n_keys
     rkey = jax.random.permutation(jax.random.key(2), m).astype(jnp.int32)
-    jax.block_until_ready(rkey)
+    _ = int(jnp.sum(rkey))
 
     @jax.jit
-    def run_join(lk, rk, nl, nm):
-        return inner_join_indices(lk, nl, rk, nm, out_capacity=lk.shape[0])
+    def run_join(i, lk, rk, nl, nm):
+        l_idx, r_idx, total = inner_join_indices(
+            lk + i - i, nl, rk, nm, out_capacity=lk.shape[0]
+        )
+        stride = max(1, l_idx.shape[0] // 4096)
+        return (jnp.sum(l_idx[::stride]) + jnp.sum(r_idx[::stride])
+                + total).astype(jnp.int32)
 
-    dt, _ = timeit(run_join, key, rkey, nv, jnp.int32(m), iters=3)
-    results["join"] = n / dt
-    log(f"join:    {n / dt / 1e9:.3f} Grows/s  ({dt*1e3:.1f} ms)")
+    report("join", sync_time(run_join, key, rkey, nv, jnp.int32(m)))
 
     # -- full mix: filter → groupby → sort ------------------------------------
     @jax.jit
-    def run_mix(k, v, nv):
-        b = ColumnBatch({"k": k, "v": v}, nv)
-        f = compact_batch(b, v > 0)
+    def run_mix(i, k, v, nv):
+        b = ColumnBatch({"k": k, "v": v + i}, nv)
+        f = compact_batch(b, b.column("v") > 0)
         g = groupby_batch(
             f, "k", [("v", "sum", "s"), ("v", "max", "m"), ("v", "count", "c")]
         )
-        return sort_batch(g, ["s"], descending=[True])
+        return _checksum(sort_batch(g, ["s"], descending=[True]))
 
-    dt, _ = timeit(run_mix, key, val, nv, iters=3)
+    dt = sync_time(run_mix, key, val, nv)
+    report("mix", dt)
     mix_rows_per_s = n / dt
-    results["mix"] = mix_rows_per_s
-    log(f"mix:     {mix_rows_per_s / 1e9:.3f} Grows/s  ({dt*1e3:.1f} ms)")
 
     # Roofline target for the mix: every row is read+written across the three
     # stages ~6 times at 8 B/row (2 int32 cols) ≈ 48 B of HBM traffic/row.

@@ -6,32 +6,52 @@ select-list order. (The reference's radix sort compares u32 bit patterns; we
 order signed-ascending, identical for the non-negative keys the reference's
 homogeneous-int tables use, and strictly more sensible for negatives.)
 
-Algorithm (XLA path): stable sort rows by key (pads last) → boundary flags →
-one fused segmented-reduce per aggregate — O(n log n) depth but fully
-vectorized; the reference instead runs 32 sequential single-bit radix passes
-(``groupby.fut:22``). A VMEM hash-aggregate Pallas kernel covers the
-low-cardinality fast path (see ``harkdb_tpu.kernels.hashagg``).
+TPU-first algorithm, shaped by v5e microbenchmarks (each random scatter or
+gather at 16M rows costs ~145 ms while a stable sort carrying six payload
+operands costs ~40 ms):
 
-Aggregate set: the reference's {prod, sum, max, min} opcodes (``parse.py:81``)
-plus count/avg as planner-level extensions.
+  1. ONE stable ``lax.sort`` on the key(s) carrying every aggregate input
+     column as payload — no per-column permutation gathers;
+  2. boundary flags → sorted segment ids (cumsum);
+  3. aggregates batched per (op, dtype) into a single 2-D
+     ``jax.ops.segment_{sum,max,min,prod}`` call — one scatter-reduction pass
+     per op class instead of one per aggregate column.
+
+The reference instead runs 32 sequential single-bit radix passes
+(``groupby.fut:22``) and one segmented reduce per column.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 from harkdb_tpu.columnar.batch import ColumnBatch
-from harkdb_tpu.ops.sort import sort_permutation
-from harkdb_tpu.prims.segmented import segmented_reduce
+from harkdb_tpu.ops.sort import _pad_to_max
 
 Array = jax.Array
 
+AGG_FUNCS: Dict[str, Callable] = {
+    "sum": jnp.add,
+    "prod": jnp.multiply,
+    "max": jnp.maximum,
+    "min": jnp.minimum,
+    "count": jnp.add,
+}
+
+_SEGMENT_FN = {
+    "sum": jax.ops.segment_sum,
+    "count": jax.ops.segment_sum,
+    "prod": jax.ops.segment_prod,
+    "max": jax.ops.segment_max,
+    "min": jax.ops.segment_min,
+}
+
 
 def _neutral(op_name: str, dtype) -> jax.Array:
-    if op_name == "sum" or op_name == "count":
+    if op_name in ("sum", "count"):
         return jnp.array(0, dtype)
     if op_name == "prod":
         return jnp.array(1, dtype)
@@ -41,15 +61,6 @@ def _neutral(op_name: str, dtype) -> jax.Array:
     if op_name == "min":
         return jnp.array(info.max, dtype)
     raise ValueError(f"Unknown aggregate {op_name!r}")
-
-
-AGG_FUNCS: Dict[str, Callable] = {
-    "sum": jnp.add,
-    "prod": jnp.multiply,
-    "max": jnp.maximum,
-    "min": jnp.minimum,
-    "count": jnp.add,
-}
 
 
 def groupby_aggregate(
@@ -66,39 +77,72 @@ def groupby_aggregate(
     """
     if not isinstance(keys, (list, tuple)):
         keys = [keys]
-    perm, sorted_keys = sort_permutation(list(keys), n_valid)
-
+    keys = list(keys)
     n = keys[0].shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < n_valid
+
+    # One sort: keys first (pads → dtype max, so they land at the back), all
+    # aggregate inputs as carried payload.
+    eff_keys = [_pad_to_max(k, n_valid) for k in keys]
+    payload = [col for col, op in agg_cols if op != "count"]
+    sorted_all = jax.lax.sort(
+        eff_keys + payload, num_keys=len(eff_keys), is_stable=True
+    )
+    sorted_keys = sorted_all[: len(eff_keys)]
+    sorted_payload = list(sorted_all[len(eff_keys):])
+
     # Segment starts: first live row, or any key change between adjacent rows.
     changed = jnp.zeros((n,), jnp.bool_)
     for skey in sorted_keys:
         prev = jnp.concatenate([skey[:1], skey[:-1]])
         changed = changed | (skey != prev)
-    flags = valid & ((idx == 0) | changed)
+    flags = (valid & ((idx == 0) | changed)).astype(jnp.int32)
+    seg_ids = jnp.cumsum(flags) - 1
+    n_groups = jnp.where(
+        n_valid > 0, seg_ids[jnp.maximum(n_valid - 1, 0)] + 1, 0
+    ).astype(jnp.int32)
+    target = jnp.where(valid, seg_ids, n)            # padding → dropped
 
-    outs: List[Array] = []
-    n_groups = jnp.int32(0)
-    for col, op_name in agg_cols:
-        op = AGG_FUNCS[op_name]
-        if op_name == "count":
-            vals = jnp.ones((n,), jnp.int32)
+    # Batch aggregates per (op-class, dtype): one 2-D segment op per class.
+    ones = jnp.ones((n,), jnp.int32)
+    inputs: List[Array] = []
+    pay_i = 0
+    for col, op in agg_cols:
+        if op == "count":
+            inputs.append(ones)
         else:
-            vals = col[perm]
-        ne = _neutral(op_name, vals.dtype)
-        out, n_groups = segmented_reduce(op, ne, flags, vals, n_valid=n_valid)
-        outs.append(out)
+            inputs.append(sorted_payload[pay_i])
+            pay_i += 1
 
-    # Each group's key = segmented min of the (constant-within-segment) sorted
-    # key. (For keys the sort transformed — pads to dtype max — min of the live
-    # values is exact; sorted_keys has pads already replaced.)
-    keys_out = []
-    for skey in sorted_keys:
-        k_out, n_groups = segmented_reduce(
-            jnp.minimum, _neutral("min", skey.dtype), flags, skey, n_valid=n_valid
+    groups: Dict[Tuple[str, str], List[int]] = {}
+    for i, (_c, op) in enumerate(agg_cols):
+        seg_kind = "sum" if op == "count" else op
+        groups.setdefault((seg_kind, str(inputs[i].dtype)), []).append(i)
+
+    outs: List[Array] = [None] * len(agg_cols)       # type: ignore[list-item]
+    for (seg_kind, _dt), idxs in groups.items():
+        data = jnp.stack([inputs[i] for i in idxs], axis=1)   # (n, k)
+        red = _SEGMENT_FN[seg_kind](
+            data, target, num_segments=n, indices_are_sorted=True
         )
-        keys_out.append(k_out)
+        live_out = idx < n_groups
+        for j, i in enumerate(idxs):
+            op = agg_cols[i][1]
+            ne = _neutral(op, red.dtype)
+            outs[i] = jnp.where(live_out, red[:, j], ne).astype(inputs[i].dtype)
+
+    # Group keys: the sorted key value at each segment start, scattered to the
+    # group slot (one scatter for all keys via 2-D stack).
+    kdata = jnp.stack(sorted_keys, axis=1)           # (n, nk)
+    kred = jax.ops.segment_min(
+        kdata, target, num_segments=n, indices_are_sorted=True
+    )
+    live_out = idx < n_groups
+    keys_out = [
+        jnp.where(live_out, kred[:, j], 0).astype(keys[j].dtype)
+        for j in range(len(keys))
+    ]
     return keys_out, outs, n_groups
 
 

@@ -1,24 +1,30 @@
-"""Inner equi-join (reference semantics: ``join.fut:52-75``, never exported).
+"""Equi-join (reference semantics: ``join.fut:52-75``, never exported there).
 
 Reference ordering contract (SURVEY §3.5): output sorted ascending by key;
 within a key, left rows in original order, each paired with every matching
 right row in original order; output columns = [left cols | right cols]
-(``join.fut:74-75``). Keys present on one side only emit nothing (inner join).
+(``join.fut:74-75``). Keys present on one side only emit nothing (inner join);
+LEFT JOIN keeps unmatched left rows with zero-filled right columns.
 
-TPU-first algorithm — no per-key sequential loop (the reference's biggest
-algorithmic weakness, ``join.fut:67-68``):
+TPU-first algorithm, shaped by v5e microbenchmarks: ``searchsorted`` is
+catastrophic on TPU (binary search = a chain of dependent gathers; 3 s for a
+16M probe into 1M keys, vs ~40 ms for a payload-carrying sort). So instead of
+sort+binary-search, both sides are concatenated and sorted ONCE by
+(key, side) with side ordering rights before lefts within each key run — the
+reference's tag-and-sort idea (``join.fut:55-58``) vectorized:
 
-  1. stable-sort both sides by key (pads → dtype max, trailing);
-  2. ``searchsorted`` of left keys into the sorted right keys gives each left
-     row its contiguous right match range [lo, hi) — O((n+m) log m), fully
-     vectorized;
-  3. counts = hi - lo; total = sum(counts) (the exact output size, used by the
-     planner to pick a bucketed static capacity);
-  4. ``expand`` (replicated/segmented iota) materializes the pair indices.
+  * rights-per-run seen at a left row   = segmented count of rights (cumsum
+    difference), which for rights-first ordering equals that key's full right
+    count — the match count;
+  * global rights before the run        = cumsum(rights) - in-run count — the
+    match start offset ``lo`` in sorted-right coordinates;
+  * pair materialization                = replicated/segmented iota expansion
+    (``expand``), exactly as before.
 
-Static shapes: the pair-materialization step takes ``out_capacity`` decided by
-the planner from the count phase (count-then-materialize, SURVEY §7 hard
-part 1).
+No sequential per-key loop (the reference's biggest algorithmic weakness,
+``join.fut:67-68``) and no binary search. Static shapes: materialization takes
+``out_capacity`` decided by the planner from the count phase
+(count-then-materialize, SURVEY §7 hard part 1).
 """
 
 from __future__ import annotations
@@ -29,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from harkdb_tpu.columnar.batch import ColumnBatch
-from harkdb_tpu.ops.sort import sort_permutation
+from harkdb_tpu.ops.sort import _pad_to_max
 from harkdb_tpu.prims.segmented import replicated_iota, segmented_iota
 
 Array = jax.Array
@@ -38,23 +44,74 @@ Array = jax.Array
 def _match_ranges(
     l_key: Array, n_l: Array, r_key: Array, n_r: Array
 ) -> Tuple[Array, Array, Array, Array, Array]:
-    """Per-left-row right-side match ranges on the sorted views.
+    """Per-left-row right-side match ranges, all via one concat sort.
 
-    Returns (l_perm, r_perm, lo, counts, total).
+    Returns ``(l_perm, r_perm, lo, counts, total)``:
+      * ``l_perm[i]``  — original left row at sorted-left position i;
+      * ``r_perm[j]``  — original right row at sorted-right position j;
+      * ``lo[i]``      — first matching sorted-right position for sorted-left
+        row i; ``counts[i]`` matches follow contiguously;
+      * ``total``      — total number of inner-join pairs.
     """
-    l_perm, (l_sorted,) = sort_permutation([l_key], n_l)
-    r_perm, (r_sorted,) = sort_permutation([r_key], n_r)
+    nl, nr = l_key.shape[0], r_key.shape[0]
+    n = nl + nr
+    # Pads → dtype max so they cluster at the back; side key orders rights
+    # (0) before lefts (1) within a key run, and pads of both sides last.
+    lk = _pad_to_max(l_key, n_l)
+    rk = _pad_to_max(r_key, n_r)
+    l_idx = jnp.arange(nl, dtype=jnp.int32)
+    r_idx = jnp.arange(nr, dtype=jnp.int32)
+    l_pad = (l_idx >= n_l).astype(jnp.int32)
+    r_pad = (r_idx >= n_r).astype(jnp.int32)
 
-    lo = jnp.searchsorted(r_sorted, l_sorted, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(r_sorted, l_sorted, side="right").astype(jnp.int32)
-    # Padding rows on the right carry dtype-max keys: a *real* dtype-max left
-    # key would see them in its [lo, hi) range — clamp to the live region.
-    lo = jnp.minimum(lo, n_r)
-    hi = jnp.minimum(hi, n_r)
+    keys = jnp.concatenate([lk, rk])
+    # side: 0 = live right, 1 = live left, 2 = padding (either side).
+    side = jnp.concatenate([1 + l_pad, r_pad * 2])
+    orig = jnp.concatenate([l_idx, r_idx])
 
-    n = l_key.shape[0]
-    l_valid = jnp.arange(n, dtype=jnp.int32) < n_l
-    counts = jnp.where(l_valid, hi - lo, 0)
+    skey, sside, sorig = jax.lax.sort(
+        [keys, side, orig], num_keys=2, is_stable=True
+    )
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_right = (sside == 0).astype(jnp.int32)
+    is_left = sside == 1
+
+    # Key-run starts; within-run inclusive right count via cumsum difference.
+    prev = jnp.concatenate([skey[:1], skey[:-1]])
+    run_start = (pos == 0) | (skey != prev)
+    r_cum = jnp.cumsum(is_right)                       # inclusive rights so far
+    # Base = rights before this run: scatter r_cum_exclusive at run starts,
+    # then forward-fill via cummax of (marked base + 1).
+    run_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1
+    r_excl = r_cum - is_right
+    base_marks = (
+        jnp.zeros((n,), jnp.int32)
+        .at[jnp.where(run_start, run_id, n)]
+        .set(r_excl, mode="drop")
+    )
+    base = base_marks[run_id]                          # rights before my run
+    rights_in_run_so_far = r_cum - base                # incl. me if right
+
+    # For a LEFT row, every right of its run precedes it → its match count is
+    # rights_in_run_so_far and its lo is base.
+    counts_sorted = jnp.where(is_left, rights_in_run_so_far, 0)
+    lo_sorted = base
+
+    # Split back into sorted-left / sorted-right coordinate arrays with ONE
+    # payload-carrying sort each (cheap) instead of per-array gathers.
+    not_left = jnp.logical_not(is_left).astype(jnp.int32)
+    ol, cl, ll = jax.lax.sort(
+        [not_left, sorig, counts_sorted, lo_sorted], num_keys=1,
+        is_stable=True,
+    )[1:]
+    l_perm, counts, lo = ol[:nl], cl[:nl], ll[:nl]
+
+    not_right = (1 - is_right).astype(jnp.int32)
+    r_perm = jax.lax.sort(
+        [not_right, sorig], num_keys=1, is_stable=True
+    )[1][:nr]
+
     total = jnp.sum(counts).astype(jnp.int32)
     return l_perm, r_perm, lo, counts, total
 
@@ -120,11 +177,11 @@ def join_indices(
     local = segmented_iota(starts)
 
     matched = live & (local < counts[safe_seg])
-    l_idx = jnp.where(live, l_perm[safe_seg], 0)
+    l_out = jnp.where(live, l_perm[safe_seg], 0)
     r_pos = jnp.where(matched, lo[safe_seg] + local, 0)
-    r_idx = r_perm[jnp.minimum(r_pos, r_perm.shape[0] - 1)]
-    r_idx = jnp.where(matched, r_idx, 0)
-    return l_idx, r_idx, matched, total
+    r_out = r_perm[jnp.minimum(r_pos, r_perm.shape[0] - 1)]
+    r_out = jnp.where(matched, r_out, 0)
+    return l_out, r_out, matched, total
 
 
 def inner_join_indices(

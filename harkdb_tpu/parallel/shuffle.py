@@ -28,8 +28,6 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from harkdb_tpu.ops.sort import sort_permutation
-from harkdb_tpu.prims.compaction import compact_indices
 from harkdb_tpu.prims.segmented import segmented_iota
 
 Array = jax.Array
@@ -72,9 +70,14 @@ def bucketize(
     )[:n_buckets].astype(jnp.int32)
     overflowed = jnp.any(counts > bucket_cap)
 
-    # Stable sort rows by destination; position within run = local slot.
-    perm, _ = sort_permutation([dest], n_valid)
-    sdest = dest[perm]
+    # Stable sort rows by destination, carrying every column as payload (one
+    # sort instead of a per-column permutation gather — see ops/groupby.py for
+    # the measured rationale); position within run = local slot.
+    names = list(cols.keys())
+    sorted_all = jax.lax.sort(
+        [dest] + [cols[c] for c in names], num_keys=1, is_stable=True
+    )
+    sdest = sorted_all[0]
     starts = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), sdest[1:] != sdest[:-1]]
     )
@@ -86,12 +89,11 @@ def bucketize(
         n_buckets * bucket_cap,                   # dropped
     )
     buffers = {}
-    for name, col in cols.items():
-        vals = col[perm]
-        buf = jnp.zeros((n_buckets * bucket_cap,), col.dtype)
-        buffers[name] = buf.at[target].set(vals, mode="drop").reshape(
-            n_buckets, bucket_cap
-        )
+    for name, vals in zip(names, sorted_all[1:]):
+        buf = jnp.zeros((n_buckets * bucket_cap,), vals.dtype)
+        buffers[name] = buf.at[target].set(
+            vals, mode="drop", unique_indices=True
+        ).reshape(n_buckets, bucket_cap)
     return buffers, counts, overflowed
 
 
@@ -122,10 +124,17 @@ def compact_received(
     D, C = first.shape
     slot_idx = jax.lax.broadcasted_iota(jnp.int32, (D, C), 1)
     mask = (slot_idx < recv_counts[:, None]).reshape(-1)
-    indices, total = compact_indices(mask)
+    total = jnp.sum(mask).astype(jnp.int32)
+    # Sort-carry compaction (one stable sort, no per-column gathers).
+    names = list(recv.keys())
+    dropped = jnp.logical_not(mask).astype(jnp.int32)
+    out = jax.lax.sort(
+        [dropped] + [recv[c].reshape(-1) for c in names],
+        num_keys=1, is_stable=True,
+    )
+    live = jnp.arange(D * C, dtype=jnp.int32) < total
     cols = {
-        name: buf.reshape(-1).at[indices].get(mode="fill", fill_value=0)
-        for name, buf in recv.items()
+        name: jnp.where(live, col, 0) for name, col in zip(names, out[1:])
     }
     return cols, total
 

