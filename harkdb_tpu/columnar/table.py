@@ -78,6 +78,19 @@ class Table:
         """Unpadded host copies (used for mesh resharding and native IO)."""
         return self._host_cols
 
+    def column_range(self, name: str):
+        """(min, max) of an integer column, cached — drives the planner's
+        MXU matmul-aggregation gate. None for float/empty columns."""
+        if not hasattr(self, "_ranges"):
+            self._ranges = {}
+        if name not in self._ranges:
+            a = self._host_cols[name]
+            if a.size == 0 or not np.issubdtype(a.dtype, np.integer):
+                self._ranges[name] = None
+            else:
+                self._ranges[name] = (int(a.min()), int(a.max()))
+        return self._ranges[name]
+
     @property
     def sharding(self):
         return self._sharding

@@ -319,6 +319,47 @@ class QueryPlan:
         self.limit = stmt.limit
         self.output_names = [name for _, name in items]
 
+        # MXU fast path (kernels/matmul_agg.py): single direct-column int key
+        # with a small span, aggregates all sum/count over direct int columns.
+        # The span is computed from full-table stats — a safe superset of any
+        # post-WHERE range.
+        self.fast_agg = None
+        if (
+            self.config.use_pallas
+            and self.grouped
+            and len(self.group_keys) == 1
+            and self.agg_specs
+            and not self.agg_arg_cols
+            and all(op in ("sum", "count") for _s, op, _o in self.agg_specs)
+        ):
+            key_internal = self.group_keys[0]
+            b, col = key_internal.split(".", 1)
+            tname = next(t for bb, t, _ in bindings if bb == b)
+            # Only when the key comes straight off a base table (no join
+            # renames lose this linkage) and every summed column is int.
+            if not self.join_steps:
+                rng = tables[tname].column_range(col)
+                def _int_src(src, op):
+                    if op == "count":
+                        return True          # count ignores values (no NULLs)
+                    if "." not in src:
+                        return False
+                    a = tables[tname].host_columns.get(src.split(".", 1)[1])
+                    return a is not None and np.issubdtype(a.dtype, np.integer)
+
+                int_srcs = all(
+                    _int_src(src, op) for src, op, _out in self.agg_specs
+                )
+                if rng is not None and int_srcs:
+                    from harkdb_tpu.kernels.matmul_agg import (
+                        KEY_TILE, MAX_KEY_SPAN,
+                    )
+
+                    span = rng[1] - rng[0] + 1
+                    if span <= MAX_KEY_SPAN:
+                        span_p = -(-span // KEY_TILE) * KEY_TILE
+                        self.fast_agg = (key_internal, rng[0], span_p)
+
         self._phase_b = jax.jit(self._phase_b_impl)
 
     # -- execution ------------------------------------------------------------
@@ -356,7 +397,35 @@ class QueryPlan:
             mask = eval_expr(self.where, batch.columns, cap).astype(jnp.bool_)
             batch = compact_batch(batch, mask)
 
-        # GROUP BY + aggregates
+        # GROUP BY + aggregates — MXU one-hot matmul fast path when the
+        # planner proved eligibility (small dense int key, sum/count only).
+        if self.grouped and self.fast_agg is not None:
+            import jax as _jax
+
+            from harkdb_tpu.kernels.matmul_agg import onehot_groupby_sums
+
+            key_name, key_min, span = self.fast_agg
+            sum_srcs = list(dict.fromkeys(
+                src for src, op, _ in self.agg_specs if op == "sum"
+            ))
+            counts_k, sums_k, keys_axis = onehot_groupby_sums(
+                batch.column(key_name),
+                [batch.column(s) for s in sum_srcs],
+                batch.n_valid,
+                jnp.int32(key_min),
+                span,
+                interpret=_jax.default_backend() != "tpu",
+            )
+            sums_by_src = dict(zip(sum_srcs, sums_k))
+            gcols = {key_name: keys_axis}
+            for src, op, out_name in self.agg_specs:
+                gcols[out_name] = (
+                    counts_k if op == "count" else sums_by_src[src]
+                )
+            dense = ColumnBatch(gcols, jnp.int32(span))
+            batch = compact_batch(dense, counts_k > 0)
+            return self.run_tail(batch)
+
         if self.grouped:
             cols = dict(batch.columns)
             for internal, expr in self.agg_arg_cols:
