@@ -317,6 +317,21 @@ class QueryPlan:
             (_substitute_aggs(e, agg_map), d) for e, d in order_items
         ]
         self.limit = stmt.limit
+        self.distinct = stmt.distinct
+        if self.distinct:
+            # With DISTINCT the row set changes before ORDER BY, so order
+            # keys must be select-list expressions (standard SQL rule).
+            self.order_out_idx = []
+            for e, _d in self.order_items:
+                matches = [
+                    j for j, (fe, _n) in enumerate(self.final_items) if fe == e
+                ]
+                if not matches:
+                    raise PlanError(
+                        "ORDER BY expressions must appear in the select list "
+                        "when SELECT DISTINCT is used"
+                    )
+                self.order_out_idx.append(matches[0])
         self.output_names = [name for _, name in items]
 
         # MXU fast path (kernels/matmul_agg.py): single direct-column int key
@@ -470,14 +485,41 @@ class QueryPlan:
             out_cols[f"#out{i}"] = eval_expr(expr, cols, batch.capacity)
         out = ColumnBatch(out_cols, batch.n_valid)
 
-        # ORDER BY (keys may reference non-selected columns).
+        # DISTINCT: lexicographic sort of the output tuple (pads last), then
+        # keep first of each run. Output ordering is by the full row tuple
+        # (standard engines leave DISTINCT order unspecified).
+        if self.distinct:
+            names = out.names
+            cap2 = out.capacity
+            idx2 = jnp.arange(cap2, dtype=jnp.int32)
+            is_pad = (idx2 >= out.n_valid).astype(jnp.int32)
+            sorted_all = jax.lax.sort(
+                [is_pad] + [out.columns[c] for c in names],
+                num_keys=1 + len(names), is_stable=True,
+            )[1:]
+            changed = jnp.zeros((cap2,), jnp.bool_)
+            for col in sorted_all:
+                prev = jnp.concatenate([col[:1], col[:-1]])
+                changed = changed | (col != prev)
+            keep = ((idx2 == 0) | changed) & (idx2 < out.n_valid)
+            out = compact_batch(
+                ColumnBatch(dict(zip(names, sorted_all)), out.n_valid), keep
+            )
+
+        # ORDER BY (keys may reference non-selected columns; with DISTINCT
+        # they are select-list outputs).
         if self.order_items:
             key_arrays = []
             desc = []
-            for expr, d in self.order_items:
-                key_arrays.append(eval_expr(expr, cols, batch.capacity))
-                desc.append(d)
-            perm, _ = sort_permutation(key_arrays, batch.n_valid, desc)
+            if self.distinct:
+                for j, (_e, d) in zip(self.order_out_idx, self.order_items):
+                    key_arrays.append(out.columns[f"#out{j}"])
+                    desc.append(d)
+            else:
+                for expr, d in self.order_items:
+                    key_arrays.append(eval_expr(expr, cols, batch.capacity))
+                    desc.append(d)
+            perm, _ = sort_permutation(key_arrays, out.n_valid, desc)
             out = ColumnBatch(
                 {n: c[perm] for n, c in out.columns.items()}, out.n_valid
             )

@@ -97,6 +97,7 @@ class SelectStmt:
     having: Optional[Expr] = None
     order_by: Tuple[OrderItem, ...] = ()
     limit: Optional[int] = None
+    distinct: bool = False
 
 
 def walk(expr) -> list:

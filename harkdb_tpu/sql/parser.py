@@ -38,7 +38,7 @@ class SqlError(Exception):
 KEYWORDS = {
     "select", "from", "where", "group", "order", "sort", "by", "having",
     "limit", "join", "inner", "left", "right", "outer", "on", "as", "and",
-    "or", "not", "asc", "desc", "distinct",
+    "or", "not", "asc", "desc", "distinct", "in", "between",
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
@@ -133,6 +133,7 @@ class Parser:
     # -- statement ------------------------------------------------------------
     def parse_select(self) -> SelectStmt:
         self.expect_kw("select")
+        distinct = self.eat_kw("distinct")
         items = self.parse_select_list()
         self.expect_kw("from")
         table = self.parse_table_ref()
@@ -172,6 +173,7 @@ class Parser:
         return SelectStmt(
             items=tuple(items), table=table, joins=tuple(joins), where=where,
             group_by=group_by, having=having, order_by=order_by, limit=limit,
+            distinct=distinct,
         )
 
     def parse_select_list(self) -> List[SelectItem]:
@@ -271,6 +273,32 @@ class Parser:
 
     def parse_cmp(self):
         left = self.parse_add()
+        # x [NOT] IN (v, ...)  — desugared to an OR-chain of equalities.
+        negate = False
+        if self.at_kw("not"):
+            nxt = self.tokens[self.i + 1]
+            if nxt.kind == "kw" and nxt.text.lower() in ("in", "between"):
+                self.next()
+                negate = True
+        if self.eat_kw("in"):
+            self.expect_op("(")
+            exprs = [self.parse_expr()]
+            while self.eat_op(","):
+                exprs.append(self.parse_expr())
+            self.expect_op(")")
+            chain = BinOp("=", left, exprs[0])
+            for e in exprs[1:]:
+                chain = BinOp("or", chain, BinOp("=", left, e))
+            return UnOp("not", chain) if negate else chain
+        # x [NOT] BETWEEN lo AND hi — desugared to lo <= x AND x <= hi.
+        if self.eat_kw("between"):
+            lo = self.parse_add()
+            self.expect_kw("and")
+            hi = self.parse_add()
+            rng = BinOp("and", BinOp(">=", left, lo), BinOp("<=", left, hi))
+            return UnOp("not", rng) if negate else rng
+        if negate:
+            raise SqlError("Expected IN or BETWEEN after NOT")
         t = self.peek()
         if t.kind == "op" and t.text in self._CMP:
             op = self._CMP[self.next().text]

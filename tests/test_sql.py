@@ -372,3 +372,61 @@ class TestAPI:
         fc.drop_table("game_1")
         with pytest.raises(Exception, match="is not in tables"):
             fc.sql("select col1 from game_1")
+
+
+class TestDistinctInBetween:
+    def test_distinct(self, ctx_rand):
+        c, df = ctx_rand
+        out = c.sql("select distinct k from t")
+        np.testing.assert_array_equal(out[:, 0], np.unique(df.k))
+
+    def test_distinct_pairs(self, ctx_rand):
+        c, df = ctx_rand
+        df2 = df.assign(k2=df.w % 3)
+        c.create_table("t2", df2)
+        out = c.sql("select distinct k, k2 from t2")
+        e = df2[["k", "k2"]].drop_duplicates().sort_values(
+            ["k", "k2"]).to_numpy()
+        np.testing.assert_array_equal(out, e)
+
+    def test_distinct_order_desc(self, ctx_rand):
+        c, df = ctx_rand
+        out = c.sql("select distinct k from t order by k desc limit 3")
+        np.testing.assert_array_equal(out[:, 0], np.unique(df.k)[::-1][:3])
+
+    def test_distinct_order_requires_selected(self, ctx_rand):
+        c, _ = ctx_rand
+        with pytest.raises(Exception, match="must appear in the select list"):
+            c.sql("select distinct k from t order by v")
+
+    def test_in_list(self, ctx_rand):
+        c, df = ctx_rand
+        out = c.sql("select v from t where k in (2, 5, 7)")
+        e = df[df.k.isin([2, 5, 7])].v.to_numpy()[:, None]
+        np.testing.assert_array_equal(out, e)
+
+    def test_not_in(self, ctx_rand):
+        c, df = ctx_rand
+        out = c.sql("select v from t where k not in (0, 1, 2, 3, 4)")
+        e = df[~df.k.isin([0, 1, 2, 3, 4])].v.to_numpy()[:, None]
+        np.testing.assert_array_equal(out, e)
+
+    def test_between(self, ctx_rand):
+        c, df = ctx_rand
+        out = c.sql("select v from t where v between -10 and 10")
+        e = df[(df.v >= -10) & (df.v <= 10)].v.to_numpy()[:, None]
+        np.testing.assert_array_equal(out, e)
+
+    def test_not_between(self, ctx_rand):
+        c, df = ctx_rand
+        out = c.sql("select v from t where v not between -50 and 50")
+        e = df[(df.v < -50) | (df.v > 50)].v.to_numpy()[:, None]
+        np.testing.assert_array_equal(out, e)
+
+    def test_between_in_compound(self, ctx_rand):
+        c, df = ctx_rand
+        out = c.sql(
+            "select v from t where v between 0 and 50 and k in (1, 2)"
+        )
+        e = df[(df.v >= 0) & (df.v <= 50) & df.k.isin([1, 2])]
+        np.testing.assert_array_equal(out, e.v.to_numpy()[:, None])
