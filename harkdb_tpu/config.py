@@ -59,6 +59,8 @@ class EngineConfig:
     # sampled partition trigger salted repartitioning with `skew_salt` splits.
     skew_threshold: float = 0.25
     skew_salt: int = 8
+    # Salted repartitioning for distributed joins (parallel/skew.py).
+    skew_salted_join: bool = True
 
     # ---- observability ------------------------------------------------------
     collect_metrics: bool = True

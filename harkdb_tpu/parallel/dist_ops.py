@@ -211,16 +211,47 @@ def dist_join(
     """
     axis = config.mesh_axis
     D = mesh.devices.size
+    salted = config.skew_salted_join and D > 1
 
     # ---- stage 1: co-partition + count --------------------------------------
-    def make_stage1(l_cap: int, r_cap: int):
+    # With skew salting (parallel/skew.py): probe-side heavy hitters are
+    # detected locally, gathered into a replicated hot set, probe rows of hot
+    # keys spread round-robin over all shards, and build rows of hot keys
+    # replicated D-fold so every salted shard can probe them.
+    def make_stage1(l_cap: int, r_cap: int, r_exp_cap: int):
         def body(l_cols, l_cnt, r_cols, r_cnt):
-            ls, ln, lof = repartition_by_key(
-                dict(l_cols), l_key, l_cnt[0], axis, D, l_cap
-            )
-            rs, rn, rof = repartition_by_key(
-                dict(r_cols), r_key, r_cnt[0], axis, D, r_cap
-            )
+            l_cols, r_cols = dict(l_cols), dict(r_cols)
+            if salted:
+                from harkdb_tpu.parallel.skew import (
+                    detect_hot_keys, is_member, replicate_hot_build,
+                    salted_probe_dest,
+                )
+                from harkdb_tpu.parallel.shuffle import repartition_with_dest
+
+                H, HV = detect_hot_keys(
+                    l_cols[l_key], l_cnt[0], D, config.skew_threshold, axis
+                )
+                l_hot = is_member(l_cols[l_key], H, HV)
+                sid = jax.lax.axis_index(axis).astype(jnp.int32)
+                l_dest = salted_probe_dest(l_cols[l_key], l_hot, D, sid)
+                ls, ln, lof = repartition_with_dest(
+                    l_cols, l_dest, l_cnt[0], axis, D, l_cap
+                )
+                r_hot = is_member(r_cols[r_key], H, HV)
+                exp_cols, exp_n, r_dest, r_exp_of = replicate_hot_build(
+                    r_cols, r_key, r_cnt[0], r_hot, D, r_exp_cap
+                )
+                rs, rn, rof = repartition_with_dest(
+                    exp_cols, r_dest, exp_n, axis, D, r_cap
+                )
+                rof = rof + jax.lax.psum(r_exp_of, axis)
+            else:
+                ls, ln, lof = repartition_by_key(
+                    l_cols, l_key, l_cnt[0], axis, D, l_cap
+                )
+                rs, rn, rof = repartition_by_key(
+                    r_cols, r_key, r_cnt[0], axis, D, r_cap
+                )
             cnt = join_match_count(ls[l_key], ln, rs[r_key], rn, kind)
             overflow = lof + rof
             return (ls, ln.reshape(1), rs, rn.reshape(1),
@@ -240,17 +271,20 @@ def dist_join(
 
     l_cap = max(128, _next_pow2(-(-left.local_capacity // D)) * 2)
     r_cap = max(128, _next_pow2(-(-right.local_capacity // D)) * 2)
+    r_exp_cap = _next_pow2(right.local_capacity) * 2
+    max_r_cap = _next_pow2(right.local_capacity * D) * 2
     while True:
-        f = make_stage1(l_cap, r_cap)
+        f = make_stage1(l_cap, r_cap, r_exp_cap)
         (l_shuf, l_n, r_shuf, r_n, counts, overflow) = f(
             left.columns, left.shard_counts, right.columns, right.shard_counts
         )
         if int(jnp.max(overflow)) == 0:
             break
-        if l_cap >= left.local_capacity * 2 and r_cap >= right.local_capacity * 2:
+        if l_cap >= left.local_capacity * 2 and r_cap >= max_r_cap:
             raise ShuffleOverflow("join shuffle bucket overflow")
         l_cap = min(l_cap * 2, _next_pow2(left.local_capacity) * 2)
-        r_cap = min(r_cap * 2, _next_pow2(right.local_capacity) * 2)
+        r_cap = min(r_cap * 2, max_r_cap)
+        r_exp_cap = min(r_exp_cap * 2, max_r_cap)
 
     l_part = ShardedBatch(l_shuf, l_n)
     r_part = ShardedBatch(r_shuf, r_n)

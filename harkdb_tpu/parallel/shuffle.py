@@ -158,6 +158,21 @@ def repartition_by_key(
         dest = cols[key_name].astype(jnp.int32)
     else:
         dest = hash_to_bucket(cols[key_name], n_shards, salt)
+    return repartition_with_dest(
+        cols, dest, n_valid, axis_name, n_shards, bucket_cap
+    )
+
+
+def repartition_with_dest(
+    cols: Dict[str, Array],
+    dest: Array,
+    n_valid: Array,
+    axis_name: str,
+    n_shards: int,
+    bucket_cap: int,
+) -> Tuple[Dict[str, Array], Array, Array]:
+    """Shuffle on a precomputed per-row destination (skew-salted routing
+    uses this; see ``harkdb_tpu.parallel.skew``)."""
     buffers, counts, overflowed = bucketize(
         cols, dest, n_valid, n_shards, bucket_cap
     )
