@@ -130,3 +130,17 @@ class Context:
 
     def explain(self, sql_statement: str) -> str:
         return self._plan(sql_statement).explain()
+
+    def profile(self, sql_statement: str,
+                trace_dir: str = "/tmp/harkdb_trace") -> np.ndarray:
+        """Run a query under ``jax.profiler.trace`` (SURVEY §5 tracing slot).
+
+        Writes an XProf/TensorBoard trace with per-operator device timelines
+        to ``trace_dir``; inspect with ``tensorboard --logdir`` or xprof.
+        Returns the query result.
+        """
+        import jax
+
+        with jax.profiler.trace(trace_dir):
+            out = self.sql(sql_statement)
+        return out

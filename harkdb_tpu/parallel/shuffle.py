@@ -32,8 +32,11 @@ from harkdb_tpu.prims.segmented import segmented_iota
 
 Array = jax.Array
 
-# Knuth multiplicative hash constant (2^32 / phi).
-_HASH_MULT = jnp.uint32(2654435761)
+# Knuth multiplicative hash constant (2^32 / phi). Kept as a plain int —
+# a module-level jnp constant would initialize the XLA backend at import
+# time, breaking jax.distributed.initialize (must run before any backend
+# use).
+_HASH_MULT = 2654435761
 
 
 def hash_to_bucket(key: Array, n_buckets: int, salt: int = 0) -> Array:
@@ -42,7 +45,7 @@ def hash_to_bucket(key: Array, n_buckets: int, salt: int = 0) -> Array:
     k = key.astype(jnp.uint32)
     if salt:
         k = k ^ jnp.uint32((salt * 0x9E3779B9) & 0xFFFFFFFF)
-    h = (k * _HASH_MULT)
+    h = (k * jnp.uint32(_HASH_MULT))
     h = h ^ (h >> 16)
     return (h % jnp.uint32(n_buckets)).astype(jnp.int32)
 
