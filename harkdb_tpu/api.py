@@ -32,6 +32,7 @@ class Context:
         self.mesh = mesh
         self.tables: Dict[str, Table] = {}
         self._plan_cache: Dict[tuple, object] = {}
+        self._shard_cache: Dict[tuple, object] = {}
         self.last_metrics = None
 
     # -- tables (reference surface) -------------------------------------------
@@ -40,10 +41,16 @@ class Context:
             table_name, source, self.config, col_names=col_names
         )
         self._plan_cache.clear()
+        self._shard_cache = {
+            k: v for k, v in self._shard_cache.items() if k[0] != table_name
+        }
 
     def drop_table(self, table_name: str) -> None:
         del self.tables[table_name]
         self._plan_cache.clear()
+        self._shard_cache = {
+            k: v for k, v in self._shard_cache.items() if k[0] != table_name
+        }
 
     # -- queries --------------------------------------------------------------
     def _plan(self, sql_statement: str):
@@ -79,9 +86,10 @@ class Context:
             if distributed:
                 from harkdb_tpu.parallel.executor import DistExecutor
 
-                out = DistExecutor(plan, self.mesh, self.config).execute(
-                    self.tables
-                )
+                out = DistExecutor(
+                    plan, self.mesh, self.config,
+                    shard_cache=self._shard_cache,
+                ).execute(self.tables)
             else:
                 out = plan.execute(self.tables)
         m.execute_ms = t.ms

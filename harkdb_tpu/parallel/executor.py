@@ -39,18 +39,29 @@ from harkdb_tpu.plan.planner import QueryPlan
 
 class DistExecutor:
     def __init__(self, plan: QueryPlan, mesh: Mesh,
-                 config: EngineConfig = DEFAULT_CONFIG):
+                 config: EngineConfig = DEFAULT_CONFIG, shard_cache=None):
         self.plan = plan
         self.mesh = mesh
         self.config = config
+        # (table name, binding) → resident ShardedBatch. Owned by the Context
+        # so tables transfer to the mesh ONCE, not per query (the reference
+        # re-ships the whole matrix across its FFI on every sql() call,
+        # FutharkContext.py:65,70 — the flaw this engine exists to fix).
+        self._shard_cache = shard_cache if shard_cache is not None else {}
 
     # -- table sharding -------------------------------------------------------
     def _shard_table(self, tables: Dict[str, Table], binding_idx: int) -> ShardedBatch:
         b, tname, cols = self.plan.bindings[binding_idx]
+        key = (tname, b)
+        cached = self._shard_cache.get(key)
+        if cached is not None:
+            return cached
         t = tables[tname]
         host = {f"{b}.{c}": t.host_columns[c] for c in cols}
         host[f"#rid.{b}"] = np.arange(t.n_rows, dtype=np.int32)
-        return shard_batch(host, t.n_rows, self.mesh, self.config)
+        sb = shard_batch(host, t.n_rows, self.mesh, self.config)
+        self._shard_cache[key] = sb
+        return sb
 
     # -- execution ------------------------------------------------------------
     def execute(self, tables: Dict[str, Table]) -> ColumnBatch:
