@@ -82,16 +82,26 @@ class Context:
         m.plan_ms = t.ms
         distributed = self.mesh is not None and self.mesh.devices.size > 1
         m.distributed = distributed
-        with StageTimer() as t:
+
+        def _run():
             if distributed:
                 from harkdb_tpu.parallel.executor import DistExecutor
 
-                out = DistExecutor(
+                return DistExecutor(
                     plan, self.mesh, self.config,
                     shard_cache=self._shard_cache,
                 ).execute(self.tables)
-            else:
-                out = plan.execute(self.tables)
+            return plan.execute(self.tables)
+
+        with StageTimer() as t:
+            try:
+                out = _run()
+            except RuntimeError:       # includes jax.errors.JaxRuntimeError
+                # Queries are pure over resident tables — one re-execution
+                # covers transient device failures (SURVEY §5).
+                if not self.config.retry_on_failure:
+                    raise
+                out = _run()
         m.execute_ms = t.ms
         if self.config.collect_metrics:
             m.rows_out = int(out.n_valid)

@@ -62,9 +62,15 @@ class EngineConfig:
     # Salted repartitioning for distributed joins (parallel/skew.py).
     skew_salted_join: bool = True
 
-    # ---- observability ------------------------------------------------------
+    # ---- observability / safety ---------------------------------------------
     collect_metrics: bool = True
     log_level: str = "WARNING"
+    # Validate engine invariants (ColumnBatch capacity/n_valid) at operator
+    # boundaries — jax.debug callbacks inside jit (utils/checks.py).
+    debug_checks: bool = False
+    # Re-execute a query once from resident tables on a transient device
+    # failure (queries are pure — SURVEY §5 failure-detection slot).
+    retry_on_failure: bool = True
 
     @staticmethod
     def from_env() -> "EngineConfig":

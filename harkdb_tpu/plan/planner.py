@@ -406,11 +406,19 @@ class QueryPlan:
 
     def _phase_b_impl(self, batch: ColumnBatch) -> ColumnBatch:
         cap = batch.capacity
+        if self.config.debug_checks:
+            from harkdb_tpu.utils.checks import debug_validate
+
+            batch = debug_validate(batch, "phase_b input")
 
         # WHERE
         if self.where is not None:
             mask = eval_expr(self.where, batch.columns, cap).astype(jnp.bool_)
             batch = compact_batch(batch, mask)
+            if self.config.debug_checks:
+                from harkdb_tpu.utils.checks import debug_validate
+
+                batch = debug_validate(batch, "after WHERE")
 
         # GROUP BY + aggregates — MXU one-hot matmul fast path when the
         # planner proved eligibility (small dense int key, sum/count only).

@@ -99,3 +99,80 @@ class TestPersistence:
         c2.load(str(tmp_path))
         out = c2.sql("select x, i from f")
         np.testing.assert_allclose(out, [[1.5, 1.0], [2.5, 2.0]])
+
+
+class TestSafetySubsystems:
+    def test_debug_checks_pass(self):
+        cfg = EngineConfig(debug_checks=True)
+        c = Context(cfg)
+        c.create_table("t", pd.DataFrame({"a": [1, 2, 3]}))
+        out = c.sql("select a from t where a > 1")
+        np.testing.assert_array_equal(out, [[2], [3]])
+
+    def test_debug_validate_catches_bad_batch(self):
+        import jax.numpy as jnp
+
+        from harkdb_tpu.columnar.batch import ColumnBatch
+        from harkdb_tpu.utils.checks import InvariantViolation, debug_validate
+
+        bad = ColumnBatch({"a": jnp.zeros(4, jnp.int32)}, jnp.int32(9))
+        with pytest.raises(InvariantViolation):
+            debug_validate(bad, "test")
+
+    def test_retry_on_transient_failure(self, monkeypatch):
+        c = Context()
+        c.create_table("t", pd.DataFrame({"a": [1, 2, 3]}))
+        plan = c._plan("select a from t")
+        calls = {"n": 0}
+        real = plan.execute
+
+        def flaky(tables):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("simulated transient device failure")
+            return real(tables)
+
+        monkeypatch.setattr(plan, "execute", flaky)
+        out = c.sql("select a from t")
+        assert calls["n"] == 2
+        np.testing.assert_array_equal(out, [[1], [2], [3]])
+
+    def test_retry_disabled_raises(self, monkeypatch):
+        cfg = EngineConfig(retry_on_failure=False)
+        c = Context(cfg)
+        c.create_table("t", pd.DataFrame({"a": [1]}))
+        plan = c._plan("select a from t")
+
+        def boom(tables):
+            raise RuntimeError("permanent")
+
+        monkeypatch.setattr(plan, "execute", boom)
+        with pytest.raises(RuntimeError, match="permanent"):
+            c.sql("select a from t")
+
+
+class TestMoreAggregates:
+    def test_float_aggregation(self, rng):
+        c = Context()
+        df = pd.DataFrame({
+            "k": rng.integers(0, 5, 200).astype(np.int32),
+            "x": rng.random(200).astype(np.float32) * 10,
+        })
+        c.create_table("f", df)
+        out = c.sql("select k, sum(x), min(x), max(x) from f group by k")
+        g = df.groupby("k")["x"].agg(["sum", "min", "max"])
+        np.testing.assert_allclose(out[:, 1], g["sum"].to_numpy(), rtol=1e-5)
+        np.testing.assert_allclose(out[:, 2], g["min"].to_numpy(), rtol=1e-6)
+        np.testing.assert_allclose(out[:, 3], g["max"].to_numpy(), rtol=1e-6)
+
+    def test_order_by_aggregate(self, rng):
+        c = Context()
+        df = pd.DataFrame({
+            "k": rng.integers(0, 8, 300).astype(np.int32),
+            "v": rng.integers(1, 100, 300).astype(np.int32),
+        })
+        c.create_table("t", df)
+        out = c.sql("select k, sum(v) from t group by k order by sum(v) desc")
+        e = df.groupby("k")["v"].sum().sort_values(
+            ascending=False, kind="stable")
+        np.testing.assert_array_equal(out[:, 1], e.to_numpy())
