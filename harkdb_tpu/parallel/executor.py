@@ -64,18 +64,30 @@ class DistExecutor:
         return sb
 
     # -- execution ------------------------------------------------------------
+    def _pushdown(self, sb: ShardedBatch, binding: str) -> ShardedBatch:
+        expr = self.plan.pushdown.get(binding)
+        if expr is None:
+            return sb
+        return dist_filter(
+            sb, lambda cols, cap: eval_expr(expr, cols, cap),
+            self.mesh, self.config,
+        )
+
     def execute(self, tables: Dict[str, Table]) -> ColumnBatch:
         plan = self.plan
-        work = self._shard_table(tables, 0)
+        work = self._pushdown(self._shard_table(tables, 0),
+                              plan.bindings[0][0])
         join_keys_newest_first: List[str] = []
         for step_idx, (rb, lk, rk, kind) in enumerate(plan.join_steps):
-            right = self._shard_table(tables, 1 + step_idx)
+            right = self._pushdown(
+                self._shard_table(tables, 1 + step_idx), rb
+            )
             work = dist_join(work, right, lk, rk, self.mesh, self.config,
                              kind=kind)
             join_keys_newest_first.insert(0, lk)
 
-        if plan.where is not None:
-            expr = plan.where
+        if plan.where_residual is not None:
+            expr = plan.where_residual
             work = dist_filter(
                 work, lambda cols, cap: eval_expr(expr, cols, cap),
                 self.mesh, self.config,

@@ -236,6 +236,44 @@ class QueryPlan:
         self.select_items = items
 
         self.where = res.rewrite(stmt.where) if stmt.where is not None else None
+
+        # ---- filter pushdown -------------------------------------------------
+        # Split WHERE into top-level AND conjuncts; a conjunct referencing a
+        # single binding is evaluated on that table BEFORE its join (never
+        # past a LEFT join's right side: zero-filled unmatched rows must still
+        # be eliminated by the post-join residual). Results are identical —
+        # joins emit sorted-by-key stable order over whichever rows survive.
+        inner_bindings = {bindings[0][0]}
+        for j, ref in zip(stmt.joins, refs[1:]):
+            if j.kind == "inner":
+                inner_bindings.add(ref.binding)
+
+        def conjuncts(e):
+            if isinstance(e, BinOp) and e.op == "and":
+                return conjuncts(e.left) + conjuncts(e.right)
+            return [e]
+
+        self.pushdown: Dict[str, object] = {}
+        residual = []
+        if self.where is not None:
+            for c in conjuncts(self.where):
+                bset = {
+                    node.name.split(".", 1)[0]
+                    for node in walk(c) if isinstance(node, Col)
+                }
+                if len(bset) == 1 and (b0 := next(iter(bset))) in inner_bindings:
+                    prev = self.pushdown.get(b0)
+                    self.pushdown[b0] = (
+                        c if prev is None else BinOp("and", prev, c)
+                    )
+                else:
+                    residual.append(c)
+            w = None
+            for c in residual:
+                w = c if w is None else BinOp("and", w, c)
+            self.where_residual = w
+        else:
+            self.where_residual = None
         group_keys = [res.rewrite(c).name for c in stmt.group_by]
         order_items = [
             (res.rewrite(o.expr), o.descending) for o in stmt.order_by
@@ -375,15 +413,50 @@ class QueryPlan:
                         span_p = -(-span // KEY_TILE) * KEY_TILE
                         self.fast_agg = (key_internal, rng[0], span_p)
 
+        # ---- projection pushdown ---------------------------------------------
+        # Only load columns the query actually touches (select/where/having/
+        # order/group/agg-args/join keys).
+        used = set()
+        for e, _n in self.final_items:
+            used |= {n.name for n in walk(e) if isinstance(n, Col)}
+        for e in ([self.where] if self.where is not None else []):
+            used |= {n.name for n in walk(e) if isinstance(n, Col)}
+        if self.having is not None:
+            used |= {n.name for n in walk(self.having) if isinstance(n, Col)}
+        for e, _d in self.order_items:
+            used |= {n.name for n in walk(e) if isinstance(n, Col)}
+        for _i, e in self.agg_arg_cols:
+            used |= {n.name for n in walk(e) if isinstance(n, Col)}
+        used |= {src for src, _o, _x in self.agg_specs if "." in src}
+        used |= set(self.group_keys)
+        for _rb, lk, rk, _k in self.join_steps:
+            used |= {lk, rk}
+        self.used_columns = used
+
+        self._push_jits = {
+            b: jax.jit(functools.partial(self._apply_pushdown, b))
+            for b in self.pushdown
+        }
         self._phase_b = jax.jit(self._phase_b_impl)
+
+    def _apply_pushdown(self, binding: str, batch: ColumnBatch) -> ColumnBatch:
+        mask = eval_expr(
+            self.pushdown[binding], batch.columns, batch.capacity
+        ).astype(jnp.bool_)
+        return compact_batch(batch, mask)
 
     # -- execution ------------------------------------------------------------
     def execute(self, tables: Dict[str, Table]) -> ColumnBatch:
         # Phase A: load + joins (count-then-materialize per join).
         b0, t0, _ = self.bindings[0]
         batch = self._load(tables, 0)
+        b0 = self.bindings[0][0]
+        if b0 in self._push_jits:
+            batch = self._push_jits[b0](batch)
         for step_idx, (rb, lk, rk, kind) in enumerate(self.join_steps):
             right = self._load(tables, 1 + step_idx)
+            if rb in self._push_jits:
+                right = self._push_jits[rb](right)
             total = int(_jit_count(
                 batch.column(lk), batch.n_valid,
                 right.column(rk), right.n_valid,
@@ -401,7 +474,11 @@ class QueryPlan:
         t = tables[tname]
         src = t.batch()
         return ColumnBatch(
-            {f"{b}.{c}": src.column(c) for c in cols}, src.n_valid
+            {
+                f"{b}.{c}": src.column(c) for c in cols
+                if f"{b}.{c}" in self.used_columns
+            },
+            src.n_valid,
         )
 
     def _phase_b_impl(self, batch: ColumnBatch) -> ColumnBatch:
@@ -411,9 +488,12 @@ class QueryPlan:
 
             batch = debug_validate(batch, "phase_b input")
 
-        # WHERE
-        if self.where is not None:
-            mask = eval_expr(self.where, batch.columns, cap).astype(jnp.bool_)
+        # WHERE (post-join residual; single-binding conjuncts were pushed
+        # down before the joins)
+        if self.where_residual is not None:
+            mask = eval_expr(
+                self.where_residual, batch.columns, cap
+            ).astype(jnp.bool_)
             batch = compact_batch(batch, mask)
             if self.config.debug_checks:
                 from harkdb_tpu.utils.checks import debug_validate
@@ -544,8 +624,10 @@ class QueryPlan:
         lines = [f"Scan {self.bindings[0][1]} as {self.bindings[0][0]}"]
         for rb, lk, rk, kind in self.join_steps:
             lines.append(f"HashJoin({kind}) {lk} = {rk} (+ {rb})")
-        if self.stmt.where is not None:
-            lines.append("Filter (WHERE) → masked-scan compaction")
+        for b, e in getattr(self, "pushdown", {}).items():
+            lines.append(f"Filter pushdown → {b}")
+        if self.where_residual is not None:
+            lines.append("Filter (WHERE residual) → masked-scan compaction")
         if self.grouped:
             keys = ", ".join(self.group_keys) or "<all rows>"
             aggs = ", ".join(f"{op}({src})" for src, op, _ in self.agg_specs)
