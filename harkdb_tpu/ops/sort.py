@@ -83,9 +83,31 @@ def sort_batch(
     batch: ColumnBatch,
     key_names: Sequence[str],
     descending: Optional[Sequence[bool]] = None,
+    key_arrays: Optional[Sequence[Array]] = None,
 ) -> ColumnBatch:
-    """ORDER BY: reorder all columns by the sort permutation over key columns."""
-    keys = [batch.column(k) for k in key_names]
-    perm, _ = sort_permutation(keys, batch.n_valid, descending)
-    cols = {name: col[perm] for name, col in batch.columns.items()}
+    """ORDER BY: reorder all columns by the sort keys.
+
+    One stable ``lax.sort`` with every column carried as payload — no
+    per-column permutation gathers (a 16M-row gather costs ~3x a whole
+    payload-carrying sort on v5e; see ops/groupby.py). ``key_arrays``
+    optionally supplies precomputed key columns (ORDER BY expressions) in
+    place of ``key_names`` lookups.
+    """
+    keys = (
+        list(key_arrays) if key_arrays is not None
+        else [batch.column(k) for k in key_names]
+    )
+    if descending is None:
+        descending = [False] * len(keys)
+    eff = []
+    for k, desc in zip(keys, descending):
+        if desc:
+            k = _descending_transform(k)
+        eff.append(_pad_to_max(k, batch.n_valid))
+    names = batch.names
+    out = jax.lax.sort(
+        eff + [batch.columns[c] for c in names],
+        num_keys=len(eff), is_stable=True,
+    )
+    cols = dict(zip(names, out[len(eff):]))
     return ColumnBatch(cols, batch.n_valid)

@@ -607,10 +607,9 @@ class QueryPlan:
                 for expr, d in self.order_items:
                     key_arrays.append(eval_expr(expr, cols, batch.capacity))
                     desc.append(d)
-            perm, _ = sort_permutation(key_arrays, out.n_valid, desc)
-            out = ColumnBatch(
-                {n: c[perm] for n, c in out.columns.items()}, out.n_valid
-            )
+            from harkdb_tpu.ops.sort import sort_batch as _sort_batch
+
+            out = _sort_batch(out, [], desc, key_arrays=key_arrays)
 
         # LIMIT
         if self.limit is not None:
