@@ -621,10 +621,10 @@ class QueryPlan:
     # -- observability --------------------------------------------------------
     def explain(self) -> str:
         lines = [f"Scan {self.bindings[0][1]} as {self.bindings[0][0]}"]
+        for b in self.pushdown:
+            lines.append(f"Filter pushdown → {b}")
         for rb, lk, rk, kind in self.join_steps:
             lines.append(f"HashJoin({kind}) {lk} = {rk} (+ {rb})")
-        for b, e in getattr(self, "pushdown", {}).items():
-            lines.append(f"Filter pushdown → {b}")
         if self.where_residual is not None:
             lines.append("Filter (WHERE residual) → masked-scan compaction")
         if self.grouped:
