@@ -4,6 +4,8 @@ from harkdb_tpu.prims.segmented import (
     replicated_iota,
     segmented_iota,
     expand,
+    expand_reduce,
+    expand_outer_reduce,
 )
 from harkdb_tpu.prims.compaction import (
     compact_indices,
@@ -17,6 +19,8 @@ __all__ = [
     "replicated_iota",
     "segmented_iota",
     "expand",
+    "expand_reduce",
+    "expand_outer_reduce",
     "compact_indices",
     "compact",
     "compact_batch",

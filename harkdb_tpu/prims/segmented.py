@@ -209,3 +209,63 @@ def expand(
     safe_ids = jnp.minimum(seg_ids, sizes.shape[0] - 1)
     out = get(safe_ids, local)
     return out, total
+
+
+def expand_reduce(
+    sizes: Array,
+    get: Callable[[Array, Array], Array],
+    op: Callable,
+    ne,
+    out_capacity: int,
+    n_valid: Array | None = None,
+) -> Tuple[Array, Array]:
+    """``expand`` then reduce each source row's produced elements back to one
+    value (segmented.fut:84-91): out[i] = op-fold of get(i, 0..sizes[i]-1).
+
+    Rows with ``sizes[i] == 0`` yield ``ne`` (the reference composes
+    ``expand`` with ``segmented_reduce`` the same way). Returns
+    ``(out, n_rows)`` with ``out`` padded to the sizes capacity.
+    """
+    n = sizes.shape[0]
+    if n_valid is None:
+        n_valid = jnp.int32(n)
+    seg_ids, total = replicated_iota(sizes, out_capacity, n_valid)
+    out_idx = jnp.arange(out_capacity, dtype=jnp.int32)
+    live = out_idx < total
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), seg_ids[1:] != seg_ids[:-1]]
+    )
+    local = jnp.where(live, segmented_iota(starts), 0)
+    safe_ids = jnp.minimum(seg_ids, n - 1)
+    vals = get(safe_ids, local)
+    target = jnp.where(live, safe_ids, n)
+    seg_fn = _segment_op_for(op)
+    if seg_fn is not None:
+        red = seg_fn(vals, target, num_segments=n)
+    else:  # exotic op: scan fallback over the expanded array
+        scanned = _generic_segmented_scan(
+            op, starts, jnp.where(live, vals, ne)
+        )
+        next_start = jnp.concatenate(
+            [starts[1:], jnp.ones((1,), jnp.bool_)]
+        )
+        is_end = live & next_start
+        red = jnp.full((n,), ne, dtype=scanned.dtype).at[
+            jnp.where(is_end, safe_ids, n)
+        ].set(scanned, mode="drop")
+    valid_row = jnp.arange(n, dtype=jnp.int32) < n_valid
+    out = jnp.where(valid_row & (sizes > 0), red, jnp.asarray(ne, red.dtype))
+    return out, n_valid
+
+
+def expand_outer_reduce(
+    sizes: Array,
+    get: Callable[[Array, Array], Array],
+    op: Callable,
+    ne,
+    out_capacity: int,
+    n_valid: Array | None = None,
+) -> Tuple[Array, Array]:
+    """Like :func:`expand_reduce` but folds ``ne`` in as the initial element
+    (segmented.fut:97-103 — identical results for a monoid's true identity)."""
+    return expand_reduce(sizes, get, op, ne, out_capacity, n_valid)

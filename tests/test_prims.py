@@ -209,3 +209,41 @@ class TestCompaction:
         mask = rng.random(n) < 0.4
         out, count = compact(jnp.asarray(vals), jnp.asarray(mask))
         np.testing.assert_array_equal(np.asarray(out)[: int(count)], vals[mask])
+
+
+class TestExpandReduce:
+    def test_golden(self):
+        # segmented_tests.fut expand_reduce contract: sizes [2,4,6] from
+        # src [1,2,3], get x i = x*i, op (+), ne 0 → per-row sums
+        # row1: 0+1=1; row2: 0+2+4+6=12; row3: 0+3+6+9+12+15=45
+        src = arr([1, 2, 3])
+        sizes = 2 * src
+
+        def get(src_ids, local):
+            return src[src_ids] * local
+
+        from harkdb_tpu.prims import expand_reduce
+        out, n = expand_reduce(sizes, get, jnp.add, 0, out_capacity=16)
+        np.testing.assert_array_equal(np.asarray(out)[:3], [1, 12, 45])
+
+    def test_zero_sizes_yield_ne(self):
+        from harkdb_tpu.prims import expand_reduce
+        sizes = arr([2, 0, 1])
+        vals = arr([5, 7, 9])
+
+        def get(src_ids, local):
+            return vals[src_ids]
+
+        out, n = expand_reduce(sizes, get, jnp.add, 0, out_capacity=8)
+        np.testing.assert_array_equal(np.asarray(out)[:3], [10, 0, 9])
+
+    def test_max_op_fallback(self):
+        from harkdb_tpu.prims import expand_outer_reduce
+        sizes = arr([3, 2])
+        def get(src_ids, local):
+            return (src_ids + 1) * 10 + local
+        out, n = expand_outer_reduce(
+            sizes, get, jnp.maximum, jnp.iinfo(jnp.int32).min,
+            out_capacity=8,
+        )
+        np.testing.assert_array_equal(np.asarray(out)[:2], [12, 21])
