@@ -13,7 +13,7 @@ mesh sharding (see ``harkdb_tpu.parallel``).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

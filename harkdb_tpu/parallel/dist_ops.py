@@ -13,8 +13,7 @@ build/probe; filter = none (embarrassingly row-parallel).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

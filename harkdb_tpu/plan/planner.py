@@ -26,7 +26,7 @@ Plans and compiled phase functions are cached on the Context keyed by
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,11 +37,10 @@ from harkdb_tpu.columnar.table import Table
 from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
 from harkdb_tpu.ops.groupby import groupby_batch
 from harkdb_tpu.ops.join import join_batches, join_match_count
-from harkdb_tpu.ops.sort import sort_permutation
 from harkdb_tpu.plan.expr import eval_expr
 from harkdb_tpu.prims.compaction import compact_batch
 from harkdb_tpu.sql.ast_nodes import (
-    Agg, BinOp, Col, Lit, OrderItem, SelectItem, SelectStmt, Star, UnOp, walk,
+    Agg, BinOp, Col, Lit, SelectStmt, Star, UnOp, walk,
 )
 from harkdb_tpu.sql.parser import parse_sql
 

@@ -9,7 +9,7 @@ column count; gathers stream at HBM bandwidth.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ lookup is exact-match, ``parse.py:9-13``).
 from __future__ import annotations
 
 import re
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 from harkdb_tpu.sql.ast_nodes import (
     Agg, BinOp, Col, JoinClause, Lit, OrderItem, SelectItem, SelectStmt, Star,

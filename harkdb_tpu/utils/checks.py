@@ -19,7 +19,6 @@ Pallas kernels additionally run under interpret mode in the CPU test suite
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from harkdb_tpu.columnar.batch import ColumnBatch
 

@@ -13,7 +13,6 @@ import dataclasses
 import json
 import logging
 import time
-from typing import Optional
 
 logger = logging.getLogger("harkdb_tpu")
 
