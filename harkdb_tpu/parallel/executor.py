@@ -113,12 +113,12 @@ class DistExecutor:
             work = dist_groupby(
                 work, keys, agg_specs, self.mesh, self.config, pre_fn
             )
-            gathered = work.to_batch()
+            gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
             # Disjoint key sets per shard → one global sort restores the
             # ascending-key output contract.
             gathered = sort_batch(gathered, keys)
         else:
-            gathered = work.to_batch()
+            gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
             if join_keys_newest_first:
                 rid_cols = [
                     n for n in gathered.names if n.startswith("#rid.")

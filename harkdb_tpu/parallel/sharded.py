@@ -63,6 +63,45 @@ class ShardedBatch:
     def total_rows(self) -> jax.Array:
         return jnp.sum(self.shard_counts).astype(jnp.int32)
 
+    def to_batch_device(self, mesh, axis: str) -> ColumnBatch:
+        """Gather to a packed (replicated) ColumnBatch entirely on device:
+        one all_gather per column + one payload-carrying-sort compaction of
+        the inter-shard gaps — no host sync or per-shard python loop.
+        Preserves shard order (= original row order)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        D, C = self.n_shards, self.local_capacity
+        names = self.names
+
+        def body(cols, counts):
+            g = {
+                n: jax.lax.all_gather(c, axis, axis=0, tiled=True)
+                for n, c in cols.items()
+            }
+            gc = jax.lax.all_gather(counts, axis, axis=0, tiled=True)
+            idx = jnp.arange(D * C, dtype=jnp.int32)
+            live = (idx % C) < gc[idx // C]
+            total = jnp.sum(live).astype(jnp.int32)
+            dropped = jnp.logical_not(live).astype(jnp.int32)
+            out = jax.lax.sort(
+                [dropped] + [g[n] for n in names], num_keys=1, is_stable=True
+            )
+            packed = {
+                n: jnp.where(idx < total, col, 0)
+                for n, col in zip(names, out[1:])
+            }
+            return packed, total.reshape(1)
+
+        f = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=({n: P(axis) for n in names}, P(axis)),
+            out_specs=({n: P() for n in names}, P()),
+            check_vma=False,
+        ))
+        cols, total = f(self.columns, self.shard_counts)
+        return ColumnBatch(cols, total[0])
+
     def to_batch(self) -> ColumnBatch:
         """Gather to a single packed ColumnBatch (host-driven compaction of
         the inter-shard gaps; preserves shard order = original row order)."""
