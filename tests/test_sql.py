@@ -430,3 +430,74 @@ class TestDistinctInBetween:
         )
         e = df[(df.v >= 0) & (df.v <= 50) & df.k.isin([1, 2])]
         np.testing.assert_array_equal(out, e.v.to_numpy()[:, None])
+
+
+class TestMultiJoinChain:
+    def _tables(self, rng):
+        facts = pd.DataFrame({
+            "k1": rng.integers(0, 6, 300).astype(np.int32),
+            "k2": rng.integers(0, 4, 300).astype(np.int32),
+            "v": rng.integers(-50, 50, 300).astype(np.int32),
+        })
+        d1 = pd.DataFrame({"a": np.arange(6, dtype=np.int32),
+                           "w1": rng.integers(1, 9, 6).astype(np.int32)})
+        d2 = pd.DataFrame({"b": np.arange(4, dtype=np.int32),
+                           "w2": rng.integers(1, 9, 4).astype(np.int32)})
+        return facts, d1, d2
+
+    def test_two_joins_vs_pandas(self, rng):
+        facts, d1, d2 = self._tables(rng)
+        c = Context()
+        c.create_table("f", facts)
+        c.create_table("d1", d1)
+        c.create_table("d2", d2)
+        out = c.sql(
+            "select k1, sum(v), max(w1), min(w2) from f "
+            "join d1 on f.k1 = d1.a join d2 on f.k2 = d2.b "
+            "where v != 0 group by k1"
+        )
+        m = facts.merge(d1, left_on="k1", right_on="a").merge(
+            d2, left_on="k2", right_on="b")
+        m = m[m.v != 0]
+        g = m.groupby("k1").agg(s=("v", "sum"), w1=("w1", "max"),
+                                w2=("w2", "min")).sort_index().reset_index()
+        np.testing.assert_array_equal(out, g.to_numpy())
+
+    def test_two_joins_distributed_matches(self, rng):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        facts, d1, d2 = self._tables(rng)
+        mesh = make_engine_mesh(8)
+        dc = Context(mesh=mesh)
+        sc = Context()
+        for c in (dc, sc):
+            c.create_table("f", facts)
+            c.create_table("d1", d1)
+            c.create_table("d2", d2)
+        q = ("select k1, k2, v, w1, w2 from f "
+             "join d1 on f.k1 = d1.a join d2 on f.k2 = d2.b "
+             "order by k1, k2, v, w1, w2")
+        np.testing.assert_array_equal(dc.sql(q), sc.sql(q))
+
+
+class TestCLI:
+    def test_cli_query(self, capsys):
+        from harkdb_tpu.__main__ import main
+
+        rc = main([
+            "--table", f"game_1={DATA_CSV}",
+            "select col1, max(col3) from game_1 group by col1",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "col1" in out and "max(col3)" in out
+
+    def test_cli_explain(self, capsys):
+        from harkdb_tpu.__main__ import main
+
+        rc = main([
+            "--table", f"game_1={DATA_CSV}", "--explain",
+            "select col1 from game_1 where col2 > 1",
+        ])
+        assert rc == 0
+        assert "Scan game_1" in capsys.readouterr().out
