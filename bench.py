@@ -20,7 +20,8 @@ The reference publishes no numbers (BASELINE.md: "published: {}"), so
 HBM-bandwidth roofline for the mix (>1.0 means the target is beaten).
 Per-operator detail goes to stderr.
 
-Env knobs: HARKDB_BENCH_ROWS (default 2**26), HARKDB_BENCH_HBM_GBPS
+Env knobs: HARKDB_BENCH_ROWS (default 2**24 — remote compiles on this
+platform are slow and the deadline must hold), HARKDB_BENCH_HBM_GBPS
 (default 800 — TPU v5e class).
 """
 
@@ -93,10 +94,10 @@ def _main():
     from harkdb_tpu.ops.sort import sort_batch
     from harkdb_tpu.prims.compaction import compact_batch
 
-    n = int(os.environ.get("HARKDB_BENCH_ROWS", 1 << 26))
+    n = int(os.environ.get("HARKDB_BENCH_ROWS", 1 << 24))
     hbm_gbps = float(os.environ.get("HARKDB_BENCH_HBM_GBPS", 800.0))
     n_keys = 1 << 20
-    iters = int(os.environ.get("HARKDB_BENCH_ITERS", 3))
+    iters = int(os.environ.get("HARKDB_BENCH_ITERS", 2))
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}, "
         f"rows={n:,}")
