@@ -115,34 +115,39 @@ def groupby_aggregate(
             inputs.append(sorted_payload[pay_i])
             pay_i += 1
 
+    # Group keys ride the min-reduction batch (constant within a segment, so
+    # min extracts them) — one scatter pass covers keys + all min aggregates
+    # of the same dtype.
+    nk = len(keys)
+    entries = [("min", sk) for sk in sorted_keys] + list(
+        ("sum" if op == "count" else op, inputs[i])
+        for i, (_c, op) in enumerate(agg_cols)
+    )
     groups: Dict[Tuple[str, str], List[int]] = {}
-    for i, (_c, op) in enumerate(agg_cols):
-        seg_kind = "sum" if op == "count" else op
-        groups.setdefault((seg_kind, str(inputs[i].dtype)), []).append(i)
+    for i, (seg_kind, arr) in enumerate(entries):
+        groups.setdefault((seg_kind, str(arr.dtype)), []).append(i)
 
-    outs: List[Array] = [None] * len(agg_cols)       # type: ignore[list-item]
+    live_out = idx < n_groups
+    reduced: List[Array] = [None] * len(entries)     # type: ignore[list-item]
     for (seg_kind, _dt), idxs in groups.items():
-        data = jnp.stack([inputs[i] for i in idxs], axis=1)   # (n, k)
+        data = jnp.stack([entries[i][1] for i in idxs], axis=1)   # (n, k)
         red = _SEGMENT_FN[seg_kind](
             data, target, num_segments=n, indices_are_sorted=True
         )
-        live_out = idx < n_groups
         for j, i in enumerate(idxs):
-            op = agg_cols[i][1]
-            ne = _neutral(op, red.dtype)
-            outs[i] = jnp.where(live_out, red[:, j], ne).astype(inputs[i].dtype)
+            reduced[i] = red[:, j]
 
-    # Group keys: the sorted key value at each segment start, scattered to the
-    # group slot (one scatter for all keys via 2-D stack).
-    kdata = jnp.stack(sorted_keys, axis=1)           # (n, nk)
-    kred = jax.ops.segment_min(
-        kdata, target, num_segments=n, indices_are_sorted=True
-    )
-    live_out = idx < n_groups
     keys_out = [
-        jnp.where(live_out, kred[:, j], 0).astype(keys[j].dtype)
-        for j in range(len(keys))
+        jnp.where(live_out, reduced[j], 0).astype(keys[j].dtype)
+        for j in range(nk)
     ]
+    outs: List[Array] = []
+    for i, (_c, op) in enumerate(agg_cols):
+        r = reduced[nk + i]
+        ne = _neutral(op, r.dtype)
+        outs.append(
+            jnp.where(live_out, r, ne).astype(inputs[i].dtype)
+        )
     return keys_out, outs, n_groups
 
 
