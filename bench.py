@@ -70,8 +70,12 @@ def main():
     signal.alarm(DEADLINE_S)
     try:
         _main()
-    except BenchTimeout:
-        log("DEADLINE hit — emitting partial result")
+    except BaseException as e:          # noqa: BLE001 — always emit a line
+        if not isinstance(e, BenchTimeout):
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+        log("bench ended early — emitting partial result")
         mix = _PARTIAL.get("mix") or _PARTIAL.get("filter") or 0.0
         print(json.dumps({
             "metric": "query_mix_rows_per_s",
@@ -79,6 +83,10 @@ def main():
             "unit": "rows/s",
             "vs_baseline": 0.0,
         }))
+    finally:
+        signal.alarm(0)
+        time.sleep(2)                   # let in-flight RPCs drain (tunnel
+                                        # leases wedge on abrupt exits)
 
 
 _PARTIAL = {}

@@ -42,9 +42,19 @@ BLOCK = 512
 
 def _kernel(offsets_ref, mask_ref, planes_ref, out_ref, scratch, sem):
     b = pl.program_id(0)
-    mask = mask_ref[:].astype(jnp.int32)            # (BLOCK,)
-    pos = jnp.cumsum(mask) - 1                       # target row per kept row
+    mask = mask_ref[:].astype(jnp.float32)           # (BLOCK,)
+    # In-block inclusive prefix sum as a lower-triangular matmul (Mosaic has
+    # no cumsum primitive; the MXU does this in one pass, exact for counts
+    # ≤ BLOCK « 2^24 in f32).
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+    tril = (col_ids <= row_ids).astype(jnp.float32)
+    pos_incl = jax.lax.dot_general(
+        tril, mask[:, None],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    pos = pos_incl.astype(jnp.int32) - 1             # target row per kept row
     src_pos = pos[None, :]                           # (1, BLOCK)
     perm = ((row_ids == src_pos) & (mask[None, :] > 0)).astype(jnp.float32)
     scratch[:] = jax.lax.dot_general(

@@ -53,31 +53,17 @@ def compact_batch(batch: ColumnBatch, mask: Array) -> ColumnBatch:
     are packed to the front in original order (stable — required for parity
     with reference row-order preservation, SURVEY §3.3).
 
-    Implementation, fastest first (both measured on TPU v5e):
+    Implementation: ONE stable ``lax.sort`` on the inverted mask carrying all
+    columns as payload — measured ~3x cheaper on v5e than a scatter+gather
+    per column (extra sort operands are nearly free; each 16M-row gather
+    costs ~145 ms), beating the classic mask→prefix-sum→scatter→gather
+    formulation whenever there is at least one column.
 
-      * On real TPU with int32/float32 columns: the Pallas streaming MXU
-        kernel (``kernels/stream_compact.py``) — one-hot permutation matmuls
-        per block + sequential packed DMA writes, ~streaming HBM cost.
-      * Otherwise: ONE stable ``lax.sort`` on the inverted mask carrying all
-        columns as payload — ~3x cheaper than a scatter+gather per column
-        (extra sort operands are nearly free; each 16M-row gather costs
-        ~145 ms), beating the classic mask→prefix-sum→scatter→gather
-        formulation whenever there is at least one column.
+    (A Pallas streaming MXU kernel exists in ``kernels/stream_compact.py``
+    — one-hot permutation matmuls + packed DMA writes — but Mosaic requires
+    dynamic HBM slices to be 128-lane-aligned, which exact packing cannot
+    guarantee; it stays experimental/interpret-mode until that lifts.)
     """
-    import jax as _jax
-
-    from harkdb_tpu.kernels.stream_compact import (
-        stream_compact, stream_compact_supported,
-    )
-
-    if (
-        _jax.default_backend() == "tpu"
-        and batch.columns
-        and stream_compact_supported(batch.columns)
-    ):
-        cols, count = stream_compact(dict(batch.columns), mask, batch.n_valid)
-        return ColumnBatch(cols, count)
-
     n = mask.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     mask = mask & (idx < batch.n_valid)
