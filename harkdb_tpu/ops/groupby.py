@@ -6,30 +6,38 @@ select-list order. (The reference's radix sort compares u32 bit patterns; we
 order signed-ascending, identical for the non-negative keys the reference's
 homogeneous-int tables use, and strictly more sensible for negatives.)
 
-TPU-first algorithm, shaped by v5e microbenchmarks (each random scatter or
-gather at 16M rows costs ~145 ms while a stable sort carrying six payload
-operands costs ~40 ms):
+TPU-first, scatter-free algorithm, shaped by v5e microbenchmarks (a random
+scatter/gather at 16M rows costs ~145 ms — and a `jax.ops.segment_*` over 16M
+segments ~1.8 s — while a stable sort carrying six payload operands costs
+~40 ms and a cumsum ~10 ms):
 
-  1. ONE stable ``lax.sort`` on the key(s) carrying every aggregate input
-     column as payload — no per-column permutation gathers;
-  2. boundary flags → sorted segment ids (cumsum);
-  3. aggregates batched per (op, dtype) into a single 2-D
-     ``jax.ops.segment_{sum,max,min,prod}`` call — one scatter-reduction pass
-     per op class instead of one per aggregate column.
+  1. ONE stable ``lax.sort`` on (dropped-mask, keys...) carrying every
+     aggregate input column as payload — no per-column permutation gathers;
+     a WHERE predicate fuses in as the leading sort key for free (the planner
+     then skips its separate compaction sort);
+  2. boundary flags on the sorted keys mark segment starts/ends;
+  3. per-segment values are produced as *row-level scans*: integer sums and
+     counts via global ``cumsum`` + telescoping differences at segment ends
+     (exact under two's-complement wraparound); float sums and max/min/prod
+     via a log-doubling segmented scan (``prims.segmented``) — no scatter;
+  4. ONE shared stable compaction sort packs every segment-end row (keys +
+     all scan results + row position) to the front in key order.
 
-The reference instead runs 32 sequential single-bit radix passes
-(``groupby.fut:22``) and one segmented reduce per column.
+Total: two payload-carrying sorts + a few elementwise scan passes, regardless
+of the number of aggregate columns. The reference instead runs 32 sequential
+single-bit radix passes (``groupby.fut:22``) and one segmented reduce per
+column.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence, Tuple, Union
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 from harkdb_tpu.columnar.batch import ColumnBatch
-from harkdb_tpu.ops.sort import _pad_to_max
+from harkdb_tpu.prims.segmented import doubling_segmented_scan
 
 Array = jax.Array
 
@@ -41,12 +49,11 @@ AGG_FUNCS: Dict[str, Callable] = {
     "count": jnp.add,
 }
 
-_SEGMENT_FN = {
-    "sum": jax.ops.segment_sum,
-    "count": jax.ops.segment_sum,
-    "prod": jax.ops.segment_prod,
-    "max": jax.ops.segment_max,
-    "min": jax.ops.segment_min,
+_SCAN_OP = {
+    "sum": jnp.add,
+    "prod": jnp.multiply,
+    "max": jnp.maximum,
+    "min": jnp.minimum,
 }
 
 
@@ -67,87 +74,134 @@ def groupby_aggregate(
     keys: Union[Array, Sequence[Array]],
     agg_cols: Sequence[Tuple[Array, str]],
     n_valid: Array,
+    mask: Optional[Array] = None,
 ) -> Tuple[List[Array], List[Array], Array]:
     """Aggregate ``agg_cols`` (value, op-name) per distinct key tuple.
 
     ``keys`` is one array or a list (multi-key lexicographic grouping — the
-    reference supports a single key only, ``parse.py:66-69``). Returns
-    ``(keys_out, agg_outs, n_groups)`` — all padded to the input capacity;
-    rows at index >= n_groups are padding.
+    reference supports a single key only, ``parse.py:66-69``). ``mask``
+    optionally restricts the aggregation to rows where it is True (a fused
+    WHERE predicate — costs nothing: it rides the sort as the leading key).
+    Returns ``(keys_out, agg_outs, n_groups)`` — all padded to the input
+    capacity; rows at index >= n_groups are padding.
     """
     if not isinstance(keys, (list, tuple)):
         keys = [keys]
     keys = list(keys)
+    nk = len(keys)
     n = keys[0].shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    valid = idx < n_valid
+    valid_in = idx < n_valid
+    if mask is not None:
+        valid_in = valid_in & mask
 
-    # One sort: keys first (pads → dtype max, so they land at the back), all
-    # aggregate inputs as carried payload.
-    eff_keys = [_pad_to_max(k, n_valid) for k in keys]
+    # ONE sort: dropped-mask leading (live rows pack to the front in key
+    # order; no dtype-max padding tricks needed, so masks fuse exactly), then
+    # the keys, with all aggregate inputs as carried payload.
+    dropped = jnp.logical_not(valid_in).astype(jnp.int32)
     payload = [col for col, op in agg_cols if op != "count"]
     sorted_all = jax.lax.sort(
-        eff_keys + payload, num_keys=len(eff_keys), is_stable=True
+        [dropped] + keys + payload, num_keys=1 + nk, is_stable=True
     )
-    sorted_keys = sorted_all[: len(eff_keys)]
-    sorted_payload = list(sorted_all[len(eff_keys):])
+    sorted_keys = list(sorted_all[1:1 + nk])
+    sorted_payload = list(sorted_all[1 + nk:])
+    count = jnp.sum(valid_in.astype(jnp.int32))
+    valid = idx < count
 
-    # Segment starts: first live row, or any key change between adjacent rows.
+    # Segment starts/ends from key changes between adjacent live rows.
     changed = jnp.zeros((n,), jnp.bool_)
     for skey in sorted_keys:
         prev = jnp.concatenate([skey[:1], skey[:-1]])
         changed = changed | (skey != prev)
-    flags = (valid & ((idx == 0) | changed)).astype(jnp.int32)
-    seg_ids = jnp.cumsum(flags) - 1
-    n_groups = jnp.where(
-        n_valid > 0, seg_ids[jnp.maximum(n_valid - 1, 0)] + 1, 0
-    ).astype(jnp.int32)
-    target = jnp.where(valid, seg_ids, n)            # padding → dropped
+    is_start = valid & ((idx == 0) | changed)
+    n_groups = jnp.sum(is_start.astype(jnp.int32))
+    next_start = jnp.concatenate([is_start[1:], jnp.zeros((1,), jnp.bool_)])
+    is_end = valid & (next_start | (idx == count - 1))
 
-    # Batch aggregates per (op-class, dtype): one 2-D segment op per class.
-    ones = jnp.ones((n,), jnp.int32)
-    inputs: List[Array] = []
+    # Row-level scan per op class (no scatters):
+    #   * int sum  → global cumsum; telescoping differences at segment ends
+    #     are exact under two's-complement wraparound;
+    #   * float sum / max / min / prod → log-doubling segmented scan;
+    #   * count → row positions; per-group counts are position differences.
+    # Each class stacks its columns into one (n, k) scan.
+    plans: List[Tuple[str, int]] = []          # per agg: (post-kind, slot)
+    cum_cols: List[Array] = []
+    scan_groups: Dict[Tuple[str, str], List[Tuple[int, Array]]] = {}
+    need_pos = False
     pay_i = 0
-    for col, op in agg_cols:
+    for ai, (_col, op) in enumerate(agg_cols):
         if op == "count":
-            inputs.append(ones)
+            plans.append(("count", -1))
+            need_pos = True
+            continue
+        col = sorted_payload[pay_i]
+        pay_i += 1
+        if op == "sum" and jnp.issubdtype(col.dtype, jnp.integer):
+            plans.append(("telescope", len(cum_cols)))
+            cum_cols.append(col)
         else:
-            inputs.append(sorted_payload[pay_i])
-            pay_i += 1
+            key = (op, str(col.dtype))
+            scan_groups.setdefault(key, []).append((ai, col))
+            plans.append(("scan", -1))         # slot patched below
 
-    # Group keys ride the min-reduction batch (constant within a segment, so
-    # min extracts them) — one scatter pass covers keys + all min aggregates
-    # of the same dtype.
-    nk = len(keys)
-    entries = [("min", sk) for sk in sorted_keys] + list(
-        ("sum" if op == "count" else op, inputs[i])
-        for i, (_c, op) in enumerate(agg_cols)
+    end_arrays: List[Array] = []               # compaction payload
+    slot_of: Dict[int, int] = {}               # agg index → end_arrays slot
+    if cum_cols:
+        S = jnp.cumsum(jnp.stack(cum_cols, axis=1), axis=0)
+        cum_base = len(end_arrays)
+        end_arrays.extend(S[:, j] for j in range(len(cum_cols)))
+    sid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    for (op, _dt), members in scan_groups.items():
+        D = doubling_segmented_scan(
+            _SCAN_OP[op], sid, jnp.stack([c for _ai, c in members], axis=1)
+        )
+        for j, (ai, _c) in enumerate(members):
+            slot_of[ai] = len(end_arrays)
+            end_arrays.append(D[:, j])
+    pos_slot = -1
+    if need_pos:
+        pos_slot = len(end_arrays)
+        end_arrays.append(idx)
+
+    # ONE shared compaction: pack segment-end rows (keys + every scan result)
+    # to the front, in key order (stable sort on the inverted end flag).
+    not_end = jnp.logical_not(is_end).astype(jnp.int32)
+    packed = jax.lax.sort(
+        [not_end] + sorted_keys + end_arrays, num_keys=1, is_stable=True
     )
-    groups: Dict[Tuple[str, str], List[int]] = {}
-    for i, (seg_kind, arr) in enumerate(entries):
-        groups.setdefault((seg_kind, str(arr.dtype)), []).append(i)
+    packed_keys = packed[1:1 + nk]
+    packed_vals = packed[1 + nk:]
 
     live_out = idx < n_groups
-    reduced: List[Array] = [None] * len(entries)     # type: ignore[list-item]
-    for (seg_kind, _dt), idxs in groups.items():
-        data = jnp.stack([entries[i][1] for i in idxs], axis=1)   # (n, k)
-        red = _SEGMENT_FN[seg_kind](
-            data, target, num_segments=n, indices_are_sorted=True
-        )
-        for j, i in enumerate(idxs):
-            reduced[i] = red[:, j]
-
     keys_out = [
-        jnp.where(live_out, reduced[j], 0).astype(keys[j].dtype)
+        jnp.where(live_out, packed_keys[j], 0).astype(keys[j].dtype)
         for j in range(nk)
     ]
-    outs: List[Array] = []
-    for i, (_c, op) in enumerate(agg_cols):
-        r = reduced[nk + i]
-        ne = _neutral(op, r.dtype)
-        outs.append(
-            jnp.where(live_out, r, ne).astype(inputs[i].dtype)
+
+    def _prev(arr: Array, first) -> Array:
+        return jnp.concatenate(
+            [jnp.full((1,), first, arr.dtype), arr[:-1]]
         )
+
+    counts_out = None
+    if need_pos:
+        P = packed_vals[pos_slot]
+        counts_out = P - _prev(P, -1)
+
+    outs: List[Array] = []
+    for ai, ((col, op), (kind, cum_j)) in enumerate(zip(agg_cols, plans)):
+        if kind == "count":
+            outs.append(
+                jnp.where(live_out, counts_out, 0).astype(jnp.int32)
+            )
+        elif kind == "telescope":
+            E = packed_vals[cum_base + cum_j]
+            r = E - _prev(E, 0)
+            outs.append(jnp.where(live_out, r, 0).astype(col.dtype))
+        else:
+            r = packed_vals[slot_of[ai]]
+            ne = _neutral(op, r.dtype)
+            outs.append(jnp.where(live_out, r, ne).astype(col.dtype))
     return keys_out, outs, n_groups
 
 
@@ -155,19 +209,22 @@ def groupby_batch(
     batch: ColumnBatch,
     key_names: Union[str, Sequence[str]],
     aggs: Sequence[Tuple[str, str, str]],
+    mask: Optional[Array] = None,
 ) -> ColumnBatch:
     """GROUP BY over a batch. ``aggs`` = (source column, op, output name).
 
     Output columns: keys first (under their own names), then aggregates in
     order — the reference's layout (``groupby.fut:45-48``: output col 0 is the
-    key). The planner handles key-position/duplicate-select subtleties.
+    key). ``mask`` fuses a WHERE predicate into the group-by's own sort (no
+    separate compaction pass). The planner handles key-position/
+    duplicate-select subtleties.
     """
     if isinstance(key_names, str):
         key_names = [key_names]
     key_arrays = [batch.column(k) for k in key_names]
     agg_inputs = [(batch.column(src), op) for src, op, _ in aggs]
     keys_out, agg_outs, n_groups = groupby_aggregate(
-        key_arrays, agg_inputs, batch.n_valid
+        key_arrays, agg_inputs, batch.n_valid, mask=mask
     )
     cols = dict(zip(key_names, keys_out))
     for (_, _, out_name), arr in zip(aggs, agg_outs):

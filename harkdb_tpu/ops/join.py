@@ -81,16 +81,11 @@ def _match_ranges(
     prev = jnp.concatenate([skey[:1], skey[:-1]])
     run_start = (pos == 0) | (skey != prev)
     r_cum = jnp.cumsum(is_right)                       # inclusive rights so far
-    # Base = rights before this run: scatter r_cum_exclusive at run starts,
-    # then forward-fill via cummax of (marked base + 1).
-    run_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1
+    # Base = rights before this run = r_excl at my run's start. r_excl is
+    # non-decreasing, so a running max over values marked at run starts
+    # forward-fills it — no scatter, no gather (each ~145 ms at 16M rows).
     r_excl = r_cum - is_right
-    base_marks = (
-        jnp.zeros((n,), jnp.int32)
-        .at[jnp.where(run_start, run_id, n)]
-        .set(r_excl, mode="drop")
-    )
-    base = base_marks[run_id]                          # rights before my run
+    base = jax.lax.cummax(jnp.where(run_start, r_excl, 0))
     rights_in_run_so_far = r_cum - base                # incl. me if right
 
     # For a LEFT row, every right of its run precedes it → its match count is
@@ -176,9 +171,14 @@ def join_indices(
     )
     local = segmented_iota(starts)
 
-    matched = live & (local < counts[safe_seg])
-    l_out = jnp.where(live, l_perm[safe_seg], 0)
-    r_pos = jnp.where(matched, lo[safe_seg] + local, 0)
+    # One stacked gather for the three per-left-row values (gather cost on
+    # TPU is dominated by the index count, not the row payload width).
+    packed = jnp.stack([l_perm, counts, lo], axis=1)[safe_seg]
+    seg_l_perm, seg_counts, seg_lo = packed[:, 0], packed[:, 1], packed[:, 2]
+
+    matched = live & (local < seg_counts)
+    l_out = jnp.where(live, seg_l_perm, 0)
+    r_pos = jnp.where(matched, seg_lo + local, 0)
     r_out = r_perm[jnp.minimum(r_pos, r_perm.shape[0] - 1)]
     r_out = jnp.where(matched, r_out, 0)
     return l_out, r_out, matched, total
@@ -219,12 +219,34 @@ def join_batches(
         right.column(r_key_name), right.n_valid,
         out_capacity, kind,
     )
+    # Materialize outputs with ONE stacked gather per (side, dtype) — gather
+    # cost is dominated by the index count, so k same-dtype columns ride one
+    # gather instead of k.
     cols = {}
-    for src, dst in l_out.items():
-        cols[dst] = left.column(src)[l_idx]
-    for src, dst in r_out.items():
-        gathered = right.column(src)[r_idx]
-        if kind == "left":
-            gathered = jnp.where(matched, gathered, 0)
-        cols[dst] = gathered
-    return ColumnBatch(cols, total)
+
+    def _gather_side(batch_side, out_map, idx_arr, zero_unmatched):
+        by_dtype: Dict[str, list] = {}
+        for src, dst in out_map.items():
+            arr = batch_side.column(src)
+            by_dtype.setdefault(str(arr.dtype), []).append((arr, dst))
+        for members in by_dtype.values():
+            if len(members) == 1:
+                arr, dst = members[0]
+                g = arr[idx_arr]
+                if zero_unmatched:
+                    g = jnp.where(matched, g, 0)
+                cols[dst] = g
+                continue
+            stacked = jnp.stack([a for a, _ in members], axis=1)[idx_arr]
+            for j, (_a, dst) in enumerate(members):
+                g = stacked[:, j]
+                if zero_unmatched:
+                    g = jnp.where(matched, g, 0)
+                cols[dst] = g
+
+    _gather_side(left, l_out, l_idx, False)
+    _gather_side(right, r_out, r_idx, kind == "left")
+    # Restore the contract's column order ([left cols | right cols]) — the
+    # dtype grouping above fills `cols` out of order.
+    ordered = [*l_out.values(), *r_out.values()]
+    return ColumnBatch({dst: cols[dst] for dst in ordered}, total)

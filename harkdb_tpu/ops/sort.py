@@ -84,6 +84,7 @@ def sort_batch(
     key_names: Sequence[str],
     descending: Optional[Sequence[bool]] = None,
     key_arrays: Optional[Sequence[Array]] = None,
+    mask: Optional[Array] = None,
 ) -> ColumnBatch:
     """ORDER BY: reorder all columns by the sort keys.
 
@@ -91,7 +92,10 @@ def sort_batch(
     per-column permutation gathers (a 16M-row gather costs ~3x a whole
     payload-carrying sort on v5e; see ops/groupby.py). ``key_arrays``
     optionally supplies precomputed key columns (ORDER BY expressions) in
-    place of ``key_names`` lookups.
+    place of ``key_names`` lookups. ``mask`` fuses a row filter (WHERE /
+    HAVING predicate) into this same sort: dropped rows ride to the back as
+    a leading sort key and the output count shrinks — no separate
+    compaction pass.
     """
     keys = (
         list(key_arrays) if key_arrays is not None
@@ -99,15 +103,22 @@ def sort_batch(
     )
     if descending is None:
         descending = [False] * len(keys)
-    eff = []
+    n = batch.capacity
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < batch.n_valid
+    if mask is not None:
+        valid = valid & mask
+    n_out = jnp.sum(valid.astype(jnp.int32))
+    dropped = jnp.logical_not(valid).astype(jnp.int32)
+    eff = [dropped]
     for k, desc in zip(keys, descending):
         if desc:
             k = _descending_transform(k)
-        eff.append(_pad_to_max(k, batch.n_valid))
+        eff.append(k)
     names = batch.names
     out = jax.lax.sort(
         eff + [batch.columns[c] for c in names],
         num_keys=len(eff), is_stable=True,
     )
     cols = dict(zip(names, out[len(eff):]))
-    return ColumnBatch(cols, batch.n_valid)
+    return ColumnBatch(cols, n_out)

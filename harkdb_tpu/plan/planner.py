@@ -488,16 +488,22 @@ class QueryPlan:
             batch = debug_validate(batch, "phase_b input")
 
         # WHERE (post-join residual; single-binding conjuncts were pushed
-        # down before the joins)
+        # down before the joins). The predicate mask FUSES into whichever
+        # downstream operator sorts anyway (group-by, ORDER BY, DISTINCT) —
+        # a separate compaction pass costs a whole payload-carrying sort.
+        where_mask = None
         if self.where_residual is not None:
-            mask = eval_expr(
+            where_mask = eval_expr(
                 self.where_residual, batch.columns, cap
             ).astype(jnp.bool_)
-            batch = compact_batch(batch, mask)
-            if self.config.debug_checks:
-                from harkdb_tpu.utils.checks import debug_validate
+            absorbed = self.grouped or self.order_items or self.distinct
+            if not absorbed:
+                batch = compact_batch(batch, where_mask)
+                where_mask = None
+                if self.config.debug_checks:
+                    from harkdb_tpu.utils.checks import debug_validate
 
-                batch = debug_validate(batch, "after WHERE")
+                    batch = debug_validate(batch, "after WHERE")
 
         # GROUP BY + aggregates — MXU one-hot matmul fast path when the
         # planner proved eligibility (small dense int key, sum/count only).
@@ -516,6 +522,7 @@ class QueryPlan:
                 batch.n_valid,
                 jnp.int32(key_min),
                 span,
+                mask=where_mask,
                 interpret=_jax.default_backend() != "tpu",
             )
             sums_by_src = dict(zip(sum_srcs, sums_k))
@@ -542,14 +549,20 @@ class QueryPlan:
                 cols["#const"] = jnp.zeros((cap,), jnp.int32)
                 work = ColumnBatch(cols, batch.n_valid)
                 keys = ["#const"]
-            batch = groupby_batch(work, keys, self.agg_specs)
+            batch = groupby_batch(work, keys, self.agg_specs, mask=where_mask)
+            where_mask = None
 
-        return self.run_tail(batch)
+        return self.run_tail(batch, filter_mask=where_mask)
 
-    def run_tail(self, batch: ColumnBatch) -> ColumnBatch:
+    def run_tail(self, batch: ColumnBatch, filter_mask=None) -> ColumnBatch:
         """Post-aggregation tail: avg computes → HAVING → projection →
         ORDER BY → LIMIT. Reused by the distributed executor on the gathered
-        group/join results (traced; jit-safe)."""
+        group/join results (traced; jit-safe).
+
+        ``filter_mask`` is a deferred WHERE predicate (ungrouped queries
+        only); like HAVING it fuses into the DISTINCT / ORDER BY sort when
+        one exists instead of paying its own compaction sort.
+        """
         if self.grouped and self.post_computes:
             gcols = dict(batch.columns)
             for out, spec in self.post_computes:
@@ -560,10 +573,15 @@ class QueryPlan:
                     ).astype(jnp.float32)
             batch = ColumnBatch(gcols, batch.n_valid)
 
-        # HAVING
+        # HAVING — fused into the DISTINCT / ORDER BY sort when one follows.
         if self.having is not None:
-            mask = eval_expr(self.having, batch.columns, batch.capacity)
-            batch = compact_batch(batch, mask.astype(jnp.bool_))
+            hmask = eval_expr(
+                self.having, batch.columns, batch.capacity
+            ).astype(jnp.bool_)
+            filter_mask = hmask if filter_mask is None else filter_mask & hmask
+            if not (self.distinct or self.order_items):
+                batch = compact_batch(batch, filter_mask)
+                filter_mask = None
 
         # Materialize select outputs (unique internal slots, duplicates OK).
         out_cols = {}
@@ -574,12 +592,18 @@ class QueryPlan:
 
         # DISTINCT: lexicographic sort of the output tuple (pads last), then
         # keep first of each run. Output ordering is by the full row tuple
-        # (standard engines leave DISTINCT order unspecified).
+        # (standard engines leave DISTINCT order unspecified). A pending
+        # filter mask rides the sort's leading pad key for free.
         if self.distinct:
             names = out.names
             cap2 = out.capacity
             idx2 = jnp.arange(cap2, dtype=jnp.int32)
-            is_pad = (idx2 >= out.n_valid).astype(jnp.int32)
+            live = idx2 < out.n_valid
+            if filter_mask is not None:
+                live = live & filter_mask
+                filter_mask = None
+            n_live = jnp.sum(live.astype(jnp.int32))
+            is_pad = jnp.logical_not(live).astype(jnp.int32)
             sorted_all = jax.lax.sort(
                 [is_pad] + [out.columns[c] for c in names],
                 num_keys=1 + len(names), is_stable=True,
@@ -588,9 +612,9 @@ class QueryPlan:
             for col in sorted_all:
                 prev = jnp.concatenate([col[:1], col[:-1]])
                 changed = changed | (col != prev)
-            keep = ((idx2 == 0) | changed) & (idx2 < out.n_valid)
+            keep = ((idx2 == 0) | changed) & (idx2 < n_live)
             out = compact_batch(
-                ColumnBatch(dict(zip(names, sorted_all)), out.n_valid), keep
+                ColumnBatch(dict(zip(names, sorted_all)), n_live), keep
             )
 
         # ORDER BY (keys may reference non-selected columns; with DISTINCT
@@ -608,7 +632,13 @@ class QueryPlan:
                     desc.append(d)
             from harkdb_tpu.ops.sort import sort_batch as _sort_batch
 
-            out = _sort_batch(out, [], desc, key_arrays=key_arrays)
+            out = _sort_batch(
+                out, [], desc, key_arrays=key_arrays, mask=filter_mask
+            )
+            filter_mask = None
+        elif filter_mask is not None:
+            out = compact_batch(out, filter_mask)
+            filter_mask = None
 
         # LIMIT
         if self.limit is not None:
