@@ -189,12 +189,15 @@ def _main():
     report("join", sync_time(run_join, key, rkey, nv, jnp.int32(m)))
 
     # -- full mix: filter → groupby → sort ------------------------------------
+    # Mirrors the planner's fused pipeline: the WHERE mask rides the
+    # group-by's own sort (no separate compaction pass).
     @jax.jit
     def run_mix(i, k, v, nv):
         b = ColumnBatch({"k": k, "v": v + i}, nv)
-        f = compact_batch(b, b.column("v") > 0)
         g = groupby_batch(
-            f, "k", [("v", "sum", "s"), ("v", "max", "m"), ("v", "count", "c")]
+            b, "k",
+            [("v", "sum", "s"), ("v", "max", "m"), ("v", "count", "c")],
+            mask=b.column("v") > 0,
         )
         return _checksum(sort_batch(g, ["s"], descending=[True]))
 

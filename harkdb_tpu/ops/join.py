@@ -173,7 +173,10 @@ def join_indices(
 
     # One stacked gather for the three per-left-row values (gather cost on
     # TPU is dominated by the index count, not the row payload width).
-    packed = jnp.stack([l_perm, counts, lo], axis=1)[safe_seg]
+    # ``safe_seg`` is monotone non-decreasing — tell XLA.
+    packed = jnp.stack([l_perm, counts, lo], axis=1).at[safe_seg].get(
+        indices_are_sorted=True
+    )
     seg_l_perm, seg_counts, seg_lo = packed[:, 0], packed[:, 1], packed[:, 2]
 
     matched = live & (local < seg_counts)

@@ -1,0 +1,180 @@
+"""Randomized differential testing: random SQL queries vs a pandas oracle.
+
+Complements the targeted suites (test_sql.py / test_features.py) by sweeping
+the clause-combination space — especially the planner's fused-mask paths
+(WHERE into GROUP BY / ORDER BY / DISTINCT, HAVING into ORDER BY), empty
+results, and all-rows-masked edges. Deterministic seeds; engine semantics
+under comparison:
+
+  * ungrouped output preserves input row order (SURVEY §3.3);
+  * grouped output is ascending by key (SURVEY §3.4);
+  * ORDER BY is a stable sort over the engine's pre-order.
+
+Comparisons therefore sort both sides canonically by all columns, and
+separately assert the engine's ORDER BY key sequence is monotone.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from harkdb_tpu import Context
+
+
+def _make_tables(rng: np.random.Generator, n: int):
+    t1 = pd.DataFrame({
+        "a": rng.integers(0, 6, n).astype(np.int32),
+        "b": rng.integers(-8, 9, n).astype(np.int32),
+        "c": rng.integers(0, 50, n).astype(np.int32),
+        "f": rng.normal(0.0, 10.0, n).astype(np.float32),
+    })
+    t2 = pd.DataFrame({
+        "j": rng.permutation(8).astype(np.int32),
+        "w": rng.integers(-5, 20, 8).astype(np.int32),
+    })
+    return t1, t2
+
+
+_PREDS = [
+    ("b > 0", lambda d: d.b > 0),
+    ("c >= 25 and b < 5", lambda d: (d.c >= 25) & (d.b < 5)),
+    ("a in (1, 3, 5)", lambda d: d.a.isin([1, 3, 5])),
+    ("c between 10 and 30", lambda d: (d.c >= 10) & (d.c <= 30)),
+    ("b > 100", lambda d: d.b > 100),                      # empty result
+    ("not (a = 2) or b = -3", lambda d: (d.a != 2) | (d.b == -3)),
+]
+
+
+def _canon(arr: np.ndarray) -> np.ndarray:
+    if arr.size == 0:
+        return arr
+    return arr[np.lexsort(arr.T[::-1])]
+
+
+def _assert_rows_equal(got: np.ndarray, exp: np.ndarray, q: str):
+    assert got.shape == exp.shape, (q, got.shape, exp.shape)
+    g, e = _canon(np.asarray(got, np.float64)), _canon(
+        np.asarray(exp, np.float64)
+    )
+    np.testing.assert_allclose(g, e, rtol=1e-5, atol=1e-5, err_msg=q)
+
+
+def _assert_monotone(col: np.ndarray, descending: bool, q: str):
+    if col.size < 2:
+        return
+    d = np.diff(col.astype(np.float64))
+    if descending:
+        assert (d <= 1e-9).all(), (q, col)
+    else:
+        assert (d >= -1e-9).all(), (q, col)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_ungrouped(seed):
+    rng = np.random.default_rng(1000 + seed)
+    t1, _ = _make_tables(rng, int(rng.integers(1, 200)))
+    ctx = Context()
+    ctx.create_table("t1", t1)
+
+    sql_pred, oracle_pred = _PREDS[seed % len(_PREDS)]
+    order_col = ["a", "b", "c"][seed % 3]
+    desc = bool(seed % 2)
+    distinct = seed % 4 == 0
+
+    sel = "distinct a, b" if distinct else "a, b, c"
+    q = (f"select {sel} from t1 where {sql_pred} "
+         f"order by {order_col} {'desc' if desc else 'asc'}")
+    got = ctx.sql(q)
+
+    df = t1[oracle_pred(t1)]
+    cols = ["a", "b"] if distinct else ["a", "b", "c"]
+    exp_df = df[cols].drop_duplicates() if distinct else df[cols]
+    _assert_rows_equal(got, exp_df.to_numpy(), q)
+    if got.size and order_col in cols:
+        _assert_monotone(got[:, cols.index(order_col)], desc, q)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_grouped(seed):
+    rng = np.random.default_rng(2000 + seed)
+    t1, _ = _make_tables(rng, int(rng.integers(1, 300)))
+    ctx = Context()
+    ctx.create_table("t1", t1)
+
+    sql_pred, oracle_pred = _PREDS[(seed + 1) % len(_PREDS)]
+    keys = ["a"] if seed % 2 else ["a", "b"]
+    having = seed % 3 == 0
+
+    key_sql = ", ".join(keys)
+    q = (f"select {key_sql}, sum(c), min(b), max(c), count(*), avg(f) "
+         f"from t1 where {sql_pred} group by {key_sql}"
+         + (" having count(*) > 1" if having else "")
+         + f" order by {key_sql}")
+    got = ctx.sql(q)
+
+    df = t1[oracle_pred(t1)]
+    g = df.groupby(keys).agg(
+        s=("c", "sum"), mn=("b", "min"), mx=("c", "max"),
+        n=("c", "size"), av=("f", "mean"),
+    ).reset_index()
+    if having:
+        g = g[g.n > 1]
+    exp = g.sort_values(keys).to_numpy()
+    _assert_rows_equal(got, exp, q)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_join(seed):
+    rng = np.random.default_rng(3000 + seed)
+    t1, t2 = _make_tables(rng, int(rng.integers(1, 150)))
+    ctx = Context()
+    ctx.create_table("t1", t1)
+    ctx.create_table("t2", t2)
+
+    sql_pred, oracle_pred = _PREDS[seed % len(_PREDS)]
+    grouped = seed % 2 == 0
+
+    if grouped:
+        q = (f"select a, sum(w), count(*) from t1 "
+             f"join t2 on t1.a = t2.j where {sql_pred} "
+             f"group by a order by a")
+    else:
+        q = (f"select a, b, w from t1 join t2 on t1.a = t2.j "
+             f"where {sql_pred} order by c")
+    got = ctx.sql(q)
+
+    m = t1.merge(t2, left_on="a", right_on="j")
+    m = m[oracle_pred(m)]
+    if grouped:
+        g = m.groupby("a").agg(s=("w", "sum"), n=("w", "size")).reset_index()
+        exp = g.sort_values("a").to_numpy()
+    else:
+        exp = m[["a", "b", "w"]].to_numpy()
+    _assert_rows_equal(got, exp, q)
+
+
+def test_fuzz_all_rows_masked_grouped():
+    rng = np.random.default_rng(7)
+    t1, _ = _make_tables(rng, 64)
+    ctx = Context()
+    ctx.create_table("t1", t1)
+    out = ctx.sql(
+        "select a, sum(b) from t1 where b > 1000 group by a order by a"
+    )
+    assert out.shape == (0, 2)
+
+
+def test_fuzz_left_join_where():
+    rng = np.random.default_rng(11)
+    t1, t2 = _make_tables(rng, 80)
+    t2 = t2[t2.j < 4]                       # some t1.a values unmatched
+    ctx = Context()
+    ctx.create_table("t1", t1)
+    ctx.create_table("t2", t2)
+    q = "select a, b, w from t1 left join t2 on t1.a = t2.j where b > 0 order by a"
+    got = ctx.sql(q)
+    m = t1.merge(t2, left_on="a", right_on="j", how="left").fillna(0)
+    m = m[m.b > 0]
+    _assert_rows_equal(got, m[["a", "b", "w"]].to_numpy(), q)
