@@ -14,11 +14,14 @@ port — only the observable contract is kept:
     order (reference ``groupby.fut:21-22`` radix-sort consequence), projection
     preserving row order and duplicate columns (``select.fut:17-20``).
 
-Underneath, everything is re-architected TPU-first: resident columnar device
-arrays, static-shape padded batches with valid counts, masked-scan compaction,
-multi-bit radix sort, VMEM hash aggregation and hash join build/probe as Pallas
-kernels, and multi-chip scaling via ``jax.sharding.Mesh`` + ``shard_map`` with
-all-to-all repartitioning.
+Underneath, everything is re-architected TPU-first around measured v5e cost
+ratios (sorting is ~20x cheaper per byte than random gather/scatter — see
+CLAUDE.md/BASELINE.md): resident columnar device arrays, static-shape padded
+batches with valid counts, payload-carrying sorts for all data movement,
+batched segment reductions, Pallas/MXU kernels where they beat XLA (one-hot
+matmul aggregation for dense keys, streaming compaction for WHERE), and
+multi-chip scaling via ``jax.sharding.Mesh`` + ``shard_map`` with all-to-all
+repartitioning and skew-salted shuffles.
 """
 
 from harkdb_tpu.config import EngineConfig

@@ -96,7 +96,9 @@ class Context:
         with StageTimer() as t:
             try:
                 out = _run()
-            except RuntimeError:       # includes jax.errors.JaxRuntimeError
+            except (RuntimeError, OSError):
+                # RuntimeError covers jax.errors.JaxRuntimeError /
+                # XlaRuntimeError; OSError covers a dropped device transport.
                 # Queries are pure over resident tables — one re-execution
                 # covers transient device failures (SURVEY §5).
                 if not self.config.retry_on_failure:

@@ -38,29 +38,32 @@ class EngineConfig:
     # cleanly onto (8,128) VPU lanes. Data-dependent output sizes (join) are
     # bucketed to powers of two to bound the jit cache.
     row_align: int = 1024
-    # Initial join output capacity = expansion_factor * max(|L|, |R|), grown by
-    # doubling on overflow (exact size known from the count phase).
-    join_expansion_factor: float = 1.0
 
-    # ---- kernel tuning ------------------------------------------------------
-    # Pallas block sizes (rows per grid step) for streaming kernels.
-    filter_block_rows: int = 8 * 1024
-    sort_bits_per_pass: int = 8          # multi-bit radix passes (vs ref's 1, groupby.fut:22)
-    agg_table_slots: int = 8 * 1024      # VMEM hash-aggregate table slots per block
-    join_table_slots: int = 16 * 1024    # VMEM hash-join build table slots
-    use_pallas: bool = True              # fall back to pure-XLA ops when False
+    # ---- kernel selection ----------------------------------------------------
+    # Enable the Pallas kernels (MXU one-hot aggregation, streaming
+    # compaction) where the planner proves applicability; pure-XLA paths
+    # otherwise/when False.
+    use_pallas: bool = True
 
     # ---- distribution -------------------------------------------------------
     # Mesh axis name for data (row) partitioning; single axis "shards".
     mesh_axis: str = "shards"
     # Number of devices to use; None = all visible devices.
     num_shards: Optional[int] = None
-    # Skew handling: keys holding more than `skew_threshold` fraction of a
-    # sampled partition trigger salted repartitioning with `skew_salt` splits.
+    # Skew handling: a key whose local count exceeds `skew_threshold` x
+    # (local rows / D) is nominated hot and salted over all shards
+    # (parallel/skew.py).
     skew_threshold: float = 0.25
-    skew_salt: int = 8
     # Salted repartitioning for distributed joins (parallel/skew.py).
     skew_salted_join: bool = True
+
+    # ---- reference-parity compat ---------------------------------------------
+    # The reference's groupby orders output keys by u32 bit pattern (radix
+    # sort, groupby.fut:21-22), which puts NEGATIVE keys after positive ones.
+    # This engine defaults to signed-ascending order (identical for the
+    # non-negative keys the reference's tables use); set True to reproduce
+    # the reference's u32 order exactly (tests/test_parity.py pins both).
+    compat_u32_key_order: bool = False
 
     # ---- observability / safety ---------------------------------------------
     collect_metrics: bool = True
@@ -80,8 +83,6 @@ class EngineConfig:
             int_dtype=_env("INT_DTYPE", str, base.int_dtype),
             float_dtype=_env("FLOAT_DTYPE", str, base.float_dtype),
             row_align=_env("ROW_ALIGN", int, base.row_align),
-            filter_block_rows=_env("FILTER_BLOCK_ROWS", int, base.filter_block_rows),
-            sort_bits_per_pass=_env("SORT_BITS", int, base.sort_bits_per_pass),
             use_pallas=_env("USE_PALLAS", bool, base.use_pallas),
             num_shards=_env("NUM_SHARDS", int, base.num_shards),
             log_level=_env("LOG_LEVEL", str, base.log_level),

@@ -3,8 +3,11 @@
 Output contract matched to the reference (SURVEY §3.4): one row per distinct
 key, **ascending key order**, column 0 = key, remaining columns = aggregates in
 select-list order. (The reference's radix sort compares u32 bit patterns; we
-order signed-ascending, identical for the non-negative keys the reference's
-homogeneous-int tables use, and strictly more sensible for negatives.)
+default to signed-ascending — identical for the non-negative keys the
+reference's homogeneous-int tables use, and strictly more sensible for
+negatives. ``u32_key_order=True`` / ``EngineConfig.compat_u32_key_order``
+reproduces the reference's u32 order exactly; tests/test_parity.py pins both
+orders.)
 
 TPU-first, scatter-free algorithm, shaped by v5e microbenchmarks (a random
 scatter/gather at 16M rows costs ~145 ms — and a `jax.ops.segment_*` over 16M
@@ -70,11 +73,25 @@ def _neutral(op_name: str, dtype) -> jax.Array:
     raise ValueError(f"Unknown aggregate {op_name!r}")
 
 
+def u32_order_key(key: Array) -> Array:
+    """Order-preserving signed view of an int key's u32 bit pattern.
+
+    Flipping the sign bit maps unsigned comparison order onto signed order
+    (an involution: apply again to undo). Used by the
+    ``compat_u32_key_order`` mode to reproduce the reference's radix-sort
+    key order (``groupby.fut:21-22``: negatives sort AFTER positives).
+    """
+    if not jnp.issubdtype(key.dtype, jnp.integer):
+        return key
+    return key ^ jnp.array(jnp.iinfo(key.dtype).min, key.dtype)
+
+
 def groupby_aggregate(
     keys: Union[Array, Sequence[Array]],
     agg_cols: Sequence[Tuple[Array, str]],
     n_valid: Array,
     mask: Optional[Array] = None,
+    u32_key_order: bool = False,
 ) -> Tuple[List[Array], List[Array], Array]:
     """Aggregate ``agg_cols`` (value, op-name) per distinct key tuple.
 
@@ -82,12 +99,19 @@ def groupby_aggregate(
     reference supports a single key only, ``parse.py:66-69``). ``mask``
     optionally restricts the aggregation to rows where it is True (a fused
     WHERE predicate — costs nothing: it rides the sort as the leading key).
-    Returns ``(keys_out, agg_outs, n_groups)`` — all padded to the input
+    ``u32_key_order`` orders output groups by the keys' u32 bit patterns
+    (reference radix order) instead of signed-ascending. Returns
+    ``(keys_out, agg_outs, n_groups)`` — all padded to the input
     capacity; rows at index >= n_groups are padding.
     """
     if not isinstance(keys, (list, tuple)):
         keys = [keys]
     keys = list(keys)
+    orig_dtypes = [k.dtype for k in keys]
+    if u32_key_order:
+        # XOR preserves equality, so segmenting logic is unchanged; only the
+        # sort order differs. Undone on the output keys below.
+        keys = [u32_order_key(k) for k in keys]
     nk = len(keys)
     n = keys[0].shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -173,10 +197,12 @@ def groupby_aggregate(
     packed_vals = packed[1 + nk:]
 
     live_out = idx < n_groups
-    keys_out = [
-        jnp.where(live_out, packed_keys[j], 0).astype(keys[j].dtype)
-        for j in range(nk)
-    ]
+    keys_out = []
+    for j in range(nk):
+        k = packed_keys[j]
+        if u32_key_order:
+            k = u32_order_key(k)        # involution: restore original values
+        keys_out.append(jnp.where(live_out, k, 0).astype(orig_dtypes[j]))
 
     def _prev(arr: Array, first) -> Array:
         return jnp.concatenate(
@@ -210,6 +236,7 @@ def groupby_batch(
     key_names: Union[str, Sequence[str]],
     aggs: Sequence[Tuple[str, str, str]],
     mask: Optional[Array] = None,
+    u32_key_order: bool = False,
 ) -> ColumnBatch:
     """GROUP BY over a batch. ``aggs`` = (source column, op, output name).
 
@@ -224,7 +251,8 @@ def groupby_batch(
     key_arrays = [batch.column(k) for k in key_names]
     agg_inputs = [(batch.column(src), op) for src, op, _ in aggs]
     keys_out, agg_outs, n_groups = groupby_aggregate(
-        key_arrays, agg_inputs, batch.n_valid, mask=mask
+        key_arrays, agg_inputs, batch.n_valid, mask=mask,
+        u32_key_order=u32_key_order,
     )
     cols = dict(zip(key_names, keys_out))
     for (_, _, out_name), arr in zip(aggs, agg_outs):

@@ -4,8 +4,9 @@ The reference has no user-facing SORT BY at all — its radix sort exists only a
 an internal groupby/join step (32 sequential single-bit passes,
 ``groupby.fut:8-22``, ``join.fut:9-23``). Here sorting is a first-class
 operator built on ``jax.lax.sort``, which XLA lowers to an optimized on-device
-sort; a Pallas multi-bit radix path exists for large single-key int sorts
-(see ``harkdb_tpu.kernels.radix``).
+sort (measured ~40-50 ms for 16M rows x 2-6 operands on v5e — extra payload
+operands ride nearly free, which is what the engine's sort-carry design
+exploits).
 
 Engine conventions honored:
   * padded batches — padding rows always sort to the back, regardless of the

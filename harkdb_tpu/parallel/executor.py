@@ -69,7 +69,7 @@ class DistExecutor:
         if expr is None:
             return sb
         return dist_filter(
-            sb, lambda cols, cap: eval_expr(expr, cols, cap),
+            sb, lambda cols, cap: eval_expr(expr, cols, cap, self.config),
             self.mesh, self.config,
         )
 
@@ -89,7 +89,8 @@ class DistExecutor:
         if plan.where_residual is not None:
             expr = plan.where_residual
             work = dist_filter(
-                work, lambda cols, cap: eval_expr(expr, cols, cap),
+                work, lambda cols, cap: eval_expr(expr, cols, cap,
+                                                  self.config),
                 self.mesh, self.config,
             )
 
@@ -99,11 +100,12 @@ class DistExecutor:
             arg_cols = list(plan.agg_arg_cols)
             need_ones = any(src == "#ones" for src, _, _ in agg_specs)
             need_const = not plan.group_keys
+            cfg = self.config
 
             def pre_fn(cols, cap):
                 extra = {}
                 for internal, e in arg_cols:
-                    extra[internal] = eval_expr(e, cols, cap)
+                    extra[internal] = eval_expr(e, cols, cap, cfg)
                 if need_ones:
                     extra["#ones"] = jnp.ones((cap,), jnp.int32)
                 if need_const:
@@ -115,8 +117,18 @@ class DistExecutor:
             )
             gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
             # Disjoint key sets per shard → one global sort restores the
-            # ascending-key output contract.
-            gathered = sort_batch(gathered, keys)
+            # ascending-key output contract (u32 bit order under the
+            # reference-compat flag — ops/groupby.py).
+            if self.config.compat_u32_key_order:
+                from harkdb_tpu.ops.groupby import u32_order_key
+
+                gathered = sort_batch(
+                    gathered, [],
+                    key_arrays=[u32_order_key(gathered.column(k))
+                                for k in keys],
+                )
+            else:
+                gathered = sort_batch(gathered, keys)
         else:
             gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
             if join_keys_newest_first:

@@ -20,6 +20,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from harkdb_tpu.config import DEFAULT_CONFIG, EngineConfig
 from harkdb_tpu.sql.ast_nodes import Agg, BinOp, Col, Lit, UnOp
 
 Array = jax.Array
@@ -36,27 +37,29 @@ def _promote(a, b):
     return a, b
 
 
-def eval_expr(expr, columns: Dict[str, Array], capacity: int) -> Array:
+def eval_expr(expr, columns: Dict[str, Array], capacity: int,
+              config: EngineConfig = DEFAULT_CONFIG) -> Array:
     """Evaluate a resolved expression to a column of shape (capacity,)."""
     if isinstance(expr, Lit):
         if isinstance(expr.value, float):
-            return jnp.full((capacity,), expr.value, jnp.float32)
-        return jnp.full((capacity,), expr.value, jnp.int32)
+            return jnp.full((capacity,), expr.value,
+                            jnp.dtype(config.float_dtype))
+        return jnp.full((capacity,), expr.value, jnp.dtype(config.int_dtype))
     if isinstance(expr, Col):
         try:
             return columns[expr.name]
         except KeyError:
             raise ExprError(f"Unresolved column {expr.name!r}") from None
     if isinstance(expr, UnOp):
-        v = eval_expr(expr.operand, columns, capacity)
+        v = eval_expr(expr.operand, columns, capacity, config)
         if expr.op == "-":
             return -v
         if expr.op == "not":
             return jnp.logical_not(v.astype(jnp.bool_))
         raise ExprError(f"Unknown unary op {expr.op!r}")
     if isinstance(expr, BinOp):
-        a = eval_expr(expr.left, columns, capacity)
-        b = eval_expr(expr.right, columns, capacity)
+        a = eval_expr(expr.left, columns, capacity, config)
+        b = eval_expr(expr.right, columns, capacity, config)
         op = expr.op
         if op in ("and", "or"):
             a = a.astype(jnp.bool_)

@@ -402,7 +402,13 @@ class QueryPlan:
                 int_srcs = all(
                     _int_src(src, op) for src, op, _out in self.agg_specs
                 )
-                if rng is not None and int_srcs:
+                # u32-compat key order with negative keys must take the sort
+                # path (the dense keys_axis is emitted signed-ascending).
+                compat_blocks = (
+                    self.config.compat_u32_key_order
+                    and rng is not None and rng[0] < 0
+                )
+                if rng is not None and int_srcs and not compat_blocks:
                     from harkdb_tpu.kernels.matmul_agg import (
                         KEY_TILE, MAX_KEY_SPAN,
                     )
@@ -440,7 +446,8 @@ class QueryPlan:
 
     def _apply_pushdown(self, binding: str, batch: ColumnBatch) -> ColumnBatch:
         mask = eval_expr(
-            self.pushdown[binding], batch.columns, batch.capacity
+            self.pushdown[binding], batch.columns, batch.capacity,
+            self.config,
         ).astype(jnp.bool_)
         return compact_batch(batch, mask)
 
@@ -494,7 +501,7 @@ class QueryPlan:
         where_mask = None
         if self.where_residual is not None:
             where_mask = eval_expr(
-                self.where_residual, batch.columns, cap
+                self.where_residual, batch.columns, cap, self.config
             ).astype(jnp.bool_)
             absorbed = self.grouped or self.order_items or self.distinct
             if not absorbed:
@@ -538,7 +545,7 @@ class QueryPlan:
         if self.grouped:
             cols = dict(batch.columns)
             for internal, expr in self.agg_arg_cols:
-                cols[internal] = eval_expr(expr, cols, cap)
+                cols[internal] = eval_expr(expr, cols, cap, self.config)
             if any(src == "#ones" for src, _, _ in self.agg_specs):
                 cols["#ones"] = jnp.ones((cap,), jnp.int32)
             work = ColumnBatch(cols, batch.n_valid)
@@ -549,7 +556,10 @@ class QueryPlan:
                 cols["#const"] = jnp.zeros((cap,), jnp.int32)
                 work = ColumnBatch(cols, batch.n_valid)
                 keys = ["#const"]
-            batch = groupby_batch(work, keys, self.agg_specs, mask=where_mask)
+            batch = groupby_batch(
+                work, keys, self.agg_specs, mask=where_mask,
+                u32_key_order=self.config.compat_u32_key_order,
+            )
             where_mask = None
 
         return self.run_tail(batch, filter_mask=where_mask)
@@ -576,7 +586,7 @@ class QueryPlan:
         # HAVING — fused into the DISTINCT / ORDER BY sort when one follows.
         if self.having is not None:
             hmask = eval_expr(
-                self.having, batch.columns, batch.capacity
+                self.having, batch.columns, batch.capacity, self.config
             ).astype(jnp.bool_)
             filter_mask = hmask if filter_mask is None else filter_mask & hmask
             if not (self.distinct or self.order_items):
@@ -587,7 +597,9 @@ class QueryPlan:
         out_cols = {}
         cols = dict(batch.columns)
         for i, (expr, _name) in enumerate(self.final_items):
-            out_cols[f"#out{i}"] = eval_expr(expr, cols, batch.capacity)
+            out_cols[f"#out{i}"] = eval_expr(
+                expr, cols, batch.capacity, self.config
+            )
         out = ColumnBatch(out_cols, batch.n_valid)
 
         # DISTINCT: lexicographic sort of the output tuple (pads last), then
@@ -628,7 +640,9 @@ class QueryPlan:
                     desc.append(d)
             else:
                 for expr, d in self.order_items:
-                    key_arrays.append(eval_expr(expr, cols, batch.capacity))
+                    key_arrays.append(
+                        eval_expr(expr, cols, batch.capacity, self.config)
+                    )
                     desc.append(d)
             from harkdb_tpu.ops.sort import sort_batch as _sort_batch
 

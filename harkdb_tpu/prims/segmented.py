@@ -296,6 +296,19 @@ def expand_outer_reduce(
     out_capacity: int,
     n_valid: Array | None = None,
 ) -> Tuple[Array, Array]:
-    """Like :func:`expand_reduce` but folds ``ne`` in as the initial element
-    (segmented.fut:97-103 — identical results for a monoid's true identity)."""
-    return expand_reduce(sizes, get, op, ne, out_capacity, n_valid)
+    """Like :func:`expand_reduce` but folds ``ne`` in as the initial element.
+
+    The reference prepends ``ne`` to every segment (segmented.fut:97-103:
+    ``sz' = sz+1``, ``get' x 0 = ne``), so a non-empty row yields
+    ``op(ne, reduce(elems))`` — observable when ``ne`` is not a true identity
+    of ``op`` — while an empty row's segment is the singleton ``[ne]``,
+    i.e. ``ne`` unfolded (tests/test_prims.py pins both against the
+    reference's contract).
+    """
+    red, nv = expand_reduce(sizes, get, op, ne, out_capacity, n_valid)
+    n = sizes.shape[0]
+    valid_row = jnp.arange(n, dtype=jnp.int32) < nv
+    ne_arr = jnp.asarray(ne, red.dtype)
+    folded = op(jnp.full_like(red, ne_arr), red)
+    out = jnp.where(valid_row & (sizes > 0), folded, ne_arr)
+    return out, nv
