@@ -35,6 +35,7 @@ import numpy as np
 from harkdb_tpu.columnar.batch import ColumnBatch
 from harkdb_tpu.columnar.table import Table
 from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
+from harkdb_tpu.kernels.matmul_agg import KEY_TILE, MAX_KEY_SPAN
 from harkdb_tpu.ops.groupby import groupby_batch
 from harkdb_tpu.ops.join import join_batches, join_match_count
 from harkdb_tpu.plan.expr import eval_expr
@@ -54,6 +55,11 @@ def _next_pow2(n: int) -> int:
     if n <= 1:
         return 1
     return 1 << (int(n - 1).bit_length())
+
+
+def _pad_span(span: int) -> int:
+    """Round a key span up to the MXU kernel's key-tile granule."""
+    return -(-span // KEY_TILE) * KEY_TILE
 
 
 def _expr_name(expr) -> str:
@@ -371,11 +377,17 @@ class QueryPlan:
                 self.order_out_idx.append(matches[0])
         self.output_names = [name for _, name in items]
 
-        # MXU fast path (kernels/matmul_agg.py): single direct-column int key
-        # with a small span, aggregates all sum/count over direct int columns.
-        # The span is computed from full-table stats — a safe superset of any
-        # post-WHERE range.
-        self.fast_agg = None
+        # MXU fast path (kernels/matmul_agg.py): single int key with a small
+        # span, aggregates all sum/count over direct int columns. Eligibility
+        # is STRUCTURAL at plan time (fast_candidate); the key range comes
+        # from host table stats when the key is a no-join base column (free,
+        # fast_agg proven here), and otherwise from a one-time on-device
+        # min/max probe at first execution (post-join / post-WHERE keys) —
+        # see _resolve_fast.
+        self.fast_candidate = None      # key internal name when structural
+        self.fast_agg = None            # (key, key_min, span_p) when proven
+        self._probed_fast = None        # execute-time probe cache
+        self.last_fast_span = None      # introspection: span used, or None
         if (
             self.config.use_pallas
             and self.grouped
@@ -384,39 +396,37 @@ class QueryPlan:
             and not self.agg_arg_cols
             and all(op in ("sum", "count") for _s, op, _o in self.agg_specs)
         ):
+            def _int_col(internal: str) -> bool:
+                if "." not in internal:
+                    return False
+                bb, col = internal.split(".", 1)
+                tname2 = next(t for b2, t, _ in bindings if b2 == bb)
+                a = tables[tname2].host_columns.get(col)
+                return a is not None and np.issubdtype(a.dtype, np.integer)
+
             key_internal = self.group_keys[0]
-            b, col = key_internal.split(".", 1)
-            tname = next(t for bb, t, _ in bindings if bb == b)
-            # Only when the key comes straight off a base table (no join
-            # renames lose this linkage) and every summed column is int.
-            if not self.join_steps:
-                rng = tables[tname].column_range(col)
-                def _int_src(src, op):
-                    if op == "count":
-                        return True          # count ignores values (no NULLs)
-                    if "." not in src:
-                        return False
-                    a = tables[tname].host_columns.get(src.split(".", 1)[1])
-                    return a is not None and np.issubdtype(a.dtype, np.integer)
-
-                int_srcs = all(
-                    _int_src(src, op) for src, op, _out in self.agg_specs
-                )
-                # u32-compat key order with negative keys must take the sort
-                # path (the dense keys_axis is emitted signed-ascending).
-                compat_blocks = (
-                    self.config.compat_u32_key_order
-                    and rng is not None and rng[0] < 0
-                )
-                if rng is not None and int_srcs and not compat_blocks:
-                    from harkdb_tpu.kernels.matmul_agg import (
-                        KEY_TILE, MAX_KEY_SPAN,
+            int_srcs = all(
+                op == "count" or _int_col(src)   # count ignores values
+                for src, op, _out in self.agg_specs
+            )
+            if int_srcs and _int_col(key_internal):
+                self.fast_candidate = key_internal
+                if not self.join_steps:
+                    b, col = key_internal.split(".", 1)
+                    tname = next(t for bb, t, _ in bindings if bb == b)
+                    rng = tables[tname].column_range(col)
+                    # u32-compat key order with negative keys must take the
+                    # sort path (keys_axis is emitted signed-ascending).
+                    compat_blocks = (
+                        self.config.compat_u32_key_order
+                        and rng is not None and rng[0] < 0
                     )
-
-                    span = rng[1] - rng[0] + 1
-                    if span <= MAX_KEY_SPAN:
-                        span_p = -(-span // KEY_TILE) * KEY_TILE
-                        self.fast_agg = (key_internal, rng[0], span_p)
+                    if rng is not None and not compat_blocks:
+                        span = rng[1] - rng[0] + 1
+                        if span <= MAX_KEY_SPAN:
+                            self.fast_agg = (
+                                key_internal, rng[0], _pad_span(span)
+                            )
 
         # ---- projection pushdown ---------------------------------------------
         # Only load columns the query actually touches (select/where/having/
@@ -442,7 +452,60 @@ class QueryPlan:
             b: jax.jit(functools.partial(self._apply_pushdown, b))
             for b in self.pushdown
         }
-        self._phase_b = jax.jit(self._phase_b_impl)
+        # Phase-B pipelines are jit-cached per MXU-fast-path span (None =
+        # general sort path); the probe jit is built lazily.
+        self._phase_b_cache: Dict[object, object] = {}
+        self._probe_jit = None
+
+    def _phase_b_for(self, fast_span):
+        f = self._phase_b_cache.get(fast_span)
+        if f is None:
+            f = jax.jit(functools.partial(self._phase_b_impl, fast_span))
+            self._phase_b_cache[fast_span] = f
+        return f
+
+    def _probe_impl(self, batch: ColumnBatch):
+        """On-device (min, max, any) of the group key over live rows passing
+        the WHERE residual — the execute-time range check that admits
+        post-join / post-WHERE keys to the MXU fast path."""
+        cap = batch.capacity
+        live = jnp.arange(cap, dtype=jnp.int32) < batch.n_valid
+        if self.where_residual is not None:
+            live = live & eval_expr(
+                self.where_residual, batch.columns, cap, self.config
+            ).astype(jnp.bool_)
+        key = batch.column(self.fast_candidate)
+        info = jnp.iinfo(key.dtype)
+        kmin = jnp.min(jnp.where(live, key, info.max))
+        kmax = jnp.max(jnp.where(live, key, info.min))
+        return kmin, kmax, jnp.any(live)
+
+    def _resolve_fast(self, batch: ColumnBatch):
+        """(fast_span, key_min) for this execution; (None, 0) = sort path.
+
+        Statically proven spans (no-join base-table stats) skip the probe;
+        otherwise one device round-trip per plan measures the live key range
+        (cached on the plan — the plan cache is invalidated whenever its
+        tables change, api.create_table/drop_table)."""
+        if self.fast_agg is not None:
+            _k, kmin, span_p = self.fast_agg
+            return span_p, kmin
+        if self.fast_candidate is None:
+            return None, 0
+        if self._probed_fast is None:
+            if self._probe_jit is None:
+                self._probe_jit = jax.jit(self._probe_impl)
+            kmin_a, kmax_a, any_a = self._probe_jit(batch)
+            kmin, kmax, nonempty = int(kmin_a), int(kmax_a), bool(any_a)
+            fast = (None, 0)
+            if nonempty and not (
+                self.config.compat_u32_key_order and kmin < 0
+            ):
+                span = kmax - kmin + 1
+                if span <= MAX_KEY_SPAN:
+                    fast = (_pad_span(span), kmin)
+            self._probed_fast = fast
+        return self._probed_fast
 
     def _apply_pushdown(self, binding: str, batch: ColumnBatch) -> ColumnBatch:
         mask = eval_expr(
@@ -472,8 +535,10 @@ class QueryPlan:
             l_out = tuple((n, n) for n in batch.names)
             r_out = tuple((n, n) for n in right.names)
             batch = _jit_join(lk, rk, cap, l_out, r_out, kind)(batch, right)
-        # Phase B: compiled pipeline.
-        return self._phase_b(batch)
+        # Phase B: compiled pipeline (jit keyed by MXU fast-path span).
+        fast_span, key_min = self._resolve_fast(batch)
+        self.last_fast_span = fast_span
+        return self._phase_b_for(fast_span)(batch, jnp.int32(key_min))
 
     def _load(self, tables: Dict[str, Table], binding_idx: int) -> ColumnBatch:
         b, tname, cols = self.bindings[binding_idx]
@@ -487,7 +552,8 @@ class QueryPlan:
             src.n_valid,
         )
 
-    def _phase_b_impl(self, batch: ColumnBatch) -> ColumnBatch:
+    def _phase_b_impl(self, fast_span, batch: ColumnBatch,
+                      key_min) -> ColumnBatch:
         cap = batch.capacity
         if self.config.debug_checks:
             from harkdb_tpu.utils.checks import debug_validate
@@ -513,13 +579,14 @@ class QueryPlan:
                     batch = debug_validate(batch, "after WHERE")
 
         # GROUP BY + aggregates — MXU one-hot matmul fast path when the
-        # planner proved eligibility (small dense int key, sum/count only).
-        if self.grouped and self.fast_agg is not None:
+        # gate admits it (small dense int key, sum/count only; span either
+        # proven from table stats or probed on device — _resolve_fast).
+        if self.grouped and fast_span is not None:
             import jax as _jax
 
             from harkdb_tpu.kernels.matmul_agg import onehot_groupby_sums
 
-            key_name, key_min, span = self.fast_agg
+            key_name, span = self.fast_candidate, fast_span
             sum_srcs = list(dict.fromkeys(
                 src for src, op, _ in self.agg_specs if op == "sum"
             ))
@@ -527,7 +594,7 @@ class QueryPlan:
                 batch.column(key_name),
                 [batch.column(s) for s in sum_srcs],
                 batch.n_valid,
-                jnp.int32(key_min),
+                key_min,
                 span,
                 mask=where_mask,
                 interpret=_jax.default_backend() != "tpu",

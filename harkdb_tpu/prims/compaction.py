@@ -46,6 +46,40 @@ def compact(values: Array, mask: Array, n_valid: Array | None = None,
     return out, count
 
 
+def compact_arrays(
+    arrays, mask: Array, n_valid: Array, use_pallas: bool | None = None,
+):
+    """Pack rows of several equal-length arrays where ``mask`` holds.
+
+    Returns ``(packed_list, count)`` — the positional-list flavor of
+    :func:`compact_batch` for operator internals (e.g. groupby's
+    segment-end packing). Same path selection: log-shift Pallas kernel on
+    TPU, one payload-carrying stable sort elsewhere. Rows at index >= count
+    are unspecified on the kernel path and zero-suppressed by callers.
+    """
+    if use_pallas is None:
+        from harkdb_tpu.config import DEFAULT_CONFIG
+
+        use_pallas = DEFAULT_CONFIG.use_pallas
+    arrays = list(arrays)
+    if use_pallas and jax.default_backend() == "tpu":
+        from harkdb_tpu.kernels.compact import (
+            flat_compact, flat_compact_supported,
+        )
+
+        cols = {f"#{i}": a for i, a in enumerate(arrays)}
+        if flat_compact_supported(cols) and arrays[0].shape[0] > 0:
+            out, count = flat_compact(cols, mask, n_valid)
+            return [out[f"#{i}"] for i in range(len(arrays))], count
+    n = mask.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    mask = mask & (idx < n_valid)
+    count = jnp.sum(mask).astype(jnp.int32)
+    dropped = jnp.logical_not(mask).astype(jnp.int32)
+    out = jax.lax.sort([dropped] + arrays, num_keys=1, is_stable=True)
+    return list(out[1:]), count
+
+
 def compact_batch(
     batch: ColumnBatch, mask: Array, use_pallas: bool | None = None
 ) -> ColumnBatch:

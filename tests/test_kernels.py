@@ -222,3 +222,71 @@ class TestPlannerFastPath:
         assert plan.fast_agg is None
         out = c.sql("select k, sum(v) from t group by k")
         np.testing.assert_array_equal(out, [[0, 1], [10**8, 2]])
+        # The execute-time probe also measured the wide span and declined.
+        assert plan.fast_candidate is not None
+        assert plan.last_fast_span is None
+
+    def test_post_join_keys_take_mxu_path(self, rng):
+        """VERDICT round-1 item 5: a join→where→groupby pipeline must reach
+        the MXU kernel via the on-device range probe (plan introspection)."""
+        c = Context()
+        n = 3000
+        facts = pd.DataFrame({
+            "k": rng.integers(0, 40, n).astype(np.int32),
+            "v": rng.integers(-50, 50, n).astype(np.int32),
+        })
+        dims = pd.DataFrame({
+            "j": np.arange(40, dtype=np.int32),
+            "m": rng.integers(1, 5, 40).astype(np.int32),
+        })
+        c.create_table("facts", facts)
+        c.create_table("dims", dims)
+        q = ("select k, sum(v), count(*) from facts "
+             "join dims on facts.k = dims.j "
+             "where v > 0 group by k order by k")
+        plan = c._plan(q)
+        assert plan.fast_agg is None            # no static proof with a join
+        assert plan.fast_candidate is not None  # but structurally eligible
+        out = c.sql(q)
+        assert plan.last_fast_span is not None  # probe admitted the MXU path
+        f = facts[facts.v > 0]
+        e = f.groupby("k")["v"].agg(["sum", "count"]).reset_index()
+        np.testing.assert_array_equal(out, e.to_numpy())
+        # Probe result is cached on the plan: re-execution must not re-probe.
+        probed = plan._probed_fast
+        out2 = c.sql(q)
+        assert plan._probed_fast is probed
+        np.testing.assert_array_equal(out2, e.to_numpy())
+
+    def test_where_narrows_wide_table_onto_mxu_path(self, rng):
+        """Full-table stats say the span is huge, but the probe sees the
+        post-WHERE range and still admits the MXU path."""
+        c = Context()
+        k = np.concatenate([
+            rng.integers(0, 30, 2000), np.array([10**8])
+        ]).astype(np.int32)
+        v = rng.integers(0, 9, k.size).astype(np.int32)
+        df = pd.DataFrame({"k": k, "v": v})
+        c.create_table("t", df)
+        q = "select k, sum(v) from t where k < 1000 group by k"
+        plan = c._plan(q)
+        assert plan.fast_agg is None
+        out = c.sql(q)
+        assert plan.last_fast_span is not None
+        f = df[df.k < 1000]
+        e = f.groupby("k")["v"].sum().reset_index()
+        np.testing.assert_array_equal(out, e.to_numpy())
+
+    def test_empty_probe_falls_back(self):
+        c = Context()
+        df = pd.DataFrame({"k": np.array([5], np.int32),
+                           "v": np.array([1], np.int32)})
+        c.create_table("t", df)
+        c.create_table("r", pd.DataFrame({
+            "j": np.array([9], np.int32), "m": np.array([1], np.int32),
+        }))
+        q = ("select k, sum(v) from t join r on t.k = r.j group by k")
+        out = c.sql(q)                          # join is empty → probe empty
+        plan = c._plan(q)
+        assert plan.last_fast_span is None
+        assert out.shape[0] == 0
