@@ -197,29 +197,50 @@ def _main():
         return (jnp.sum(l_idx[::stride]) + jnp.sum(r_idx[::stride])
                 + total).astype(jnp.int32)
 
-    # Full mix: filter → groupby → sort, mirroring the planner's fused
-    # pipeline (the WHERE mask rides the group-by's own sort).
+    # Full mix: filter → groupby → sort, mirroring the planner's actual
+    # two-phase pipeline: the WHERE mask rides the group-by's own sort, then
+    # n_groups is synced to the host and the ORDER BY tail runs at a
+    # power-of-two capacity bucketed to the group count (sorting the groups,
+    # not the input-capacity padding) — exactly planner.execute's split.
     @jax.jit
-    def run_mix(i, k, v, nv):
+    def run_mix_group(i, k, v, nv):
         b = ColumnBatch({"k": k, "v": v + i}, nv)
-        g = groupby_batch(
+        return groupby_batch(
             b, "k",
             [("v", "sum", "s"), ("v", "max", "m"), ("v", "count", "c")],
             mask=b.column("v") > 0,
         )
-        return _checksum(sort_batch(g, ["s"], descending=[True]))
+
+    import functools
+
+    @functools.lru_cache(maxsize=8)
+    def mix_tail_for(cap2):
+        @jax.jit
+        def tail(g):
+            cols = {nme: c[:cap2] for nme, c in g.columns.items()}
+            b = ColumnBatch(cols, g.n_valid)
+            return _checksum(sort_batch(b, ["s"], descending=[True]))
+        return tail
+
+    def run_mix(i, k, v, nv):
+        g = run_mix_group(i, k, v, nv)
+        n_groups = int(g.n_valid)              # engine-real host sync
+        cap2 = min(1 << max(10, (n_groups - 1).bit_length()), n)
+        return mix_tail_for(cap2)(g)
 
     rtt_holder = [0.0]
 
-    def sync_time(fn, *args):
-        """fn(i, *args) -> scalar checksum; seconds per iter - RTT."""
+    def sync_time(fn, *args, n_syncs=1):
+        """fn(i, *args) -> scalar checksum; seconds per iter minus the
+        dispatch round-trips (n_syncs host syncs per iteration)."""
         t_c0 = time.monotonic()
         _ = int(fn(0, *args))                      # warmup/compile
         log(f"  warmup+compile {time.monotonic() - t_c0:.1f}s")
         t0 = time.perf_counter()
         for i in range(1, iters + 1):
             _ = int(fn(i, *args))
-        dt = (time.perf_counter() - t0) / iters - rtt_holder[0]
+        dt = ((time.perf_counter() - t0) / iters
+              - n_syncs * rtt_holder[0])
         return max(dt, 1e-9)
 
     def stage_rtt():
@@ -232,9 +253,9 @@ def _main():
         log(f"dispatch RTT: {rtt*1e3:.1f} ms (subtracted from all timings)")
         return None
 
-    def op_stage(name, fn, *args):
+    def op_stage(name, fn, *args, n_syncs=1):
         def run():
-            dt = sync_time(fn, *args)
+            dt = sync_time(fn, *args, n_syncs=n_syncs)
             _PARTIAL[name] = n / dt
             log(f"{name:8s} {n / dt / 1e9:.3f} Grows/s  ({dt*1e3:.1f} ms)")
         return run
@@ -245,7 +266,7 @@ def _main():
         ("filter", op_stage("filter", run_filter, key, val, nv)),
         ("groupby", op_stage("groupby", run_groupby, key, val, nv)),
         ("join", op_stage("join", run_join, key, rkey, nv, nm)),
-        ("mix", op_stage("mix", run_mix, key, val, nv)),
+        ("mix", op_stage("mix", run_mix, key, val, nv, n_syncs=2)),
     ]
 
     for name, run in stages:

@@ -188,13 +188,16 @@ def groupby_aggregate(
         end_arrays.append(idx)
 
     # ONE shared compaction: pack segment-end rows (keys + every scan result)
-    # to the front, in key order (stable sort on the inverted end flag).
-    not_end = jnp.logical_not(is_end).astype(jnp.int32)
-    packed = jax.lax.sort(
-        [not_end] + sorted_keys + end_arrays, num_keys=1, is_stable=True
+    # to the front, in key order. On TPU this is the log-shift streaming
+    # kernel (prims/compaction.py compact_arrays, ~3 ms at 16M rows);
+    # fallback is a stable sort on the inverted end flag.
+    from harkdb_tpu.prims.compaction import compact_arrays
+
+    packed, _cnt = compact_arrays(
+        sorted_keys + end_arrays, is_end, jnp.int32(n)
     )
-    packed_keys = packed[1:1 + nk]
-    packed_vals = packed[1 + nk:]
+    packed_keys = packed[:nk]
+    packed_vals = packed[nk:]
 
     live_out = idx < n_groups
     keys_out = []

@@ -8,51 +8,74 @@ LEFT JOIN keeps unmatched left rows with zero-filled right columns.
 
 TPU-first algorithm, shaped by v5e microbenchmarks: ``searchsorted`` is
 catastrophic on TPU (binary search = a chain of dependent gathers; 3 s for a
-16M probe into 1M keys, vs ~40 ms for a payload-carrying sort). So instead of
-sort+binary-search, both sides are concatenated and sorted ONCE by
-(key, side) with side ordering rights before lefts within each key run — the
-reference's tag-and-sort idea (``join.fut:55-58``) vectorized:
+16M probe into 1M keys, vs ~40 ms for a payload-carrying sort), and every
+random 16M-row gather costs ~145 ms. The design therefore does ONE concat
+sort and minimizes gathers:
 
-  * rights-per-run seen at a left row   = segmented count of rights (cumsum
-    difference), which for rights-first ordering equals that key's full right
-    count — the match count;
-  * global rights before the run        = cumsum(rights) - in-run count — the
-    match start offset ``lo`` in sorted-right coordinates;
-  * pair materialization                = replicated/segmented iota expansion
-    (``expand``), exactly as before.
+  1. **Ranges** (:func:`compute_join_ranges`): both sides concatenated and
+     sorted ONCE by (key, side) with side ordering rights before lefts
+     within each key run — the reference's tag-and-sort idea
+     (``join.fut:55-58``) vectorized. Per sorted-left row, the match count
+     is a cumsum difference and the match start ``lo`` a cummax-filled run
+     base. Output columns ride the same sort as payload (extra sort
+     operands are nearly free), and the sorted-left / sorted-right splits
+     are stable compactions — the log-shift Pallas kernel on TPU (~3 ms
+     each vs ~60-90 ms sort fallback). Both join totals (inner and left)
+     come out of this single pass — the planner's count phase reuses the
+     SAME device arrays for materialization instead of recomputing
+     (count-then-materialize without the double work).
+  2. **Materialization** (:func:`join_batches` / :func:`join_indices`):
+     pair expansion via replicated/segmented iota; then exactly ONE stacked
+     gather per side — every carried column is bitcast to int32 and rides
+     one gather (gather cost is dominated by the index count, not payload
+     width): left columns + counts + lo by the monotone ``safe_seg``,
+     right columns by ``r_pos``.
 
 No sequential per-key loop (the reference's biggest algorithmic weakness,
-``join.fut:67-68``) and no binary search. Static shapes: materialization takes
-``out_capacity`` decided by the planner from the count phase
-(count-then-materialize, SURVEY §7 hard part 1).
+``join.fut:67-68``) and no binary search. Static shapes: materialization
+takes ``out_capacity`` decided by the planner from the count phase
+(SURVEY §7 hard part 1).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from harkdb_tpu.columnar.batch import ColumnBatch
 from harkdb_tpu.ops.sort import _pad_to_max
+from harkdb_tpu.prims.compaction import compact_arrays
 from harkdb_tpu.prims.segmented import replicated_iota, segmented_iota
 
 Array = jax.Array
 
 
-def _match_ranges(
-    l_key: Array, n_l: Array, r_key: Array, n_r: Array
-) -> Tuple[Array, Array, Array, Array, Array]:
-    """Per-left-row right-side match ranges, all via one concat sort.
+class JoinRanges(NamedTuple):
+    """Single-pass join state, reused by count AND materialize phases.
 
-    Returns ``(l_perm, r_perm, lo, counts, total)``:
-      * ``l_perm[i]``  — original left row at sorted-left position i;
-      * ``r_perm[j]``  — original right row at sorted-right position j;
-      * ``lo[i]``      — first matching sorted-right position for sorted-left
-        row i; ``counts[i]`` matches follow contiguously;
-      * ``total``      — total number of inner-join pairs.
+    Arrays are in sorted coordinates: index i of the ``l_*`` arrays is the
+    i-th live left row in (key, original-order) sorted order (first
+    ``n_lefts`` entries live), likewise ``r_*`` for right rows.
     """
+
+    l_orig: Array          # (nl,) original left row per sorted-left position
+    counts: Array          # (nl,) right matches (0 past live)
+    lo: Array              # (nl,) first matching sorted-right position
+    l_payload: Tuple[Array, ...]   # carried left columns, sorted-left order
+    r_orig: Array          # (nr,) original right row per sorted-right pos
+    r_payload: Tuple[Array, ...]   # carried right columns, sorted-right order
+    n_lefts: Array         # live left rows
+    total: Array           # inner-join pair count
+    total_left: Array      # LEFT-join row count (unmatched lefts emit 1)
+
+
+def compute_join_ranges(
+    l_key: Array, n_l: Array, r_key: Array, n_r: Array,
+    l_cols: Sequence[Array] = (), r_cols: Sequence[Array] = (),
+) -> JoinRanges:
+    """One concat sort + two kernel compactions → everything a join needs."""
     nl, nr = l_key.shape[0], r_key.shape[0]
     n = nl + nr
     # Pads → dtype max so they cluster at the back; side key orders rights
@@ -61,17 +84,25 @@ def _match_ranges(
     rk = _pad_to_max(r_key, n_r)
     l_idx = jnp.arange(nl, dtype=jnp.int32)
     r_idx = jnp.arange(nr, dtype=jnp.int32)
-    l_pad = (l_idx >= n_l).astype(jnp.int32)
-    r_pad = (r_idx >= n_r).astype(jnp.int32)
 
     keys = jnp.concatenate([lk, rk])
     # side: 0 = live right, 1 = live left, 2 = padding (either side).
-    side = jnp.concatenate([1 + l_pad, r_pad * 2])
-    orig = jnp.concatenate([l_idx, r_idx])
-
-    skey, sside, sorig = jax.lax.sort(
-        [keys, side, orig], num_keys=2, is_stable=True
+    side = jnp.concatenate(
+        [1 + (l_idx >= n_l).astype(jnp.int32),
+         (r_idx >= n_r).astype(jnp.int32) * 2]
     )
+    orig = jnp.concatenate([l_idx, r_idx])
+    payload = [
+        jnp.concatenate([c, jnp.zeros((nr,), c.dtype)]) for c in l_cols
+    ] + [
+        jnp.concatenate([jnp.zeros((nl,), c.dtype), c]) for c in r_cols
+    ]
+
+    sorted_all = jax.lax.sort(
+        [keys, side, orig] + payload, num_keys=2, is_stable=True
+    )
+    skey, sside, sorig = sorted_all[:3]
+    spay = sorted_all[3:]
 
     pos = jnp.arange(n, dtype=jnp.int32)
     is_right = (sside == 0).astype(jnp.int32)
@@ -91,42 +122,101 @@ def _match_ranges(
     # For a LEFT row, every right of its run precedes it → its match count is
     # rights_in_run_so_far and its lo is base.
     counts_sorted = jnp.where(is_left, rights_in_run_so_far, 0)
-    lo_sorted = base
+    total = jnp.sum(counts_sorted).astype(jnp.int32)
+    total_left = jnp.sum(
+        jnp.where(is_left, jnp.maximum(counts_sorted, 1), 0)
+    ).astype(jnp.int32)
 
-    # Split back into sorted-left / sorted-right coordinate arrays with ONE
-    # payload-carrying sort each (cheap) instead of per-array gathers.
-    not_left = jnp.logical_not(is_left).astype(jnp.int32)
-    ol, cl, ll = jax.lax.sort(
-        [not_left, sorig, counts_sorted, lo_sorted], num_keys=1,
-        is_stable=True,
-    )[1:]
-    l_perm, counts, lo = ol[:nl], cl[:nl], ll[:nl]
+    # Stable compactions back to per-side coordinates (log-shift kernel on
+    # TPU, payload-carrying sort elsewhere). Kernel-path rows past the live
+    # count are unspecified: counts drives expansion sizes downstream, so
+    # zero its tail.
+    nn = jnp.int32(n)
+    nlc = len(l_cols)
+    l_split, n_lefts = compact_arrays(
+        [sorig, counts_sorted, base] + list(spay[:nlc]), is_left, nn
+    )
+    l_orig, cl, lo = (a[:nl] for a in l_split[:3])
+    counts = jnp.where(l_idx < n_lefts, cl, 0)
+    l_payload = tuple(a[:nl] for a in l_split[3:])
 
-    not_right = (1 - is_right).astype(jnp.int32)
-    r_perm = jax.lax.sort(
-        [not_right, sorig], num_keys=1, is_stable=True
-    )[1][:nr]
+    r_split, _ = compact_arrays(
+        [sorig] + list(spay[nlc:]), is_right > 0, nn
+    )
+    r_orig = r_split[0][:nr]
+    r_payload = tuple(a[:nr] for a in r_split[1:])
 
-    total = jnp.sum(counts).astype(jnp.int32)
-    return l_perm, r_perm, lo, counts, total
+    return JoinRanges(
+        l_orig, counts, lo, l_payload, r_orig, r_payload,
+        n_lefts, total, total_left,
+    )
 
 
 def join_match_count(
     l_key: Array, n_l: Array, r_key: Array, n_r: Array, kind: str = "inner"
 ) -> Array:
-    """Exact number of output rows (device scalar) — the planner's count phase.
+    """Exact number of output rows (device scalar) — the count phase.
 
     LEFT JOIN emits one row for every unmatched left row, so its count is
     ``sum(max(matches, 1))`` over live left rows.
     """
-    _, _, _, counts, total = _match_ranges(l_key, n_l, r_key, n_r)
+    rng = compute_join_ranges(l_key, n_l, r_key, n_r)
+    return rng.total_left if kind == "left" else rng.total
+
+
+def _stacked_gather(arrays: Sequence[Array], idx: Array,
+                    indices_are_sorted: bool = False):
+    """Gather k same-length columns by ONE index array: every column is
+    bitcast to int32 and stacked, so the gather cost (index-count-dominated
+    on TPU) is paid once regardless of k."""
+    arrays = list(arrays)
+    if not arrays:
+        return []
+    if len(arrays) == 1:
+        return [arrays[0].at[idx].get(indices_are_sorted=indices_are_sorted)]
+    bits = [
+        a if a.dtype == jnp.int32
+        else jax.lax.bitcast_convert_type(a, jnp.int32)
+        for a in arrays
+    ]
+    g = jnp.stack(bits, axis=1).at[idx].get(
+        indices_are_sorted=indices_are_sorted
+    )
+    out = []
+    for j, a in enumerate(arrays):
+        col = g[:, j]
+        if a.dtype != jnp.int32:
+            col = jax.lax.bitcast_convert_type(col, a.dtype)
+        out.append(col)
+    return out
+
+
+def _expand_pairs(rng: JoinRanges, out_capacity: int, kind: str):
+    """Pair expansion: per-output-slot (sorted-left segment, local index,
+    matched flag, right sorted position, total)."""
+    counts, n_lefts = rng.counts, rng.n_lefts
+    nl = counts.shape[0]
     if kind == "left":
-        n = l_key.shape[0]
-        l_valid = jnp.arange(n, dtype=jnp.int32) < n_l
-        return jnp.sum(jnp.where(l_valid, jnp.maximum(counts, 1), 0)).astype(
-            jnp.int32
+        emit = jnp.where(
+            jnp.arange(nl, dtype=jnp.int32) < n_lefts,
+            jnp.maximum(counts, 1), 0,
         )
-    return total
+        total = rng.total_left
+    elif kind == "inner":
+        emit = counts
+        total = rng.total
+    else:
+        raise ValueError(f"Unsupported join kind {kind!r}")
+
+    seg_ids, _ = replicated_iota(emit, out_capacity)
+    out_idx = jnp.arange(out_capacity, dtype=jnp.int32)
+    live = out_idx < total
+    safe_seg = jnp.where(live, jnp.minimum(seg_ids, nl - 1), 0)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), seg_ids[1:] != seg_ids[:-1]]
+    )
+    local = segmented_iota(starts)
+    return safe_seg, local, live, total
 
 
 def join_indices(
@@ -148,41 +238,19 @@ def join_indices(
     truncated — the planner prevents this by sizing capacity from
     :func:`join_match_count`.
     """
-    l_perm, r_perm, lo, counts, total = _match_ranges(l_key, n_l, r_key, n_r)
-    n = l_key.shape[0]
+    rng = compute_join_ranges(l_key, n_l, r_key, n_r)
+    safe_seg, local, live, total = _expand_pairs(rng, out_capacity, kind)
 
-    if kind == "left":
-        l_valid = jnp.arange(n, dtype=jnp.int32) < n_l
-        emit = jnp.where(l_valid, jnp.maximum(counts, 1), 0)
-        total = jnp.sum(emit).astype(jnp.int32)
-    elif kind == "inner":
-        emit = counts
-    else:
-        raise ValueError(f"Unsupported join kind {kind!r}")
-
-    # seg_ids: which sorted-left row produced each output pair.
-    seg_ids, _ = replicated_iota(emit, out_capacity)
-    out_idx = jnp.arange(out_capacity, dtype=jnp.int32)
-    live = out_idx < total
-    safe_seg = jnp.where(live, jnp.minimum(seg_ids, emit.shape[0] - 1), 0)
-
-    starts = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), seg_ids[1:] != seg_ids[:-1]]
+    # ONE stacked gather per side (monotone safe_seg; then r_pos).
+    seg_l_orig, seg_counts, seg_lo = _stacked_gather(
+        [rng.l_orig, rng.counts, rng.lo], safe_seg, indices_are_sorted=True
     )
-    local = segmented_iota(starts)
-
-    # One stacked gather for the three per-left-row values (gather cost on
-    # TPU is dominated by the index count, not the row payload width).
-    # ``safe_seg`` is monotone non-decreasing — tell XLA.
-    packed = jnp.stack([l_perm, counts, lo], axis=1).at[safe_seg].get(
-        indices_are_sorted=True
-    )
-    seg_l_perm, seg_counts, seg_lo = packed[:, 0], packed[:, 1], packed[:, 2]
-
     matched = live & (local < seg_counts)
-    l_out = jnp.where(live, seg_l_perm, 0)
+    l_out = jnp.where(live, seg_l_orig, 0)
     r_pos = jnp.where(matched, seg_lo + local, 0)
-    r_out = r_perm[jnp.minimum(r_pos, r_perm.shape[0] - 1)]
+    (r_out,) = _stacked_gather(
+        [rng.r_orig], jnp.minimum(r_pos, rng.r_orig.shape[0] - 1)
+    )
     r_out = jnp.where(matched, r_out, 0)
     return l_out, r_out, matched, total
 
@@ -206,6 +274,7 @@ def join_batches(
     l_out: Dict[str, str] | None = None,
     r_out: Dict[str, str] | None = None,
     kind: str = "inner",
+    ranges: JoinRanges | None = None,
 ) -> ColumnBatch:
     """Equi-join of two batches (inner or left).
 
@@ -214,42 +283,40 @@ def join_batches(
     [left cols | right cols] per the reference (``join.fut:74-75``). LEFT
     JOIN fills right columns of unmatched rows with 0 (no NULLs in the
     engine's numeric model).
+
+    ``ranges`` optionally supplies a precomputed :func:`compute_join_ranges`
+    result WITH matching payload columns (l_out/r_out values order) — the
+    planner passes the count phase's ranges so the concat sort runs once
+    per join, not twice.
     """
     l_out = l_out if l_out is not None else {n: n for n in left.names}
     r_out = r_out if r_out is not None else {n: n for n in right.names}
-    l_idx, r_idx, matched, total = join_indices(
-        left.column(l_key_name), left.n_valid,
-        right.column(r_key_name), right.n_valid,
-        out_capacity, kind,
+    if ranges is None:
+        ranges = compute_join_ranges(
+            left.column(l_key_name), left.n_valid,
+            right.column(r_key_name), right.n_valid,
+            l_cols=[left.column(s) for s in l_out],
+            r_cols=[right.column(s) for s in r_out],
+        )
+    safe_seg, local, live, total = _expand_pairs(ranges, out_capacity, kind)
+
+    # Left side + match metadata: ONE stacked gather by monotone safe_seg.
+    l_gathered = _stacked_gather(
+        [ranges.counts, ranges.lo] + list(ranges.l_payload),
+        safe_seg, indices_are_sorted=True,
     )
-    # Materialize outputs with ONE stacked gather per (side, dtype) — gather
-    # cost is dominated by the index count, so k same-dtype columns ride one
-    # gather instead of k.
+    seg_counts, seg_lo = l_gathered[0], l_gathered[1]
+    matched = live & (local < seg_counts)
+    r_pos = jnp.where(matched, seg_lo + local, 0)
+    nr = ranges.r_orig.shape[0]
+    r_gathered = _stacked_gather(
+        list(ranges.r_payload), jnp.minimum(r_pos, nr - 1)
+    )
+
     cols = {}
-
-    def _gather_side(batch_side, out_map, idx_arr, zero_unmatched):
-        by_dtype: Dict[str, list] = {}
-        for src, dst in out_map.items():
-            arr = batch_side.column(src)
-            by_dtype.setdefault(str(arr.dtype), []).append((arr, dst))
-        for members in by_dtype.values():
-            if len(members) == 1:
-                arr, dst = members[0]
-                g = arr[idx_arr]
-                if zero_unmatched:
-                    g = jnp.where(matched, g, 0)
-                cols[dst] = g
-                continue
-            stacked = jnp.stack([a for a, _ in members], axis=1)[idx_arr]
-            for j, (_a, dst) in enumerate(members):
-                g = stacked[:, j]
-                if zero_unmatched:
-                    g = jnp.where(matched, g, 0)
-                cols[dst] = g
-
-    _gather_side(left, l_out, l_idx, False)
-    _gather_side(right, r_out, r_idx, kind == "left")
-    # Restore the contract's column order ([left cols | right cols]) — the
-    # dtype grouping above fills `cols` out of order.
-    ordered = [*l_out.values(), *r_out.values()]
-    return ColumnBatch({dst: cols[dst] for dst in ordered}, total)
+    for dst, col in zip(l_out.values(), l_gathered[2:]):
+        cols[dst] = jnp.where(live, col, 0)
+    zero_right = kind == "left"
+    for dst, col in zip(r_out.values(), r_gathered):
+        cols[dst] = jnp.where(matched if zero_right else live, col, 0)
+    return ColumnBatch(cols, total)

@@ -119,12 +119,16 @@ def dist_groupby(
             received = ColumnBatch(shuf_cols, shuf_n)
             final = groupby_batch(received, key_names, post_specs)
             out_cols = dict(final.columns)
-            return out_cols, final.n_valid.reshape(1), overflow.reshape(1)
+            # overflow replicated via psum so the host retry loop can read
+            # it in MULTI-PROCESS runs (per-shard outputs are not
+            # addressable across processes).
+            return (out_cols, final.n_valid.reshape(1),
+                    jax.lax.psum(overflow, axis))
 
         out_names = key_names + [out for _, _, out in post_specs]
         specs_in = ({n: P(axis) for n in sb.names}, P(axis))
         specs_out = (
-            {n: P(axis) for n in out_names}, P(axis), P(axis),
+            {n: P(axis) for n in out_names}, P(axis), P(),
         )
         return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
                                      out_specs=specs_out))
@@ -140,7 +144,7 @@ def dist_groupby(
     while True:
         f = make(bucket_cap)
         out_cols, out_counts, overflow = f(sb.columns, sb.shard_counts)
-        if int(jnp.max(overflow)) == 0:
+        if int(overflow) == 0:
             return ShardedBatch(out_cols, out_counts)
         if bucket_cap >= C * 2:
             raise ShuffleOverflow("groupby shuffle bucket overflow")
@@ -173,11 +177,12 @@ def _dist_groupby_multikey(sb, key_names, agg_specs, mesh, config, pre_fn):
             shuf_cols.pop("#route", None)
             received = ColumnBatch(shuf_cols, shuf_n)
             final = groupby_batch(received, key_names, post_specs)
-            return dict(final.columns), final.n_valid.reshape(1), overflow.reshape(1)
+            return (dict(final.columns), final.n_valid.reshape(1),
+                    jax.lax.psum(overflow, axis))
 
         out_names = list(key_names) + [out for _, _, out in post_specs]
         specs_in = ({n: P(axis) for n in sb.names}, P(axis))
-        specs_out = ({n: P(axis) for n in out_names}, P(axis), P(axis))
+        specs_out = ({n: P(axis) for n in out_names}, P(axis), P())
         return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
                                      out_specs=specs_out))
 
@@ -185,7 +190,7 @@ def _dist_groupby_multikey(sb, key_names, agg_specs, mesh, config, pre_fn):
     while True:
         f = make(bucket_cap)
         out_cols, out_counts, overflow = f(sb.columns, sb.shard_counts)
-        if int(jnp.max(overflow)) == 0:
+        if int(overflow) == 0:
             return ShardedBatch(out_cols, out_counts)
         if bucket_cap >= C * 2:
             raise ShuffleOverflow("groupby shuffle bucket overflow")
@@ -252,9 +257,13 @@ def dist_join(
                     r_cols, r_key, r_cnt[0], axis, D, r_cap
                 )
             cnt = join_match_count(ls[l_key], ln, rs[r_key], rn, kind)
-            overflow = lof + rof
+            # Replicated scalars (pmax/psum) so the multi-process host loop
+            # can read them: max local join size sets the uniform static
+            # capacity; overflow drives the retry.
+            cnt_max = jax.lax.pmax(cnt, axis)
+            overflow = jax.lax.psum(lof + rof, axis)
             return (ls, ln.reshape(1), rs, rn.reshape(1),
-                    cnt.reshape(1), overflow.reshape(1))
+                    cnt_max, overflow)
 
         specs_in = (
             {n: P(axis) for n in left.names}, P(axis),
@@ -263,7 +272,7 @@ def dist_join(
         specs_out = (
             {n: P(axis) for n in left.names}, P(axis),
             {n: P(axis) for n in right.names}, P(axis),
-            P(axis), P(axis),
+            P(), P(),
         )
         return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
                                      out_specs=specs_out))
@@ -277,7 +286,7 @@ def dist_join(
         (l_shuf, l_n, r_shuf, r_n, counts, overflow) = f(
             left.columns, left.shard_counts, right.columns, right.shard_counts
         )
-        if int(jnp.max(overflow)) == 0:
+        if int(overflow) == 0:
             break
         if l_cap >= left.local_capacity * 2 and r_cap >= max_r_cap:
             raise ShuffleOverflow("join shuffle bucket overflow")
@@ -287,7 +296,7 @@ def dist_join(
 
     l_part = ShardedBatch(l_shuf, l_n)
     r_part = ShardedBatch(r_shuf, r_n)
-    out_cap = max(128, _next_pow2(int(jnp.max(counts))))
+    out_cap = max(128, _next_pow2(int(counts)))
 
     # ---- stage 2: local join at uniform static capacity ---------------------
     l_names, r_names = l_part.names, r_part.names

@@ -12,10 +12,14 @@ worker subprocesses running :func:`worker_demo`, which drives the engine's
 actual shuffle primitive — hash repartition with all_to_all — across the
 process boundary and psum-checks the result).
 
-Note: host materialization of a cross-process result (``ShardedBatch.
-to_batch``) currently assumes all shards are addressable — single-host
-multi-chip. Cross-process gathers go through replicated scalars/psum here;
-full multi-process result collection uses ``multihost_utils`` (future work).
+Result collection across processes: the executor's gather
+(``ShardedBatch.to_batch_device``) all_gathers to a fully-REPLICATED
+ColumnBatch, every distributed control scalar (shuffle overflow, join
+capacity) is psum/pmax-replicated before the host reads it, and table
+placement uses ``jax.make_array_from_callback`` under multi-process — so a
+2-process run executes a full SQL query end-to-end and every process reads
+the complete result (:func:`worker_sql`, exercised by
+tests/test_multihost.py against the single-process answer).
 """
 
 from __future__ import annotations
@@ -100,3 +104,50 @@ def worker_demo(coordinator: str, num_processes: int, process_id: int) -> str:
     of_local = int(np.asarray(overflow.addressable_shards[0].data)[0])
     assert ok_local == 1 and of_local == 0, (ok_local, of_local)
     return f"OK {total_local}"
+
+
+def worker_sql(coordinator: str, num_processes: int, process_id: int) -> str:
+    """End-to-end SQL across a real process boundary (SURVEY §7.5 done).
+
+    Each process contributes one CPU device; tables are row-sharded over the
+    2-process mesh; a join + WHERE + GROUP BY + HAVING + ORDER BY query runs
+    through the distributed executor (all_to_all shuffles cross the process
+    boundary) and EVERY process materializes the full gathered result, which
+    must match a locally-computed single-device answer bit for bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from harkdb_tpu import Context, EngineConfig
+    from harkdb_tpu.parallel.mesh import make_engine_mesh
+
+    init_multihost(coordinator, num_processes, process_id)
+    cfg = EngineConfig(row_align=64)
+    mesh = make_engine_mesh(config=cfg)
+    assert mesh.devices.size == num_processes
+
+    rng = np.random.default_rng(0)                # same data everywhere
+    n = 500
+    facts = pd.DataFrame({
+        "k": rng.integers(0, 9, n).astype(np.int32),
+        "v": rng.integers(-50, 50, n).astype(np.int32),
+    })
+    dims = pd.DataFrame({
+        "j": np.arange(9, dtype=np.int32),
+        "m": rng.integers(1, 5, 9).astype(np.int32),
+    })
+    q = ("select k, sum(v), max(m), count(*) from facts "
+         "join dims on facts.k = dims.j "
+         "where v > -40 group by k having count(*) > 1 order by k")
+
+    dc = Context(cfg, mesh=mesh)
+    dc.create_table("facts", facts)
+    dc.create_table("dims", dims)
+    out = dc.sql(q)                               # full result, every process
+
+    sc = Context(cfg)                             # single-device oracle
+    sc.create_table("facts", facts)
+    sc.create_table("dims", dims)
+    expect = sc.sql(q)
+    np.testing.assert_array_equal(out, expect)
+    return f"SQL OK {out.shape[0]}x{out.shape[1]}"

@@ -140,6 +140,18 @@ def shard_batch(
         C = max(C, min_local_capacity)
     counts = np.clip(n_rows - per * np.arange(D), 0, per).astype(np.int32)
     sharding = NamedSharding(mesh, P(config.mesh_axis))
+
+    def _put(buf: np.ndarray):
+        # Multi-process meshes: every process holds the same global host
+        # buffer; make_array_from_callback places only the locally
+        # addressable shards (device_put to a non-addressable sharding is
+        # version-dependent).
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                buf.shape, sharding, lambda idx: buf[idx]
+            )
+        return jax.device_put(buf, sharding)
+
     cols = {}
     for name, a in host_cols.items():
         a = np.asarray(a)[:n_rows]
@@ -147,6 +159,6 @@ def shard_batch(
         for i in range(D):
             c = int(counts[i])
             buf[i * C: i * C + c] = a[i * per: i * per + c]
-        cols[name] = jax.device_put(buf, sharding)
-    shard_counts = jax.device_put(counts, sharding)
+        cols[name] = _put(buf)
+    shard_counts = _put(counts)
     return ShardedBatch(cols, shard_counts)

@@ -37,7 +37,7 @@ from harkdb_tpu.columnar.table import Table
 from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
 from harkdb_tpu.kernels.matmul_agg import KEY_TILE, MAX_KEY_SPAN
 from harkdb_tpu.ops.groupby import groupby_batch
-from harkdb_tpu.ops.join import join_batches, join_match_count
+from harkdb_tpu.ops.join import compute_join_ranges, join_batches
 from harkdb_tpu.plan.expr import eval_expr
 from harkdb_tpu.prims.compaction import compact_batch
 from harkdb_tpu.sql.ast_nodes import (
@@ -162,17 +162,28 @@ def _substitute_aggs(expr, agg_map):
 
 
 @functools.lru_cache(maxsize=256)
-def _jit_join(l_key: str, r_key: str, capacity: int,
-              l_out: tuple, r_out: tuple, kind: str = "inner"):
-    def f(left: ColumnBatch, right: ColumnBatch) -> ColumnBatch:
-        return join_batches(
-            left, right, l_key, r_key, capacity, dict(l_out), dict(r_out),
-            kind=kind,
+def _jit_ranges(l_key: str, r_key: str, l_names: tuple, r_names: tuple):
+    """Jitted count phase: one concat sort produces the join ranges AND both
+    totals; the same device arrays then feed materialization (no recompute)."""
+    def f(left: ColumnBatch, right: ColumnBatch):
+        return compute_join_ranges(
+            left.column(l_key), left.n_valid,
+            right.column(r_key), right.n_valid,
+            l_cols=[left.column(s) for s in l_names],
+            r_cols=[right.column(s) for s in r_names],
         )
     return jax.jit(f)
 
 
-_jit_count = jax.jit(join_match_count, static_argnums=(4,))
+@functools.lru_cache(maxsize=256)
+def _jit_join(l_key: str, r_key: str, capacity: int,
+              l_out: tuple, r_out: tuple, kind: str = "inner"):
+    def f(ranges) -> ColumnBatch:
+        return join_batches(
+            None, None, l_key, r_key, capacity, dict(l_out), dict(r_out),
+            kind=kind, ranges=ranges,
+        )
+    return jax.jit(f)
 
 
 class QueryPlan:
@@ -457,11 +468,30 @@ class QueryPlan:
         self._phase_b_cache: Dict[object, object] = {}
         self._probe_jit = None
 
-    def _phase_b_for(self, fast_span):
-        f = self._phase_b_cache.get(fast_span)
+    def _phase_b_for(self, fast_span, stop_after_group: bool = False):
+        key = (fast_span, stop_after_group)
+        f = self._phase_b_cache.get(key)
         if f is None:
-            f = jax.jit(functools.partial(self._phase_b_impl, fast_span))
-            self._phase_b_cache[fast_span] = f
+            f = jax.jit(functools.partial(
+                self._phase_b_impl, fast_span,
+                stop_after_group=stop_after_group,
+            ))
+            self._phase_b_cache[key] = f
+        return f
+
+    def _shrink_tail_for(self, cap2: int):
+        """Jitted slice-to-capacity + post-aggregation tail. Grouped outputs
+        usually have far fewer rows than the input capacity; bucketing the
+        tail's capacity down makes its ORDER BY sort the groups, not the
+        padding (16M-capacity sort ~70 ms vs ~5 ms at 2M on v5e)."""
+        key = ("tail", cap2)
+        f = self._phase_b_cache.get(key)
+        if f is None:
+            def g(batch: ColumnBatch) -> ColumnBatch:
+                cols = {n: c[:cap2] for n, c in batch.columns.items()}
+                return self.run_tail(ColumnBatch(cols, batch.n_valid))
+            f = jax.jit(g)
+            self._phase_b_cache[key] = f
         return f
 
     def _probe_impl(self, batch: ColumnBatch):
@@ -526,18 +556,30 @@ class QueryPlan:
             right = self._load(tables, 1 + step_idx)
             if rb in self._push_jits:
                 right = self._push_jits[rb](right)
-            total = int(_jit_count(
-                batch.column(lk), batch.n_valid,
-                right.column(rk), right.n_valid,
-                kind,
-            ))
+            l_names, r_names = tuple(batch.names), tuple(right.names)
+            ranges = _jit_ranges(lk, rk, l_names, r_names)(batch, right)
+            total = int(ranges.total_left if kind == "left"
+                        else ranges.total)
             cap = _next_pow2(max(total, self.config.row_align))
-            l_out = tuple((n, n) for n in batch.names)
-            r_out = tuple((n, n) for n in right.names)
-            batch = _jit_join(lk, rk, cap, l_out, r_out, kind)(batch, right)
+            l_out = tuple((n, n) for n in l_names)
+            r_out = tuple((n, n) for n in r_names)
+            batch = _jit_join(lk, rk, cap, l_out, r_out, kind)(ranges)
         # Phase B: compiled pipeline (jit keyed by MXU fast-path span).
         fast_span, key_min = self._resolve_fast(batch)
         self.last_fast_span = fast_span
+        if self.grouped and (self.order_items or self.distinct):
+            # Split at the aggregate: sync n_groups, bucket the tail's
+            # capacity down (one ~RTT round-trip buys the tail a sort over
+            # the groups instead of the full input capacity).
+            g = self._phase_b_for(fast_span, stop_after_group=True)(
+                batch, jnp.int32(key_min)
+            )
+            n_groups = int(g.n_valid)
+            cap2 = min(
+                _next_pow2(max(n_groups, self.config.row_align)),
+                g.capacity,
+            )
+            return self._shrink_tail_for(cap2)(g)
         return self._phase_b_for(fast_span)(batch, jnp.int32(key_min))
 
     def _load(self, tables: Dict[str, Table], binding_idx: int) -> ColumnBatch:
@@ -552,8 +594,8 @@ class QueryPlan:
             src.n_valid,
         )
 
-    def _phase_b_impl(self, fast_span, batch: ColumnBatch,
-                      key_min) -> ColumnBatch:
+    def _phase_b_impl(self, fast_span, batch: ColumnBatch, key_min,
+                      stop_after_group: bool = False) -> ColumnBatch:
         cap = batch.capacity
         if self.config.debug_checks:
             from harkdb_tpu.utils.checks import debug_validate
@@ -607,6 +649,8 @@ class QueryPlan:
                 )
             dense = ColumnBatch(gcols, jnp.int32(span))
             batch = compact_batch(dense, counts_k > 0, self.config.use_pallas)
+            if stop_after_group:
+                return batch
             return self.run_tail(batch)
 
         if self.grouped:
@@ -628,6 +672,8 @@ class QueryPlan:
                 u32_key_order=self.config.compat_u32_key_order,
             )
             where_mask = None
+            if stop_after_group:
+                return batch
 
         return self.run_tail(batch, filter_mask=where_mask)
 

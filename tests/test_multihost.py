@@ -19,8 +19,8 @@ os.environ.pop("XLA_FLAGS", None)      # exactly 1 device per process
 import jax
 jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {repo!r})
-from harkdb_tpu.parallel.multihost import worker_demo
-print(worker_demo({coord!r}, 2, int(sys.argv[1])), flush=True)
+from harkdb_tpu.parallel.multihost import {fn}
+print({fn}({coord!r}, 2, int(sys.argv[1])), flush=True)
 """
 
 
@@ -32,12 +32,11 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(300)
-def test_two_process_shuffle(tmp_path):
+def _run_two_process(tmp_path, fn, expect_marker):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     coord = f"127.0.0.1:{_free_port()}"
     script = tmp_path / "worker.py"
-    script.write_text(WORKER.format(repo=repo, coord=coord))
+    script.write_text(WORKER.format(repo=repo, coord=coord, fn=fn))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     # The machine's sitecustomize registers a TPU plugin (and touches the
@@ -58,4 +57,17 @@ def test_two_process_shuffle(tmp_path):
         outs.append((p.returncode, out.decode(), err.decode()))
     for rc, out, err in outs:
         assert rc == 0, f"worker failed: {err[-2000:]}"
-        assert "OK 512" in out, (out, err[-500:])
+        assert expect_marker in out, (out, err[-500:])
+
+
+@pytest.mark.timeout(300)
+def test_two_process_shuffle(tmp_path):
+    _run_two_process(tmp_path, "worker_demo", "OK 512")
+
+
+@pytest.mark.timeout(300)
+def test_two_process_sql_end_to_end(tmp_path):
+    """VERDICT round-1 item 6: a 2-process cluster runs a full SQL query
+    (join + where + groupby + having + order by) and EVERY process collects
+    the complete result, equal to the single-process answer."""
+    _run_two_process(tmp_path, "worker_sql", "SQL OK")
