@@ -188,6 +188,21 @@ def _main():
             b, "k", [("v", "sum", "s"), ("v", "max", "m"), ("v", "count", "c")]
         ))
 
+    # Dense-key groupby on the MXU one-hot matmul kernel (the planner's
+    # fast path for small int key spans — kernels/matmul_agg.py).
+    @jax.jit
+    def run_groupby_dense(i, k, v, nv):
+        from harkdb_tpu.kernels.matmul_agg import onehot_groupby_sums
+
+        dk = (k + i - i) & 4095
+        counts, sums, _axis = onehot_groupby_sums(
+            dk, [v + i], nv, jnp.int32(0), 4096,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return (jnp.sum(counts[::4]) + jnp.sum(sums[0][::4])).astype(
+            jnp.int32
+        )
+
     @jax.jit
     def run_join(i, lk, rk, nl, nm):
         l_idx, r_idx, total = inner_join_indices(
@@ -265,6 +280,8 @@ def _main():
         ("sort", op_stage("sort", run_sort, key, val, nv)),
         ("filter", op_stage("filter", run_filter, key, val, nv)),
         ("groupby", op_stage("groupby", run_groupby, key, val, nv)),
+        ("groupby_dense",
+         op_stage("groupby_dense", run_groupby_dense, key, val, nv)),
         ("join", op_stage("join", run_join, key, rkey, nv, nm)),
         ("mix", op_stage("mix", run_mix, key, val, nv, n_syncs=2)),
     ]
