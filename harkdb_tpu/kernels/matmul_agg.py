@@ -7,17 +7,30 @@ hardware wants them: the 128x128 MXU systolic array.
 
     sums[k, c] = Σ_i [key_i == k] * value_i_c        (a matmul!)
 
-The kernel streams row blocks HBM→VMEM, builds the (BN, K) one-hot tile
-*in VMEM only* (never materialized to HBM — this is exactly what Pallas buys
-over plain XLA here), and accumulates ``onehot.T @ values`` into a (K, C)
-VMEM accumulator. Predicate masks fuse for free (multiply the one-hot rows).
+The measured cost driver is not FLOPs but the materialized one-hot tile's
+VMEM traffic (~n x span elements), so the kernel factors the one-hot
+TWO-LEVEL:
+
+    onehot(key) = onehot_hi(key >> 5) ⊗ onehot_lo(key & 31)
+
+Per row block it builds the tiny (BN, 32) lo one-hot, forms
+``W[i, c*32 + l] = lo1h[i, l] * digit[i, c]`` (BN x 32C — still tiny), and
+runs ONE matmul ``hi1h.T @ W`` into an (span/32, 32C) accumulator. The big
+tile is now (BN, span/32) — 32x less VMEM traffic than the naive
+(BN, span) one-hot, which is what lets the gate reach 16K-key spans
+(measured at 16M rows, sum+count: naive f32 one-hot 55/165/314 ms at spans
+1K/4K/8K; two-level bf16 ~50/50/59/70 ms at 1K/4K/8K/16K vs the sort
+path's 91 ms — see BASELINE.md). Predicate masks
+cost nothing: masked rows carry an out-of-range key, so their hi one-hot
+row is all-zero.
 
 Exact int32 sums despite a floating MXU: each int32 value is decomposed into
-four balanced base-256 digits p_0..p_3 ∈ [-128, 127] (v = Σ p_j · 256^j).
-Per 2048-row block the digit matmul's f32 result is exact (|Σ digits| ≤
-2048·128 = 2^18 « 2^24); each block partial is cast to int32 inside the
-kernel and accumulated in an int32 VMEM tile with natural mod-2^32
-wraparound — bit-identical to the int32 sums the sort path produces.
+four balanced base-256 digits p_0..p_3 ∈ [-128, 127] (v = Σ p_j · 256^j) —
+exactly representable in bf16, as are the 0/1 one-hots, and the MXU
+accumulates products in f32 where per-block sums stay ≤ 2048·128 = 2^18 «
+2^24. Each block partial is cast to int32 inside the kernel and accumulated
+in an int32 VMEM tile with natural mod-2^32 wraparound — bit-identical to
+the int32 sums the sort path produces.
 
 Applicability gate: all aggregates ∈ {sum, count, avg} and key span ≤
 ``MAX_KEY_SPAN``. count rides as an extra all-ones digit column. max/min/prod
@@ -37,8 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 BLOCK_ROWS = 2048
-KEY_TILE = 1024
-MAX_KEY_SPAN = 8192
+KEY_TILE = 1024        # span padding granule (keeps span/LO a tile multiple)
+LO = 32                # low-radix width of the two-level one-hot factoring
+MAX_KEY_SPAN = 16384   # measured crossover vs the sort path (BASELINE.md)
 N_DIGITS = 4
 
 
@@ -59,31 +73,49 @@ def _balanced_digits(v: Array) -> List[Array]:
     return digits
 
 
-def _agg_kernel(keys_ref, digits_ref, valid_ref, out_ref):
-    """One (row-block i, key-tile j) grid step.
+def _agg_kernel(keys_ref, digits_ref, out_ref, w_scratch):
+    """One row-block grid step of the two-level one-hot aggregation.
 
-    keys_ref   : (BN,)  int32   — keys rebased to [0, span)
-    digits_ref : (BN, C) f32    — balanced digit columns (+ count column)
-    valid_ref  : (BN,)  f32     — 1.0 for live rows passing the mask
-    out_ref    : (KT, C) int32  — accumulator tile for key range
-                                   [j*KT, (j+1)*KT); int32 so cross-block
-                                   accumulation is exact (mod 2^32)
+    keys_ref   : (BN,)  int32   — keys rebased to [0, span); excluded rows
+                                   (padding/validity/WHERE) carry an
+                                   out-of-range key, so their hi one-hot row
+                                   is all-zero (no separate mask stream).
+    digits_ref : (BN, C) bf16   — balanced digit columns (+ count column);
+                                   digits ∈ [-128, 127] are exact in bf16.
+    out_ref    : (H, LO*C) int32 — accumulator, H = span/LO; entry
+                                   [h, c*LO + l] aggregates key h*LO + l
+                                   (un-interleaved by the XLA wrapper);
+                                   int32 keeps cross-block accumulation
+                                   exact (mod 2^32).
+    w_scratch  : (BN, LO*C) bf16 — W[i, c*LO + l] = lo1h[i, l] * digit[i, c]
+
+    The only big intermediate is the (BN, H) hi one-hot — 32x smaller than
+    a naive (BN, span) one-hot. MXU f32 accumulation is exact: products are
+    0/±digit and per-block sums stay ≤ BN*128 = 2^18 « 2^24.
     """
     i = pl.program_id(0)
-    j = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     keys = keys_ref[:]
-    kt = out_ref.shape[0]
-    local = keys - j * kt
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (keys.shape[0], kt), 1)
-    onehot = (local[:, None] == key_ids).astype(jnp.float32)
-    onehot = onehot * valid_ref[:][:, None]
+    bn = keys.shape[0]
+    h_dim = out_ref.shape[0]
+    n_cols = digits_ref.shape[1]
+
+    lo = keys & (LO - 1)
+    hi = keys >> 5
+    lo_ids = jax.lax.broadcasted_iota(jnp.int32, (bn, LO), 1)
+    lo1h = (lo[:, None] == lo_ids).astype(jnp.bfloat16)
+    for c in range(n_cols):
+        w_scratch[:, c * LO:(c + 1) * LO] = (
+            lo1h * digits_ref[:, c][:, None]
+        )
+    hi_ids = jax.lax.broadcasted_iota(jnp.int32, (bn, h_dim), 1)
+    hi1h = (hi[:, None] == hi_ids).astype(jnp.bfloat16)
     partial = jax.lax.dot_general(
-        onehot, digits_ref[:],
+        hi1h, w_scratch[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -93,31 +125,39 @@ def _agg_kernel(keys_ref, digits_ref, valid_ref, out_ref):
 @functools.partial(
     jax.jit, static_argnames=("span", "n_cols", "interpret")
 )
-def _run_kernel(keys0: Array, digit_mat: Array, valid_f: Array,
+def _run_kernel(keys0: Array, digit_mat: Array,
                 span: int, n_cols: int, interpret: bool) -> Array:
     n = keys0.shape[0]
-    grid = (n // BLOCK_ROWS, span // KEY_TILE)
-    return pl.pallas_call(
+    h_dim = span // LO
+    grid = (n // BLOCK_ROWS,)
+    out = pl.pallas_call(
         _agg_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLOCK_ROWS,), lambda i, j: (i,),
+            pl.BlockSpec((BLOCK_ROWS,), lambda i: (i,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_ROWS, n_cols), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_ROWS,), lambda i, j: (i,),
+            pl.BlockSpec((BLOCK_ROWS, n_cols), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((KEY_TILE, n_cols), lambda i, j: (j, 0),
+        out_specs=pl.BlockSpec((h_dim, LO * n_cols), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((span, n_cols), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((h_dim, LO * n_cols), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_ROWS, LO * n_cols), jnp.bfloat16),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * span * n_cols,
-            bytes_accessed=n * (4 + 4 * n_cols + 4) + span * n_cols * 4,
+            bytes_accessed=n * (4 + 2 * n_cols) + h_dim * LO * n_cols * 4,
             transcendentals=0,
         ),
-    )(keys0, digit_mat, valid_f)
+    )(keys0, digit_mat)
+    # Un-interleave [h, c*LO + l] → [h*LO + l, c] = (span, C).
+    return (
+        out.reshape(h_dim, n_cols, LO)
+        .transpose(0, 2, 1)
+        .reshape(span, n_cols)
+    )
 
 
 def onehot_groupby_sums(
@@ -149,23 +189,21 @@ def onehot_groupby_sums(
     digit_planes: List[Array] = []
     for col in value_cols:
         digit_planes.extend(
-            d.astype(jnp.float32) for d in _balanced_digits(col)
+            d.astype(jnp.bfloat16) for d in _balanced_digits(col)
         )
-    digit_planes.append(jnp.ones((n,), jnp.float32))  # count column
+    digit_planes.append(jnp.ones((n,), jnp.bfloat16))  # count column
     digit_mat = jnp.stack(digit_planes, axis=1)
-    valid_f = valid.astype(jnp.float32)
 
     if n_pad:
         keys0 = jnp.concatenate(
             [keys0, jnp.full((n_pad,), span_p, jnp.int32)]
         )
         digit_mat = jnp.concatenate(
-            [digit_mat, jnp.zeros((n_pad, digit_mat.shape[1]), jnp.float32)]
+            [digit_mat, jnp.zeros((n_pad, digit_mat.shape[1]), jnp.bfloat16)]
         )
-        valid_f = jnp.concatenate([valid_f, jnp.zeros((n_pad,), jnp.float32)])
 
     out = _run_kernel(
-        keys0, digit_mat, valid_f, span_p, digit_mat.shape[1], interpret
+        keys0, digit_mat, span_p, digit_mat.shape[1], interpret
     )                                                  # (span_p, C)
 
     counts = out[:span, -1]
