@@ -176,10 +176,17 @@ def _main():
         b = ColumnBatch({"k": k + i, "v": v}, nv)
         return _checksum(sort_batch(b, ["k"]))
 
+    # The streaming filter runs in ~3 ms — below dispatch-RTT jitter — so it
+    # repeats 8x inside one jit (perturbed inputs) and divides.
+    FILTER_REPS = 8
+
     @jax.jit
     def run_filter(i, k, v, nv):
-        b = ColumnBatch({"k": k, "v": v + i}, nv)
-        return _checksum(compact_batch(b, b.column("v") > 0))
+        def body(j, acc):
+            b = ColumnBatch({"k": k, "v": v + i + j}, nv)
+            out = compact_batch(b, b.column("v") > 0)
+            return acc + _checksum(out)
+        return jax.lax.fori_loop(0, FILTER_REPS, body, jnp.int32(0))
 
     @jax.jit
     def run_groupby(i, k, v, nv):
@@ -245,9 +252,10 @@ def _main():
 
     rtt_holder = [0.0]
 
-    def sync_time(fn, *args, n_syncs=1):
-        """fn(i, *args) -> scalar checksum; seconds per iter minus the
-        dispatch round-trips (n_syncs host syncs per iteration)."""
+    def sync_time(fn, *args, n_syncs=1, inner=1):
+        """fn(i, *args) -> scalar checksum; seconds per op minus the
+        dispatch round-trips (n_syncs host syncs per iteration; ops that
+        repeat `inner` times inside the jit divide accordingly)."""
         t_c0 = time.monotonic()
         _ = int(fn(0, *args))                      # warmup/compile
         log(f"  warmup+compile {time.monotonic() - t_c0:.1f}s")
@@ -255,7 +263,7 @@ def _main():
         for i in range(1, iters + 1):
             _ = int(fn(i, *args))
         dt = ((time.perf_counter() - t0) / iters
-              - n_syncs * rtt_holder[0])
+              - n_syncs * rtt_holder[0]) / inner
         return max(dt, 1e-9)
 
     def stage_rtt():
@@ -268,9 +276,9 @@ def _main():
         log(f"dispatch RTT: {rtt*1e3:.1f} ms (subtracted from all timings)")
         return None
 
-    def op_stage(name, fn, *args, n_syncs=1):
+    def op_stage(name, fn, *args, n_syncs=1, inner=1):
         def run():
-            dt = sync_time(fn, *args, n_syncs=n_syncs)
+            dt = sync_time(fn, *args, n_syncs=n_syncs, inner=inner)
             _PARTIAL[name] = n / dt
             log(f"{name:8s} {n / dt / 1e9:.3f} Grows/s  ({dt*1e3:.1f} ms)")
         return run
@@ -278,7 +286,8 @@ def _main():
     stages = [
         ("rtt", stage_rtt),
         ("sort", op_stage("sort", run_sort, key, val, nv)),
-        ("filter", op_stage("filter", run_filter, key, val, nv)),
+        ("filter", op_stage("filter", run_filter, key, val, nv,
+                            inner=FILTER_REPS)),
         ("groupby", op_stage("groupby", run_groupby, key, val, nv)),
         ("groupby_dense",
          op_stage("groupby_dense", run_groupby_dense, key, val, nv)),

@@ -9,6 +9,10 @@ engine at all — its WHERE support is a commented-out stub, ``select.fut:18``).
 Semantics:
   * int ∘ int arithmetic stays int; `/` and `%` use C-style truncation
     (``lax.div``/``lax.rem``) like generated C would;
+  * int division by zero does NOT trap (no exceptions inside jit): XLA
+    defines ``x / 0 == -1`` and ``x % 0 == x`` — pinned in
+    tests/test_features.py (float division by zero yields ±inf/nan per
+    IEEE as usual);
   * int ∘ float promotes to the engine float dtype;
   * comparisons yield bool; and/or/not operate on bool.
 """

@@ -371,6 +371,7 @@ class QueryPlan:
             (_substitute_aggs(e, agg_map), d) for e, d in order_items
         ]
         self.limit = stmt.limit
+        self.offset = stmt.offset
         self.distinct = stmt.distinct
         if self.distinct:
             # With DISTINCT the row set changes before ORDER BY, so order
@@ -768,6 +769,14 @@ class QueryPlan:
             out = compact_batch(out, filter_mask, self.config.use_pallas)
             filter_mask = None
 
+        # OFFSET: drop the first k rows — one kernel/sort compaction pass
+        # (rows must shift to the front to keep the packed-batch invariant).
+        if self.offset:
+            idx3 = jnp.arange(out.capacity, dtype=jnp.int32)
+            out = compact_batch(
+                out, idx3 >= jnp.int32(self.offset), self.config.use_pallas
+            )
+
         # LIMIT
         if self.limit is not None:
             out = ColumnBatch(
@@ -796,6 +805,8 @@ class QueryPlan:
                     ("DESC" if d else "ASC") for _, d in self.order_items
                 )
             )
+        if self.offset:
+            lines.append(f"Offset {self.offset}")
         if self.limit is not None:
             lines.append(f"Limit {self.limit}")
         lines.append("Project [" + ", ".join(self.output_names) + "]")

@@ -96,6 +96,7 @@ class SelectStmt:
     having: Optional[Expr] = None
     order_by: Tuple[OrderItem, ...] = ()
     limit: Optional[int] = None
+    offset: Optional[int] = None
     distinct: bool = False
 
 

@@ -10,7 +10,7 @@ zero-dependency parser for the engine's grammar:
     [ GROUP BY col ]
     [ HAVING expr ]
     [ ORDER BY expr [ASC|DESC], ... | SORT BY ... ]
-    [ LIMIT n ]
+    [ LIMIT n ] [ OFFSET m ]
 
 Expression grammar (precedence climbing): OR < AND < NOT < comparison
 (= == != <> < <= > >=) < additive (+ -) < multiplicative (* / %) < unary minus
@@ -37,7 +37,7 @@ class SqlError(Exception):
 
 KEYWORDS = {
     "select", "from", "where", "group", "order", "sort", "by", "having",
-    "limit", "join", "inner", "left", "right", "outer", "on", "as", "and",
+    "limit", "offset", "join", "inner", "left", "right", "outer", "on", "as", "and",
     "or", "not", "asc", "desc", "distinct", "in", "between",
 }
 
@@ -168,12 +168,18 @@ class Parser:
             if t.kind != "num" or "." in t.text:
                 raise SqlError(f"LIMIT expects an integer, got {t.text!r}")
             limit = int(self.next().text)
+        offset = None
+        if self.eat_kw("offset"):
+            t = self.peek()
+            if t.kind != "num" or "." in t.text:
+                raise SqlError(f"OFFSET expects an integer, got {t.text!r}")
+            offset = int(self.next().text)
         if self.peek().kind != "eof":
             raise SqlError(f"Unexpected trailing input at {self.peek().text!r}")
         return SelectStmt(
             items=tuple(items), table=table, joins=tuple(joins), where=where,
             group_by=group_by, having=having, order_by=order_by, limit=limit,
-            distinct=distinct,
+            offset=offset, distinct=distinct,
         )
 
     def parse_select_list(self) -> List[SelectItem]:

@@ -176,3 +176,82 @@ class TestMoreAggregates:
         e = df.groupby("k")["v"].sum().sort_values(
             ascending=False, kind="stable")
         np.testing.assert_array_equal(out[:, 1], e.to_numpy())
+
+
+class TestOffset:
+    def test_limit_offset(self, rng):
+        c = Context()
+        df = pd.DataFrame({
+            "k": rng.integers(0, 1000, 300).astype(np.int32),
+            "v": rng.integers(0, 9, 300).astype(np.int32),
+        })
+        c.create_table("t", df)
+        out = c.sql("select k from t order by k limit 10 offset 5")
+        e = np.sort(df.k.to_numpy())[5:15]
+        np.testing.assert_array_equal(out[:, 0], e)
+
+    def test_offset_alone_preserves_row_order(self, rng):
+        c = Context()
+        df = pd.DataFrame({"a": np.arange(50, dtype=np.int32)})
+        c.create_table("t", df)
+        out = c.sql("select a from t offset 47")
+        np.testing.assert_array_equal(out[:, 0], [47, 48, 49])
+
+    def test_offset_past_end_is_empty(self):
+        c = Context()
+        c.create_table("t", pd.DataFrame({"a": np.arange(5, dtype=np.int32)}))
+        assert c.sql("select a from t offset 99").shape[0] == 0
+
+    def test_offset_with_groupby(self, rng):
+        c = Context()
+        df = pd.DataFrame({
+            "k": rng.integers(0, 20, 400).astype(np.int32),
+            "v": rng.integers(0, 9, 400).astype(np.int32),
+        })
+        c.create_table("t", df)
+        out = c.sql("select k, sum(v) from t group by k order by k "
+                    "limit 5 offset 3")
+        e = df.groupby("k")["v"].sum().reset_index().to_numpy()[3:8]
+        np.testing.assert_array_equal(out, e)
+
+    def test_offset_in_explain(self):
+        c = Context()
+        c.create_table("t", pd.DataFrame({"a": np.arange(5, dtype=np.int32)}))
+        assert "Offset 2" in c.explain("select a from t limit 1 offset 2")
+
+
+class TestIntDivisionByZero:
+    """Pinned engine semantics: no trap inside jit — XLA defines
+    x / 0 == -1 and x % 0 == x for int32 (plan/expr.py docstring).
+    Rows with nonzero divisors must still match the pandas oracle."""
+
+    def test_div_by_zero_column(self):
+        c = Context()
+        df = pd.DataFrame({
+            "a": np.array([10, -7, 9, 5], np.int32),
+            "b": np.array([2, 0, 0, -2], np.int32),
+        })
+        c.create_table("t", df)
+        out = c.sql("select a / b, a % b from t")
+        np.testing.assert_array_equal(out[:, 0], [5, -1, -1, -2])
+        np.testing.assert_array_equal(out[:, 1], [0, -7, 9, 1])
+
+    def test_nonzero_rows_match_pandas(self, rng):
+        c = Context()
+        a = rng.integers(-100, 100, 100).astype(np.int32)
+        b = rng.integers(-5, 6, 100).astype(np.int32)
+        df = pd.DataFrame({"a": a, "b": b})
+        c.create_table("t", df)
+        out = c.sql("select a / b from t where b != 0")
+        m = b != 0
+        expect = np.trunc(a[m] / b[m]).astype(np.int32)   # C trunc division
+        np.testing.assert_array_equal(out[:, 0], expect)
+
+    def test_float_div_by_zero_is_inf(self):
+        c = Context()
+        df = pd.DataFrame({"x": np.array([1.0, -1.0, 0.0], np.float32)})
+        c.create_table("t", df)
+        out = c.sql("select x / 0.0 from t")
+        assert np.isinf(out[0, 0]) and out[0, 0] > 0
+        assert np.isinf(out[1, 0]) and out[1, 0] < 0
+        assert np.isnan(out[2, 0])
