@@ -266,8 +266,8 @@ def inner_join_indices(
 
 
 def join_batches(
-    left: ColumnBatch,
-    right: ColumnBatch,
+    left: ColumnBatch | None,
+    right: ColumnBatch | None,
     l_key_name: str,
     r_key_name: str,
     out_capacity: int,
@@ -285,9 +285,10 @@ def join_batches(
     engine's numeric model).
 
     ``ranges`` optionally supplies a precomputed :func:`compute_join_ranges`
-    result WITH matching payload columns (l_out/r_out values order) — the
+    result WITH matching payload columns (l_out/r_out keys order) — the
     planner passes the count phase's ranges so the concat sort runs once
-    per join, not twice.
+    per join, not twice; ``left``/``right`` may then be None (everything
+    needed already rides the ranges).
     """
     l_out = l_out if l_out is not None else {n: n for n in left.names}
     r_out = r_out if r_out is not None else {n: n for n in right.names}

@@ -12,12 +12,15 @@ rewriting, and lowering to a pipeline of the TPU operators in
 
 Execution model (SURVEY §7 hard part 1 — static shapes):
 
-  * Phase A (joins): per join, a jitted *count* kernel returns the exact
-    output size; capacity is bucketed to a power of two (bounding the jit
-    cache) and a jitted materialize kernel runs at that capacity
-    (count-then-materialize).
+  * Phase A (joins): per join, one jitted ranges pass (concat sort) yields
+    the exact output size AND the match-range arrays; capacity is bucketed
+    to a power of two (bounding the jit cache) and a jitted materialize
+    kernel consumes the SAME ranges at that capacity
+    (count-then-materialize without recomputing).
   * Phase B (filter → group → having → order → limit → project): one jitted
-    function over the working ``ColumnBatch`` — XLA fuses the whole chain.
+    function over the working ``ColumnBatch`` — XLA fuses the chain. For
+    grouped queries with ORDER BY/DISTINCT it splits at the aggregate so
+    the tail runs at a capacity bucketed to the group count.
 
 Plans and compiled phase functions are cached on the Context keyed by
 (sql text, table signature), so repeated queries skip parse/plan/trace.
