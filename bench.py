@@ -103,6 +103,11 @@ def _emit():
 
 def main():
     signal.signal(signal.SIGALRM, _alarm)
+    # Global guard from the very first instruction: jax.devices() / the
+    # input device_puts can hang on a wedged chip grant long before the
+    # first stage arms its own timer. The per-stage setitimer calls replace
+    # this one; each stage clamps its budget to the remaining global time.
+    signal.setitimer(signal.ITIMER_REAL, DEADLINE_S)
     try:
         _main()
     except BaseException as e:          # noqa: BLE001 — always emit a line

@@ -52,6 +52,7 @@ Array = jax.Array
 BLOCK_ROWS = 2048
 KEY_TILE = 1024        # span padding granule (keeps span/LO a tile multiple)
 LO = 32                # low-radix width of the two-level one-hot factoring
+LOG2_LO = LO.bit_length() - 1   # hi/lo split shift; LO must be a power of 2
 MAX_KEY_SPAN = 16384   # measured crossover vs the sort path (BASELINE.md)
 N_DIGITS = 4
 
@@ -105,7 +106,7 @@ def _agg_kernel(keys_ref, digits_ref, out_ref, w_scratch):
     n_cols = digits_ref.shape[1]
 
     lo = keys & (LO - 1)
-    hi = keys >> 5
+    hi = keys >> LOG2_LO
     lo_ids = jax.lax.broadcasted_iota(jnp.int32, (bn, LO), 1)
     lo1h = (lo[:, None] == lo_ids).astype(jnp.bfloat16)
     for c in range(n_cols):

@@ -92,6 +92,7 @@ def groupby_aggregate(
     n_valid: Array,
     mask: Optional[Array] = None,
     u32_key_order: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[List[Array], List[Array], Array]:
     """Aggregate ``agg_cols`` (value, op-name) per distinct key tuple.
 
@@ -194,7 +195,8 @@ def groupby_aggregate(
     from harkdb_tpu.prims.compaction import compact_arrays
 
     packed, _cnt = compact_arrays(
-        sorted_keys + end_arrays, is_end, jnp.int32(n)
+        sorted_keys + end_arrays, is_end, jnp.int32(n),
+        use_pallas=use_pallas,
     )
     packed_keys = packed[:nk]
     packed_vals = packed[nk:]
@@ -240,6 +242,7 @@ def groupby_batch(
     aggs: Sequence[Tuple[str, str, str]],
     mask: Optional[Array] = None,
     u32_key_order: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> ColumnBatch:
     """GROUP BY over a batch. ``aggs`` = (source column, op, output name).
 
@@ -255,7 +258,7 @@ def groupby_batch(
     agg_inputs = [(batch.column(src), op) for src, op, _ in aggs]
     keys_out, agg_outs, n_groups = groupby_aggregate(
         key_arrays, agg_inputs, batch.n_valid, mask=mask,
-        u32_key_order=u32_key_order,
+        u32_key_order=u32_key_order, use_pallas=use_pallas,
     )
     cols = dict(zip(key_names, keys_out))
     for (_, _, out_name), arr in zip(aggs, agg_outs):

@@ -74,6 +74,7 @@ class JoinRanges(NamedTuple):
 def compute_join_ranges(
     l_key: Array, n_l: Array, r_key: Array, n_r: Array,
     l_cols: Sequence[Array] = (), r_cols: Sequence[Array] = (),
+    use_pallas: bool | None = None,
 ) -> JoinRanges:
     """One concat sort + two kernel compactions → everything a join needs."""
     nl, nr = l_key.shape[0], r_key.shape[0]
@@ -134,14 +135,16 @@ def compute_join_ranges(
     nn = jnp.int32(n)
     nlc = len(l_cols)
     l_split, n_lefts = compact_arrays(
-        [sorig, counts_sorted, base] + list(spay[:nlc]), is_left, nn
+        [sorig, counts_sorted, base] + list(spay[:nlc]), is_left, nn,
+        use_pallas=use_pallas,
     )
     l_orig, cl, lo = (a[:nl] for a in l_split[:3])
     counts = jnp.where(l_idx < n_lefts, cl, 0)
     l_payload = tuple(a[:nl] for a in l_split[3:])
 
     r_split, _ = compact_arrays(
-        [sorig] + list(spay[nlc:]), is_right > 0, nn
+        [sorig] + list(spay[nlc:]), is_right > 0, nn,
+        use_pallas=use_pallas,
     )
     r_orig = r_split[0][:nr]
     r_payload = tuple(a[:nr] for a in r_split[1:])
@@ -153,14 +156,15 @@ def compute_join_ranges(
 
 
 def join_match_count(
-    l_key: Array, n_l: Array, r_key: Array, n_r: Array, kind: str = "inner"
+    l_key: Array, n_l: Array, r_key: Array, n_r: Array, kind: str = "inner",
+    use_pallas: bool | None = None,
 ) -> Array:
     """Exact number of output rows (device scalar) — the count phase.
 
     LEFT JOIN emits one row for every unmatched left row, so its count is
     ``sum(max(matches, 1))`` over live left rows.
     """
-    rng = compute_join_ranges(l_key, n_l, r_key, n_r)
+    rng = compute_join_ranges(l_key, n_l, r_key, n_r, use_pallas=use_pallas)
     return rng.total_left if kind == "left" else rng.total
 
 
@@ -226,6 +230,7 @@ def join_indices(
     n_r: Array,
     out_capacity: int,
     kind: str = "inner",
+    use_pallas: bool | None = None,
 ) -> Tuple[Array, Array, Array, Array]:
     """Materialize pair indices ``(l_idx, r_idx, matched, total)`` padded to
     capacity.
@@ -238,7 +243,7 @@ def join_indices(
     truncated — the planner prevents this by sizing capacity from
     :func:`join_match_count`.
     """
-    rng = compute_join_ranges(l_key, n_l, r_key, n_r)
+    rng = compute_join_ranges(l_key, n_l, r_key, n_r, use_pallas=use_pallas)
     safe_seg, local, live, total = _expand_pairs(rng, out_capacity, kind)
 
     # ONE stacked gather per side (monotone safe_seg; then r_pos).
@@ -275,6 +280,7 @@ def join_batches(
     r_out: Dict[str, str] | None = None,
     kind: str = "inner",
     ranges: JoinRanges | None = None,
+    use_pallas: bool | None = None,
 ) -> ColumnBatch:
     """Equi-join of two batches (inner or left).
 
@@ -288,16 +294,24 @@ def join_batches(
     result WITH matching payload columns (l_out/r_out keys order) — the
     planner passes the count phase's ranges so the concat sort runs once
     per join, not twice; ``left``/``right`` may then be None (everything
-    needed already rides the ranges).
+    needed already rides the ranges) but ``l_out``/``r_out`` must be given
+    explicitly — they define the ranges' payload column order.
     """
-    l_out = l_out if l_out is not None else {n: n for n in left.names}
-    r_out = r_out if r_out is not None else {n: n for n in right.names}
     if ranges is None:
+        l_out = l_out if l_out is not None else {n: n for n in left.names}
+        r_out = r_out if r_out is not None else {n: n for n in right.names}
         ranges = compute_join_ranges(
             left.column(l_key_name), left.n_valid,
             right.column(r_key_name), right.n_valid,
             l_cols=[left.column(s) for s in l_out],
             r_cols=[right.column(s) for s in r_out],
+            use_pallas=use_pallas,
+        )
+    elif l_out is None or r_out is None:
+        raise ValueError(
+            "join_batches: explicit l_out/r_out are required when a "
+            "precomputed ranges is supplied (its payload column order is "
+            "defined by them)"
         )
     safe_seg, local, live, total = _expand_pairs(ranges, out_capacity, kind)
 

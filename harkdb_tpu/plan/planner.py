@@ -165,7 +165,8 @@ def _substitute_aggs(expr, agg_map):
 
 
 @functools.lru_cache(maxsize=256)
-def _jit_ranges(l_key: str, r_key: str, l_names: tuple, r_names: tuple):
+def _jit_ranges(l_key: str, r_key: str, l_names: tuple, r_names: tuple,
+                use_pallas: bool = True):
     """Jitted count phase: one concat sort produces the join ranges AND both
     totals; the same device arrays then feed materialization (no recompute)."""
     def f(left: ColumnBatch, right: ColumnBatch):
@@ -174,6 +175,7 @@ def _jit_ranges(l_key: str, r_key: str, l_names: tuple, r_names: tuple):
             right.column(r_key), right.n_valid,
             l_cols=[left.column(s) for s in l_names],
             r_cols=[right.column(s) for s in r_names],
+            use_pallas=use_pallas,
         )
     return jax.jit(f)
 
@@ -561,7 +563,9 @@ class QueryPlan:
             if rb in self._push_jits:
                 right = self._push_jits[rb](right)
             l_names, r_names = tuple(batch.names), tuple(right.names)
-            ranges = _jit_ranges(lk, rk, l_names, r_names)(batch, right)
+            ranges = _jit_ranges(
+                lk, rk, l_names, r_names, self.config.use_pallas
+            )(batch, right)
             total = int(ranges.total_left if kind == "left"
                         else ranges.total)
             cap = _next_pow2(max(total, self.config.row_align))
@@ -674,6 +678,7 @@ class QueryPlan:
             batch = groupby_batch(
                 work, keys, self.agg_specs, mask=where_mask,
                 u32_key_order=self.config.compat_u32_key_order,
+                use_pallas=self.config.use_pallas,
             )
             where_mask = None
             if stop_after_group:

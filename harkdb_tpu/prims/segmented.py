@@ -195,11 +195,14 @@ def replicated_iota(
     # Scatter (segment_id + 1) with MAX at each segment's start offset, then
     # a running max fills the gaps. Empty segments collide on the next
     # segment's offset; max keeps the right (largest) id. Offsets are
-    # monotone (cumsum) and invalid rows target the capacity sentinel at the
-    # end, so the scatter indices are sorted — declared to XLA for the
-    # cheaper sorted-scatter lowering.
+    # monotone (cumsum), valid rows whose offset overflows the capacity
+    # (the documented truncation case) clamp to the same end sentinel the
+    # invalid tail targets, so the scatter indices stay sorted — declared
+    # to XLA for the cheaper sorted-scatter lowering.
     seg_idx = jnp.arange(n, dtype=jnp.int32)
-    target = jnp.where(valid, offsets, out_capacity)
+    target = jnp.where(
+        valid, jnp.minimum(offsets, out_capacity), out_capacity
+    )
     markers = (
         jnp.zeros((out_capacity,), dtype=jnp.int32)
         .at[target]

@@ -221,6 +221,26 @@ class TestJoin:
         mat, _ = out.to_numpy()
         np.testing.assert_array_equal(mat, [[1, 10, 1, 100], [2, 20, 2, 200]])
 
+    def test_ranges_requires_explicit_outputs(self):
+        # ranges= supplied without l_out/r_out is a contract error (the
+        # payload order is defined by them), not an AttributeError.
+        from harkdb_tpu.ops.join import compute_join_ranges
+
+        left = make_batch({"a": np.array([1, 2], np.int32)}, capacity=4)
+        right = make_batch({"c": np.array([2, 1], np.int32)}, capacity=4)
+        rng = compute_join_ranges(
+            left.column("a"), left.n_valid, right.column("c"), right.n_valid,
+            l_cols=[left.column("a")], r_cols=[right.column("c")],
+        )
+        with pytest.raises(ValueError, match="l_out/r_out"):
+            join_batches(None, None, "a", "c", 4, ranges=rng)
+        out = join_batches(
+            None, None, "a", "c", 4,
+            {"a": "a"}, {"c": "c"}, ranges=rng,
+        )
+        mat, _ = out.to_numpy()
+        np.testing.assert_array_equal(mat, [[1, 1], [2, 2]])
+
 
 def _keys(k, capacity=None):
     b = ColumnBatch.from_numpy({"k": k}, capacity)

@@ -132,6 +132,25 @@ class TestReplicatedIota:
         ids, total = replicated_iota(arr([0, 0, 0]), out_capacity=4)
         assert int(total) == 0
 
+    def test_capacity_truncation(self):
+        # sum(reps) > out_capacity: the documented truncation case. The
+        # prefix that fits must still be exact (scatter indices stay
+        # monotone — overflowing offsets clamp to the capacity sentinel).
+        ids, total = replicated_iota(
+            arr([2, 3, 4]), out_capacity=4, n_valid=jnp.int32(2)
+        )
+        assert int(total) == 5
+        np.testing.assert_array_equal(np.asarray(ids), [0, 0, 1, 1])
+
+    def test_truncation_with_invalid_tail(self):
+        # Valid rows overflow capacity while invalid rows follow — the
+        # regression shape for the sorted-scatter contract.
+        ids, total = replicated_iota(
+            arr([3, 3, 7, 9]), out_capacity=4, n_valid=jnp.int32(3)
+        )
+        assert int(total) == 13
+        np.testing.assert_array_equal(np.asarray(ids), [0, 0, 0, 1])
+
 
 class TestSegmentedIota:
     def test_golden(self):
