@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from harkdb_tpu.config import DEFAULT_CONFIG, EngineConfig
-from harkdb_tpu.sql.ast_nodes import Agg, BinOp, Col, Lit, UnOp
+from harkdb_tpu.sql.ast_nodes import Agg, BinOp, Case, Col, Lit, UnOp
 
 Array = jax.Array
 
@@ -60,7 +60,22 @@ def eval_expr(expr, columns: Dict[str, Array], capacity: int,
             return -v
         if expr.op == "not":
             return jnp.logical_not(v.astype(jnp.bool_))
+        if expr.op == "abs":
+            return jnp.abs(v)
         raise ExprError(f"Unknown unary op {expr.op!r}")
+    if isinstance(expr, Case):
+        # First true WHEN wins: fold jnp.where back-to-front over a chain of
+        # selects (one fused VPU pass). Missing ELSE yields 0 (no NULLs).
+        results = [eval_expr(r, columns, capacity, config)
+                   for _c, r in expr.whens]
+        out = (eval_expr(expr.else_, columns, capacity, config)
+               if expr.else_ is not None
+               else jnp.zeros((capacity,), results[0].dtype))
+        for (cond, _r), res in zip(reversed(expr.whens), reversed(results)):
+            c = eval_expr(cond, columns, capacity, config).astype(jnp.bool_)
+            res, out = _promote(res, out)
+            out = jnp.where(c, res, out)
+        return out
     if isinstance(expr, BinOp):
         a = eval_expr(expr.left, columns, capacity, config)
         b = eval_expr(expr.right, columns, capacity, config)

@@ -44,7 +44,7 @@ from harkdb_tpu.ops.join import compute_join_ranges, join_batches
 from harkdb_tpu.plan.expr import eval_expr
 from harkdb_tpu.prims.compaction import compact_batch
 from harkdb_tpu.sql.ast_nodes import (
-    Agg, BinOp, Col, Lit, SelectStmt, Star, UnOp, walk,
+    Agg, BinOp, Case, Col, Lit, SelectStmt, Star, UnOp, walk,
 )
 from harkdb_tpu.sql.parser import parse_sql
 
@@ -78,6 +78,8 @@ def _expr_name(expr) -> str:
         return f"({expr.op} {_expr_name(expr.operand)})"
     if isinstance(expr, Lit):
         return str(expr.value)
+    if isinstance(expr, Case):
+        return "case"
     return "expr"
 
 
@@ -131,7 +133,13 @@ class _Resolver:
         if isinstance(expr, Agg):
             if isinstance(expr.arg, Star):
                 return expr
-            return Agg(expr.func, self.rewrite(expr.arg))
+            return Agg(expr.func, self.rewrite(expr.arg), expr.distinct)
+        if isinstance(expr, Case):
+            return Case(
+                tuple((self.rewrite(c), self.rewrite(r))
+                      for c, r in expr.whens),
+                self.rewrite(expr.else_) if expr.else_ is not None else None,
+            )
         return expr
 
     def all_columns(self) -> List[Tuple[str, str]]:
@@ -161,6 +169,13 @@ def _substitute_aggs(expr, agg_map):
         )
     if isinstance(expr, UnOp):
         return UnOp(expr.op, _substitute_aggs(expr.operand, agg_map))
+    if isinstance(expr, Case):
+        return Case(
+            tuple((_substitute_aggs(c, agg_map), _substitute_aggs(r, agg_map))
+                  for c, r in expr.whens),
+            _substitute_aggs(expr.else_, agg_map)
+            if expr.else_ is not None else None,
+        )
     return expr
 
 
@@ -339,6 +354,12 @@ class QueryPlan:
                     check(e.operand, inside_agg)
                 elif isinstance(e, Agg) and not isinstance(e.arg, Star):
                     check(e.arg, True)
+                elif isinstance(e, Case):
+                    for c, r in e.whens:
+                        check(c, inside_agg)
+                        check(r, inside_agg)
+                    if e.else_ is not None:
+                        check(e.else_, inside_agg)
             for e in post_exprs:
                 check(e)
 

@@ -51,9 +51,21 @@ class UnOp:
 class Agg:
     func: str                        # sum prod max min count avg
     arg: Union["Expr", Star]
+    distinct: bool = False           # COUNT(DISTINCT x)
 
 
-Expr = Union[Lit, Col, BinOp, UnOp, Agg]
+@dataclass(frozen=True)
+class Case:
+    """CASE WHEN c1 THEN r1 [WHEN c2 THEN r2 ...] [ELSE e] END.
+
+    The searched form only (the reference grammar has no CASE at all;
+    standard-SQL semantics: first true condition wins, missing ELSE yields 0
+    — the engine's numeric model has no NULL)."""
+    whens: Tuple[Tuple["Expr", "Expr"], ...]
+    else_: Optional["Expr"] = None
+
+
+Expr = Union[Lit, Col, BinOp, UnOp, Agg, Case]
 
 
 @dataclass(frozen=True)
@@ -109,4 +121,9 @@ def walk(expr) -> list:
         out += walk(expr.operand)
     elif isinstance(expr, Agg) and not isinstance(expr.arg, Star):
         out += walk(expr.arg)
+    elif isinstance(expr, Case):
+        for c, r in expr.whens:
+            out += walk(c) + walk(r)
+        if expr.else_ is not None:
+            out += walk(expr.else_)
     return out

@@ -26,8 +26,8 @@ import re
 from typing import List, Tuple
 
 from harkdb_tpu.sql.ast_nodes import (
-    Agg, BinOp, Col, JoinClause, Lit, OrderItem, SelectItem, SelectStmt, Star,
-    TableRef, UnOp,
+    Agg, BinOp, Case, Col, JoinClause, Lit, OrderItem, SelectItem, SelectStmt,
+    Star, TableRef, UnOp,
 )
 
 
@@ -39,9 +39,11 @@ KEYWORDS = {
     "select", "from", "where", "group", "order", "sort", "by", "having",
     "limit", "offset", "join", "inner", "left", "right", "outer", "on", "as", "and",
     "or", "not", "asc", "desc", "distinct", "in", "between",
+    "case", "when", "then", "else", "end", "union", "all",
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
+SCALAR_FUNCS = {"abs"}               # lowered to UnOp(func, arg)
 
 _TOKEN_RE = re.compile(
     r"""
@@ -347,22 +349,54 @@ class Parser:
             e = self.parse_expr()
             self.expect_op(")")
             return e
+        if self.at_kw("case"):
+            return self.parse_case()
         if t.kind == "ident":
             low = t.text.lower()
             nxt = self.tokens[self.i + 1]
             if low in AGG_FUNCS and nxt.kind == "op" and nxt.text == "(":
                 self.next()          # func name
                 self.next()          # "("
+                distinct = False
+                if self.eat_kw("distinct"):
+                    if low != "count":
+                        raise SqlError(
+                            f"DISTINCT inside an aggregate is only "
+                            f"supported for COUNT, not {low.upper()}"
+                        )
+                    distinct = True
                 if self.eat_op("*"):
                     if low != "count":
                         raise SqlError(f"{low}(*) is only valid for COUNT")
+                    if distinct:
+                        raise SqlError("COUNT(DISTINCT *) is not valid SQL")
                     arg = Star()
                 else:
                     arg = self.parse_expr()
                 self.expect_op(")")
-                return Agg(low, arg)
+                return Agg(low, arg, distinct)
+            if low in SCALAR_FUNCS and nxt.kind == "op" and nxt.text == "(":
+                self.next()          # func name
+                self.next()          # "("
+                arg = self.parse_expr()
+                self.expect_op(")")
+                return UnOp(low, arg)
             return self.parse_qualified_col()
         raise SqlError(f"Unexpected token {t.text!r} in expression")
+
+    def parse_case(self) -> Case:
+        """Searched CASE: CASE WHEN cond THEN val ... [ELSE val] END."""
+        self.expect_kw("case")
+        whens = []
+        while self.eat_kw("when"):
+            cond = self.parse_expr()
+            self.expect_kw("then")
+            whens.append((cond, self.parse_expr()))
+        if not whens:
+            raise SqlError("CASE requires at least one WHEN ... THEN")
+        else_ = self.parse_expr() if self.eat_kw("else") else None
+        self.expect_kw("end")
+        return Case(tuple(whens), else_)
 
 
 def parse_sql(sql: str) -> SelectStmt:
