@@ -50,6 +50,7 @@ AGG_FUNCS: Dict[str, Callable] = {
     "max": jnp.maximum,
     "min": jnp.minimum,
     "count": jnp.add,
+    "countd": jnp.add,       # COUNT(DISTINCT x) — see groupby_aggregate
 }
 
 _SCAN_OP = {
@@ -122,9 +123,11 @@ def groupby_aggregate(
 
     # ONE sort: dropped-mask leading (live rows pack to the front in key
     # order; no dtype-max padding tricks needed, so masks fuse exactly), then
-    # the keys, with all aggregate inputs as carried payload.
+    # the keys, with all aggregate inputs as carried payload. COUNT(DISTINCT)
+    # columns do not ride as payload — each gets its own auxiliary sort where
+    # it participates as a KEY (below).
     dropped = jnp.logical_not(valid_in).astype(jnp.int32)
-    payload = [col for col, op in agg_cols if op != "count"]
+    payload = [col for col, op in agg_cols if op not in ("count", "countd")]
     sorted_all = jax.lax.sort(
         [dropped] + keys + payload, num_keys=1 + nk, is_stable=True
     )
@@ -159,6 +162,9 @@ def groupby_aggregate(
             plans.append(("count", -1))
             need_pos = True
             continue
+        if op == "countd":
+            plans.append(("countd", -1))   # slot patched below
+            continue
         col = sorted_payload[pay_i]
         pay_i += 1
         if op == "sum" and jnp.issubdtype(col.dtype, jnp.integer):
@@ -183,6 +189,22 @@ def groupby_aggregate(
         for j, (ai, _c) in enumerate(members):
             slot_of[ai] = len(end_arrays)
             end_arrays.append(D[:, j])
+
+    # COUNT(DISTINCT x): one auxiliary sort per distinct column where x rides
+    # as an extra trailing KEY — within each group's (identical-position)
+    # segment the values are then sorted, so the distinct count is the number
+    # of value-change boundaries. Group-boundary positions depend only on the
+    # multiset of (dropped, keys), so the MAIN sort's is_start/is_end flags
+    # apply verbatim and the cumsum telescopes at the shared segment ends.
+    for ai, (col, op) in enumerate(agg_cols):
+        if op != "countd":
+            continue
+        aux = jax.lax.sort([dropped] + keys + [col], num_keys=2 + nk)
+        x_s = aux[-1]
+        prev_x = jnp.concatenate([x_s[:1], x_s[:-1]])
+        new_val = is_start | (valid & (x_s != prev_x))
+        slot_of[ai] = len(end_arrays)
+        end_arrays.append(jnp.cumsum(new_val.astype(jnp.int32)))
     pos_slot = -1
     if need_pos:
         pos_slot = len(end_arrays)
@@ -225,6 +247,10 @@ def groupby_aggregate(
             outs.append(
                 jnp.where(live_out, counts_out, 0).astype(jnp.int32)
             )
+        elif kind == "countd":
+            E = packed_vals[slot_of[ai]]
+            r = E - _prev(E, 0)
+            outs.append(jnp.where(live_out, r, 0).astype(jnp.int32))
         elif kind == "telescope":
             E = packed_vals[cum_base + cum_j]
             r = E - _prev(E, 0)

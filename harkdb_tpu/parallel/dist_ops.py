@@ -87,6 +87,7 @@ def dist_groupby(
     mesh: Mesh,
     config: EngineConfig = DEFAULT_CONFIG,
     pre_fn: Callable[[Dict[str, Array], int], Dict[str, Array]] | None = None,
+    fast: Tuple[int, int] | None = None,
 ) -> ShardedBatch:
     """Distributed GROUP BY: local pre-aggregate → hash shuffle of partials →
     local final aggregate. Output shards hold disjoint key sets, each locally
@@ -94,15 +95,73 @@ def dist_groupby(
 
     ``pre_fn`` optionally derives extra columns (aggregate-argument
     expressions) on the local block before aggregation.
+
+    COUNT(DISTINCT x) ("countd" specs) cannot re-aggregate by summing
+    partials — the same value may appear on several shards. The local
+    pre-aggregate instead groups at (keys + distinct-srcs) granularity (one
+    partial row per distinct value tuple; other aggregates' fine-grained
+    partials re-aggregate exactly), the shuffle routes on the REAL keys'
+    hash, and the final aggregate computes the exact distinct count.
+
+    ``fast`` = ``(key_min, span)`` engages the MXU one-hot aggregation for
+    the local pre-aggregate (single int key with a planner-proven small
+    span, sum/count only — the same gate as the single-chip fast path).
     """
     axis = config.mesh_axis
     D = mesh.devices.size
     C = sb.local_capacity
     key_names = list(key_names)
 
-    # Partial aggregation spec: same outputs, pre ops; final spec re-aggregates.
-    pre_specs = [(src, op, out) for src, op, out in agg_specs]
-    post_specs = [(out, REAGG[op], out) for _src, op, out in agg_specs]
+    countd_srcs = list(dict.fromkeys(
+        src for src, op, _ in agg_specs if op == "countd"
+    ))
+    if countd_srcs:
+        # Fine-grained pre-grouping; distinct srcs ride as extra group keys.
+        pre_keys = key_names + [s for s in countd_srcs if s not in key_names]
+        pre_specs = [(s, op, out) for s, op, out in agg_specs
+                     if op != "countd"]
+        post_specs = [
+            (src, "countd", out) if op == "countd"
+            else (out, REAGG[op], out)
+            for src, op, out in agg_specs
+        ]
+        route = True      # route by hash(key_names), not the fine pre-keys
+    else:
+        pre_keys = key_names
+        pre_specs = [(src, op, out) for src, op, out in agg_specs]
+        post_specs = [(out, REAGG[op], out) for _src, op, out in agg_specs]
+        route = len(key_names) > 1
+
+    use_fast = fast is not None and not countd_srcs and len(key_names) == 1
+    if use_fast:
+        key_min, span = fast
+        sum_srcs = list(dict.fromkeys(
+            src for src, op, _ in agg_specs if op == "sum"
+        ))
+
+    def local_pre(cols: Dict[str, Array], n_local: Array) -> ColumnBatch:
+        """Per-shard pre-aggregation: MXU one-hot path when gated, else the
+        general sort path (ops/groupby.py)."""
+        if use_fast:
+            from harkdb_tpu.kernels.matmul_agg import onehot_groupby_sums
+
+            key_name = key_names[0]
+            counts_k, sums_k, keys_axis = onehot_groupby_sums(
+                cols[key_name], [cols[s] for s in sum_srcs], n_local,
+                jnp.int32(key_min), span,
+                interpret=jax.default_backend() != "tpu",
+            )
+            sums_by_src = dict(zip(sum_srcs, sums_k))
+            gcols = {key_name: keys_axis}
+            for src, op, out_name in agg_specs:
+                gcols[out_name] = (
+                    counts_k if op == "count" else sums_by_src[src]
+                )
+            dense = ColumnBatch(gcols, jnp.int32(span))
+            from harkdb_tpu.prims.compaction import compact_batch
+
+            return compact_batch(dense, counts_k > 0, config.use_pallas)
+        return groupby_batch(ColumnBatch(cols, n_local), pre_keys, pre_specs)
 
     def make(bucket_cap: int):
         def body(cols: Dict[str, Array], cnt: Array):
@@ -110,81 +169,44 @@ def dist_groupby(
             if pre_fn is not None:
                 cols = dict(cols)
                 cols.update(pre_fn(cols, C))
-            local = ColumnBatch(cols, n_local)
-            partial = groupby_batch(local, key_names, pre_specs)
-            shuf_cols, shuf_n, overflow = repartition_by_key(
-                dict(partial.columns), key_names[0], partial.n_valid,
-                axis, D, bucket_cap,
-            )
+            partial = local_pre(cols, n_local)
+            pcols = dict(partial.columns)
+            if route:
+                pcols["#route"] = hash_keys(pcols, key_names, D)
+                shuf_cols, shuf_n, overflow = repartition_by_key(
+                    pcols, "#route", partial.n_valid, axis, D, bucket_cap,
+                    dest_is_bucket=True,
+                )
+                shuf_cols.pop("#route", None)
+            else:
+                shuf_cols, shuf_n, overflow = repartition_by_key(
+                    pcols, key_names[0], partial.n_valid, axis, D,
+                    bucket_cap,
+                )
             received = ColumnBatch(shuf_cols, shuf_n)
             final = groupby_batch(received, key_names, post_specs)
-            out_cols = dict(final.columns)
+            out_cols = {
+                n: c for n, c in final.columns.items()
+                if n in set(key_names) | {out for _, _, out in post_specs}
+            }
             # overflow replicated via psum so the host retry loop can read
             # it in MULTI-PROCESS runs (per-shard outputs are not
             # addressable across processes).
             return (out_cols, final.n_valid.reshape(1),
                     jax.lax.psum(overflow, axis))
 
-        out_names = key_names + [out for _, _, out in post_specs]
+        out_names = key_names + [
+            out for _, _, out in post_specs if out not in key_names
+        ]
         specs_in = ({n: P(axis) for n in sb.names}, P(axis))
         specs_out = (
             {n: P(axis) for n in out_names}, P(axis), P(),
         )
+        # pallas_call emits ShapeDtypeStructs without vma annotations, which
+        # shard_map's vma checker rejects — disable it on the MXU path.
         return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
-                                     out_specs=specs_out))
-
-    # Multi-key: repartition on combined hash — handled by rewriting the
-    # shuffle destination inside repartition via a synthetic key column.
-    if len(key_names) > 1:
-        return _dist_groupby_multikey(
-            sb, key_names, agg_specs, mesh, config, pre_fn
-        )
-
-    bucket_cap = max(128, _next_pow2(-(-C // D)) * 2)
-    while True:
-        f = make(bucket_cap)
-        out_cols, out_counts, overflow = f(sb.columns, sb.shard_counts)
-        if int(overflow) == 0:
-            return ShardedBatch(out_cols, out_counts)
-        if bucket_cap >= C * 2:
-            raise ShuffleOverflow("groupby shuffle bucket overflow")
-        bucket_cap *= 2
-
-
-def _dist_groupby_multikey(sb, key_names, agg_specs, mesh, config, pre_fn):
-    """Multi-key variant: pack the key tuple's hash into a synthetic routing
-    column, shuffle on it, then group on the real keys."""
-    axis = config.mesh_axis
-    D = mesh.devices.size
-    C = sb.local_capacity
-    pre_specs = list(agg_specs)
-    post_specs = [(out, REAGG[op], out) for _s, op, out in agg_specs]
-
-    def make(bucket_cap: int):
-        def body(cols, cnt):
-            n_local = cnt[0]
-            if pre_fn is not None:
-                cols = dict(cols)
-                cols.update(pre_fn(cols, C))
-            local = ColumnBatch(cols, n_local)
-            partial = groupby_batch(local, key_names, pre_specs)
-            pcols = dict(partial.columns)
-            pcols["#route"] = hash_keys(pcols, key_names, D)
-            shuf_cols, shuf_n, overflow = repartition_by_key(
-                pcols, "#route", partial.n_valid, axis, D, bucket_cap,
-                dest_is_bucket=True,
-            )
-            shuf_cols.pop("#route", None)
-            received = ColumnBatch(shuf_cols, shuf_n)
-            final = groupby_batch(received, key_names, post_specs)
-            return (dict(final.columns), final.n_valid.reshape(1),
-                    jax.lax.psum(overflow, axis))
-
-        out_names = list(key_names) + [out for _, _, out in post_specs]
-        specs_in = ({n: P(axis) for n in sb.names}, P(axis))
-        specs_out = ({n: P(axis) for n in out_names}, P(axis), P())
-        return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
-                                     out_specs=specs_out))
+                                     out_specs=specs_out,
+                                     check_vma=not use_fast))
 
     bucket_cap = max(128, _next_pow2(-(-C // D)) * 2)
     while True:

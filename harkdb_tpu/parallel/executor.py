@@ -112,8 +112,19 @@ class DistExecutor:
                     extra["#const"] = jnp.zeros((cap,), jnp.int32)
                 return extra
 
+            # MXU fast path distributed: the planner's statically-proven gate
+            # (single small-span int key from no-join table stats, sum/count
+            # only — plan.fast_agg) engages the one-hot matmul aggregation in
+            # every shard's local pre-aggregate; partials shuffle as usual.
+            fast = None
+            if plan.fast_agg is not None and not plan.join_steps:
+                _key, key_min, span_p = plan.fast_agg
+                fast = (key_min, span_p)
+            plan.last_fast_span = fast[1] if fast is not None else None
+
             work = dist_groupby(
-                work, keys, agg_specs, self.mesh, self.config, pre_fn
+                work, keys, agg_specs, self.mesh, self.config, pre_fn,
+                fast=fast,
             )
             gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
             # Disjoint key sets per shard → one global sort restores the

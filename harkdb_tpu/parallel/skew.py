@@ -49,8 +49,11 @@ def detect_hot_keys(
 
     Returns ``(H, HV)`` replicated across shards: hot key candidates of shape
     (D * HOT_K,) and their validity mask. A key is nominated when its local
-    count exceeds ``threshold_frac * capacity / n_shards`` (it would
-    meaningfully unbalance its destination bucket).
+    count exceeds ``threshold_frac * live_rows / n_shards`` (it would
+    meaningfully unbalance its destination bucket). The threshold is on the
+    LIVE row count ``n_valid``, not the padded capacity — after an upstream
+    filter leaves a shard mostly padding, a capacity-based threshold would
+    be inflated and real hot keys would escape salting.
     """
     n = key.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -71,7 +74,9 @@ def detect_hot_keys(
         skey, target, num_segments=n, indices_are_sorted=True
     )
     thresh = jnp.maximum(
-        jnp.int32(threshold_frac * n / n_shards), jnp.int32(2)
+        (threshold_frac * jnp.asarray(n_valid, jnp.float32) / n_shards)
+        .astype(jnp.int32),
+        jnp.int32(2),
     )
     # Top-HOT_K by count: sort (count desc, key) and take the head.
     neg_counts = -counts

@@ -71,6 +71,8 @@ def _expr_name(expr) -> str:
         return expr.name.split(".", 1)[-1] if "." in expr.name else expr.name
     if isinstance(expr, Agg):
         arg = "*" if isinstance(expr.arg, Star) else _expr_name(expr.arg)
+        if expr.distinct:
+            return f"{expr.func}(distinct {arg})"
         return f"{expr.func}({arg})"
     if isinstance(expr, BinOp):
         return f"({_expr_name(expr.left)} {expr.op} {_expr_name(expr.right)})"
@@ -311,8 +313,26 @@ class QueryPlan:
         else:
             self.where_residual = None
         group_keys = [res.rewrite(c).name for c in stmt.group_by]
+
+        # ORDER BY may reference select-list aliases (standard SQL output-name
+        # resolution). Real columns win; an alias is tried only when the bare
+        # identifier resolves to no table column.
+        alias_map = {
+            it.alias: it.expr for it in stmt.items
+            if it.alias and not isinstance(it.expr, Star)
+        }
+
+        def _order_expr(e):
+            try:
+                return res.rewrite(e)
+            except PlanError:
+                if (isinstance(e, Col) and e.table is None
+                        and e.name in alias_map):
+                    return res.rewrite(alias_map[e.name])
+                raise
+
         order_items = [
-            (res.rewrite(o.expr), o.descending) for o in stmt.order_by
+            (_order_expr(o.expr), o.descending) for o in stmt.order_by
         ]
 
         # Aggregate extraction across select/having/order-by.
@@ -384,6 +404,12 @@ class QueryPlan:
                 self.agg_specs.append((arg_internal, "sum", s))
                 self.agg_specs.append((arg_internal, "count", c))
                 self.post_computes.append((out, ("avg", s, c)))
+            elif node.func == "count" and node.distinct:
+                # COUNT(DISTINCT x) → the dedicated "countd" aggregate
+                # (ops/groupby.py: per-group distinct counts via an auxiliary
+                # sort with x as a trailing key). The parser restricts
+                # DISTINCT-in-aggregate to COUNT.
+                self.agg_specs.append((arg_internal, "countd", out))
             else:
                 self.agg_specs.append((arg_internal, node.func, out))
             agg_map[node] = out

@@ -76,8 +76,10 @@ def doubling_segmented_scan(op: Callable, sid: Array, values: Array) -> Array:
 
 
 def _segment_ids(flags: Array) -> Array:
-    """0-based segment id per row; rows before the first flag are segment 0."""
-    return jnp.cumsum(flags.astype(jnp.int32)) - flags.astype(jnp.int32)
+    """0-based segment id per row; rows before the first flag are segment 0
+    (element 0 is an implicit segment start, flagged or not)."""
+    f = flags.astype(jnp.int32)
+    return jnp.cumsum(f.at[0].set(1)) - 1
 
 
 def segmented_scan(op: Callable, ne, flags: Array, values: Array) -> Array:
@@ -100,16 +102,15 @@ def segmented_scan(op: Callable, ne, flags: Array, values: Array) -> Array:
         )
         return (s - base[sid]).astype(values.dtype)
 
-    if op in (jnp.maximum, jnp.minimum):
-        # Running cummax/cummin with per-segment reset via the base trick on
-        # monotone transforms is not exact; use segment-local approach:
-        # gather each row's segment start, then cummax of values where a
-        # reset is injected by taking max(value, running) after replacing
-        # rows at starts. Simplest correct fast path: scan over shifted
-        # "reset" values using cummax of (sid * LARGE + value) is unsafe.
-        # Fall back to the generic scan (rarely hot: reduces use segment ops).
-        return _generic_segmented_scan(op, flags, values)
+    if op in (jnp.maximum, jnp.minimum, jnp.multiply):
+        # Log-doubling segmented scan (Hillis–Steele over segment ids):
+        # ceil(log2 n) fused elementwise passes, compiles cleanly — unlike
+        # the generic (flag, value) associative_scan, which the module
+        # docstring documents as pathological to compile. Exact for any
+        # associative op.
+        return doubling_segmented_scan(op, _segment_ids(flags), values)
 
+    # Exotic ops only (never hit by the engine's own operators).
     return _generic_segmented_scan(op, flags, values)
 
 

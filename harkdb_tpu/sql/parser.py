@@ -39,7 +39,7 @@ KEYWORDS = {
     "select", "from", "where", "group", "order", "sort", "by", "having",
     "limit", "offset", "join", "inner", "left", "right", "outer", "on", "as", "and",
     "or", "not", "asc", "desc", "distinct", "in", "between",
-    "case", "when", "then", "else", "end", "union", "all",
+    "case", "when", "then", "else", "end",
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}

@@ -55,6 +55,38 @@ class TestDetection:
         hot = set(np.asarray(H)[np.asarray(HV) > 0].tolist())
         assert 7 in hot
 
+    def test_prefiltered_shard_still_detects(self, mesh, rng):
+        """Detection thresholds on LIVE rows, not padded capacity: after an
+        upstream filter leaves each shard mostly padding (32 live of 1024
+        capacity), a key holding 26/32 live rows must still be nominated.
+        A capacity-based threshold (0.25 * 1024 / 8 = 32 > 26) misses it —
+        this test fails on the round-2 code."""
+        from jax.sharding import NamedSharding
+
+        C, D, live = 1024, 8, 32
+        k = rng.integers(100, 200, C * D).astype(np.int32)
+        for i in range(D):
+            k[i * C: i * C + 26] = 7          # hot key in the live window
+        sharding = NamedSharding(mesh, P("shards"))
+        cols = {"k": jax.device_put(k, sharding)}
+        counts = jax.device_put(
+            np.full(D, live, np.int32), sharding
+        )
+
+        def body(cols, cnt):
+            H, HV = detect_hot_keys(cols["k"], cnt[0], D, 0.25,
+                                    CFG.mesh_axis)
+            return H, HV.astype(jnp.int32)
+
+        f = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=({"k": P("shards")}, P("shards")),
+            out_specs=(P(), P()), check_vma=False,
+        ))
+        H, HV = f(cols, counts)
+        hot = set(np.asarray(H)[np.asarray(HV) > 0].tolist())
+        assert 7 in hot
+
     def test_uniform_keys_not_hot(self, mesh, rng):
         n = 1024
         k = rng.permutation(n).astype(np.int32)  # all distinct
