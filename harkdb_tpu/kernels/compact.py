@@ -189,7 +189,7 @@ def _run(offsets, mask2d, cols2d, n_cols, interpret):
                          memory_space=pltpu.VMEM)
             for _ in range(n_cols)
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_cols,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_cols,
         scratch_shapes=[
             pltpu.VMEM((n_cols, RT, LANES), jnp.int32),
             pltpu.VMEM((n_cols, LANES), jnp.int32),

@@ -25,11 +25,15 @@ sort and minimizes gathers:
      SAME device arrays for materialization instead of recomputing
      (count-then-materialize without the double work).
   2. **Materialization** (:func:`join_batches` / :func:`join_indices`):
-     pair expansion via replicated/segmented iota; then exactly ONE stacked
-     gather per side — every carried column is bitcast to int32 and rides
-     one gather (gather cost is dominated by the index count, not payload
-     width): left columns + counts + lo by the monotone ``safe_seg``,
-     right columns by ``r_pos``.
+     pair expansion via the log-shift expand kernel on TPU
+     (``kernels/expand.py``) — empty segments pre-compacted, then seg ids
+     AND the per-segment ``offsets`` / ``lo`` / match-end values stream out
+     as monotone max-fills, so the left gather carries ONLY genuinely
+     non-monotone columns (row ids, payload). Gathers cost ~105 ms per
+     16M-row column on v5e (they scale with BYTES, not indices — measured,
+     tools/join_profile.py) and the scatter-based expansion costs 160 ms,
+     so the kernel path saves ~390 ms per 16M-pair join vs the XLA
+     formulation (which remains the non-TPU fallback).
 
 No sequential per-key loop (the reference's biggest algorithmic weakness,
 ``join.fut:67-68``) and no binary search. Static shapes: materialization
@@ -78,36 +82,46 @@ def compute_join_ranges(
 ) -> JoinRanges:
     """One concat sort + two kernel compactions → everything a join needs."""
     nl, nr = l_key.shape[0], r_key.shape[0]
+    assert nl < (1 << 30) and nr < (1 << 30), "row capacity >= 2^30"
     n = nl + nr
-    # Pads → dtype max so they cluster at the back; side key orders rights
-    # (0) before lefts (1) within a key run, and pads of both sides last.
+    # Pads → dtype max so they cluster at the back. Rights are concatenated
+    # BEFORE lefts, so the stable key-only sort orders rights before lefts
+    # within every key run — the explicit `side` operand of the naive
+    # formulation rides for free in the concat order (measured: dropping the
+    # operand takes the 17M-row sort from 91 ms to 70 ms on v5e,
+    # tools/join_profile.py). Side/pad flags travel as 2 tag bits on the
+    # carried row index (capacities are < 2^30).
     lk = _pad_to_max(l_key, n_l)
     rk = _pad_to_max(r_key, n_r)
     l_idx = jnp.arange(nl, dtype=jnp.int32)
     r_idx = jnp.arange(nr, dtype=jnp.int32)
 
-    keys = jnp.concatenate([lk, rk])
-    # side: 0 = live right, 1 = live left, 2 = padding (either side).
-    side = jnp.concatenate(
-        [1 + (l_idx >= n_l).astype(jnp.int32),
-         (r_idx >= n_r).astype(jnp.int32) * 2]
-    )
-    orig = jnp.concatenate([l_idx, r_idx])
+    keys = jnp.concatenate([rk, lk])
+    left_bit = jnp.int32(1 << 30)
+    pad_bit = jnp.int32(-(1 << 31))            # bit 31 as int32
+    l_tag = l_idx | left_bit | jnp.where(l_idx >= n_l, pad_bit, 0)
+    r_tag = r_idx | jnp.where(r_idx >= n_r, pad_bit, 0)
+    orig_tagged = jnp.concatenate([r_tag, l_tag])
     payload = [
-        jnp.concatenate([c, jnp.zeros((nr,), c.dtype)]) for c in l_cols
+        jnp.concatenate([jnp.zeros((nr,), c.dtype), c]) for c in l_cols
     ] + [
-        jnp.concatenate([jnp.zeros((nl,), c.dtype), c]) for c in r_cols
+        jnp.concatenate([c, jnp.zeros((nl,), c.dtype)]) for c in r_cols
     ]
 
     sorted_all = jax.lax.sort(
-        [keys, side, orig] + payload, num_keys=2, is_stable=True
+        [keys, orig_tagged] + payload, num_keys=1, is_stable=True
     )
-    skey, sside, sorig = sorted_all[:3]
-    spay = sorted_all[3:]
+    skey, stag = sorted_all[:2]
+    spay = sorted_all[2:]
+    # side code from the tag bits: 0 = live right, 1 = live left, else pad.
+    side_code = jax.lax.shift_right_logical(
+        stag.astype(jnp.uint32), jnp.uint32(30)
+    ).astype(jnp.int32)
+    sorig = stag & jnp.int32((1 << 30) - 1)
 
     pos = jnp.arange(n, dtype=jnp.int32)
-    is_right = (sside == 0).astype(jnp.int32)
-    is_left = sside == 1
+    is_right = (side_code == 0).astype(jnp.int32)
+    is_left = side_code == 1
 
     # Key-run starts; within-run inclusive right count via cumsum difference.
     prev = jnp.concatenate([skey[:1], skey[:-1]])
@@ -171,8 +185,10 @@ def join_match_count(
 def _stacked_gather(arrays: Sequence[Array], idx: Array,
                     indices_are_sorted: bool = False):
     """Gather k same-length columns by ONE index array: every column is
-    bitcast to int32 and stacked, so the gather cost (index-count-dominated
-    on TPU) is paid once regardless of k."""
+    bitcast to int32 and stacked into one gather. NOTE: measured on v5e the
+    cost scales with BYTES (~105 ms per 16M-row column; ``indices_are_sorted``
+    gains nothing), so callers should keep k minimal — the stacking only
+    saves per-gather fixed overhead, not per-column traffic."""
     arrays = list(arrays)
     if not arrays:
         return []
@@ -195,32 +211,94 @@ def _stacked_gather(arrays: Sequence[Array], idx: Array,
     return out
 
 
-def _expand_pairs(rng: JoinRanges, out_capacity: int, kind: str):
-    """Pair expansion: per-output-slot (sorted-left segment, local index,
-    matched flag, right sorted position, total)."""
+_FORCE_KERNEL_EXPAND: bool | None = None   # test hook: force the kernel path
+
+
+def _use_kernel_expand(use_pallas: bool | None) -> bool:
+    if _FORCE_KERNEL_EXPAND is not None:
+        return _FORCE_KERNEL_EXPAND
+    if use_pallas is None:
+        from harkdb_tpu.config import DEFAULT_CONFIG
+
+        use_pallas = DEFAULT_CONFIG.use_pallas
+    return bool(use_pallas) and jax.default_backend() == "tpu"
+
+
+def _pair_slots(
+    rng: JoinRanges, out_capacity: int, kind: str,
+    l_value_cols: Sequence[Array], use_pallas: bool | None = None,
+):
+    """Pair expansion + the left-side value gather, fused path-dependently.
+
+    Returns ``(l_vals, r_pos, live, matched, total)`` per output slot:
+    the gathered ``l_value_cols`` (arrays in sorted-left coordinates), the
+    matching sorted-right position (0 where unmatched), and flags.
+
+    TPU path: empty-emit sources are pre-compacted (log-shift kernel), then
+    the expand kernel (``kernels/expand.py``) produces seg ids AND the
+    per-segment ``offsets`` / ``lo`` / match-end fills in one streaming pass
+    — all three are non-decreasing in sorted-left order (lo is a run base,
+    match end telescopes across runs), which is what the kernel's max-fill
+    needs. That removes both the 160 ms marker scatter and two columns from
+    the left gather (gathers cost ~105 ms per 16M-row column — measured,
+    tools/join_profile.py). Fallback: scatter+cummax ``replicated_iota`` and
+    a stacked gather that carries counts/lo alongside the values.
+    """
     counts, n_lefts = rng.counts, rng.n_lefts
     nl = counts.shape[0]
+    l_idx = jnp.arange(nl, dtype=jnp.int32)
     if kind == "left":
-        emit = jnp.where(
-            jnp.arange(nl, dtype=jnp.int32) < n_lefts,
-            jnp.maximum(counts, 1), 0,
-        )
+        emit = jnp.where(l_idx < n_lefts, jnp.maximum(counts, 1), 0)
         total = rng.total_left
     elif kind == "inner":
         emit = counts
         total = rng.total
     else:
         raise ValueError(f"Unsupported join kind {kind!r}")
+    out_idx = jnp.arange(out_capacity, dtype=jnp.int32)
+
+    if _use_kernel_expand(use_pallas):
+        from harkdb_tpu.kernels.expand import expand_fills
+
+        packed, n_src = compact_arrays(
+            [emit, rng.lo, counts] + list(l_value_cols), emit > 0,
+            jnp.int32(nl), use_pallas=use_pallas,
+        )
+        p_emit = jnp.where(l_idx < n_src, packed[0], 0)
+        p_lo, p_counts = packed[1], packed[2]
+        p_vals = list(packed[3:])
+        offsets = jnp.cumsum(p_emit) - p_emit
+        rend = p_lo + p_counts            # first sorted-right slot past the
+        #                                   segment's matches — monotone
+        interpret = jax.default_backend() != "tpu"
+        seg, off_f, fills = expand_fills(
+            offsets, n_src, out_capacity, (p_lo, rend),
+            interpret=interpret,
+        )
+        lo_f, rend_f = fills
+        live = out_idx < total
+        r_pos_raw = lo_f + (out_idx - off_f)
+        matched = live & (r_pos_raw < rend_f)
+        r_pos = jnp.where(matched, r_pos_raw, 0)
+        safe_seg = jnp.where(live, jnp.minimum(seg, nl - 1), 0)
+        l_vals = _stacked_gather(p_vals, safe_seg) if p_vals else []
+        return l_vals, r_pos, live, matched, total
 
     seg_ids, _ = replicated_iota(emit, out_capacity)
-    out_idx = jnp.arange(out_capacity, dtype=jnp.int32)
     live = out_idx < total
     safe_seg = jnp.where(live, jnp.minimum(seg_ids, nl - 1), 0)
     starts = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), seg_ids[1:] != seg_ids[:-1]]
     )
     local = segmented_iota(starts)
-    return safe_seg, local, live, total
+    g = _stacked_gather(
+        [counts, rng.lo] + list(l_value_cols), safe_seg,
+        indices_are_sorted=True,
+    )
+    seg_counts, seg_lo = g[0], g[1]
+    matched = live & (local < seg_counts)
+    r_pos = jnp.where(matched, seg_lo + local, 0)
+    return g[2:], r_pos, live, matched, total
 
 
 def join_indices(
@@ -244,15 +322,10 @@ def join_indices(
     :func:`join_match_count`.
     """
     rng = compute_join_ranges(l_key, n_l, r_key, n_r, use_pallas=use_pallas)
-    safe_seg, local, live, total = _expand_pairs(rng, out_capacity, kind)
-
-    # ONE stacked gather per side (monotone safe_seg; then r_pos).
-    seg_l_orig, seg_counts, seg_lo = _stacked_gather(
-        [rng.l_orig, rng.counts, rng.lo], safe_seg, indices_are_sorted=True
+    l_vals, r_pos, live, matched, total = _pair_slots(
+        rng, out_capacity, kind, [rng.l_orig], use_pallas
     )
-    matched = live & (local < seg_counts)
-    l_out = jnp.where(live, seg_l_orig, 0)
-    r_pos = jnp.where(matched, seg_lo + local, 0)
+    l_out = jnp.where(live, l_vals[0], 0)
     (r_out,) = _stacked_gather(
         [rng.r_orig], jnp.minimum(r_pos, rng.r_orig.shape[0] - 1)
     )
@@ -313,23 +386,16 @@ def join_batches(
             "precomputed ranges is supplied (its payload column order is "
             "defined by them)"
         )
-    safe_seg, local, live, total = _expand_pairs(ranges, out_capacity, kind)
-
-    # Left side + match metadata: ONE stacked gather by monotone safe_seg.
-    l_gathered = _stacked_gather(
-        [ranges.counts, ranges.lo] + list(ranges.l_payload),
-        safe_seg, indices_are_sorted=True,
+    l_vals, r_pos, live, matched, total = _pair_slots(
+        ranges, out_capacity, kind, list(ranges.l_payload), use_pallas
     )
-    seg_counts, seg_lo = l_gathered[0], l_gathered[1]
-    matched = live & (local < seg_counts)
-    r_pos = jnp.where(matched, seg_lo + local, 0)
     nr = ranges.r_orig.shape[0]
     r_gathered = _stacked_gather(
         list(ranges.r_payload), jnp.minimum(r_pos, nr - 1)
     )
 
     cols = {}
-    for dst, col in zip(l_out.values(), l_gathered[2:]):
+    for dst, col in zip(l_out.values(), l_vals):
         cols[dst] = jnp.where(live, col, 0)
     zero_right = kind == "left"
     for dst, col in zip(r_out.values(), r_gathered):

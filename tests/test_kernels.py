@@ -290,3 +290,112 @@ class TestPlannerFastPath:
         plan = c._plan(q)
         assert plan.last_fast_span is None
         assert out.shape[0] == 0
+
+
+class TestExpandKernel:
+    """Log-shift dilation kernel (kernels/expand.py): seg ids + monotone
+    fills vs a numpy oracle, interpret mode. Covers block boundaries, huge
+    and unit segments, windows crossing superblocks, and short inputs."""
+
+    def _oracle(self, offsets, n_src, out_cap):
+        offs = offsets[:n_src]
+        seg = np.maximum(
+            np.searchsorted(offs, np.arange(out_cap), side="right") - 1, 0
+        )
+        return seg
+
+    @pytest.mark.parametrize("case", ["random", "unit", "one_big", "aligned"])
+    def test_vs_oracle(self, rng, case):
+        from harkdb_tpu.kernels.expand import BLOCK, expand_fills
+
+        out_cap = 3 * BLOCK + 1000
+        if case == "random":
+            sizes = rng.integers(1, 9, 9000).astype(np.int32)
+        elif case == "unit":
+            sizes = np.ones(out_cap - 5, np.int32)
+        elif case == "one_big":
+            sizes = np.array([out_cap + 7], np.int32)
+        else:  # segments starting exactly at block boundaries
+            sizes = np.full(6, BLOCK, np.int32)
+        offsets = (np.cumsum(sizes) - sizes).astype(np.int32)
+        n_src = len(sizes)
+        # monotone extra plane: the segment end positions
+        ends = (offsets + sizes).astype(np.int32)
+
+        seg, off_f, extra = expand_fills(
+            jnp.asarray(offsets), jnp.int32(n_src), out_cap,
+            (jnp.asarray(ends),), interpret=True,
+        )
+        exp_seg = self._oracle(offsets, n_src, out_cap)
+        total = int(sizes.sum())
+        live = np.arange(out_cap) < total
+        np.testing.assert_array_equal(
+            np.asarray(seg)[live], exp_seg[live], err_msg=case
+        )
+        np.testing.assert_array_equal(
+            np.asarray(off_f)[live], offsets[exp_seg][live], err_msg=case
+        )
+        np.testing.assert_array_equal(
+            np.asarray(extra[0])[live], ends[exp_seg][live], err_msg=case
+        )
+
+    def test_padded_source_capacity(self, rng):
+        """Entries at index >= n_src must be ignored (engine padding)."""
+        from harkdb_tpu.kernels.expand import expand_fills
+
+        sizes = rng.integers(1, 30, 500).astype(np.int32)
+        offsets = (np.cumsum(sizes) - sizes).astype(np.int32)
+        n_src = 300
+        padded = np.concatenate([offsets, np.zeros(2048, np.int32)])
+        out_cap = int(offsets[n_src - 1] + sizes[n_src - 1]) + 77
+        seg, _off, _ = expand_fills(
+            jnp.asarray(padded), jnp.int32(n_src), out_cap, (),
+            interpret=True,
+        )
+        exp = self._oracle(offsets, n_src, out_cap)
+        total = int(sizes[:n_src].sum())
+        live = np.arange(out_cap) < total
+        np.testing.assert_array_equal(np.asarray(seg)[live], exp[live])
+
+    def test_matches_replicated_iota(self, rng):
+        """Differential vs the XLA scatter+cummax primitive on live slots."""
+        from harkdb_tpu.kernels.expand import expand_fills
+        from harkdb_tpu.prims.segmented import replicated_iota
+
+        sizes = rng.integers(1, 6, 4000).astype(np.int32)
+        offsets = (np.cumsum(sizes) - sizes).astype(np.int32)
+        out_cap = int(sizes.sum()) + 513
+        seg, _o, _ = expand_fills(
+            jnp.asarray(offsets), jnp.int32(len(sizes)), out_cap, (),
+            interpret=True,
+        )
+        ids, total = replicated_iota(jnp.asarray(sizes), out_cap)
+        live = np.arange(out_cap) < int(total)
+        np.testing.assert_array_equal(
+            np.asarray(seg)[live], np.asarray(ids)[live]
+        )
+
+    def test_bruteforce_small(self, rng):
+        """Randomized small cases across block-offset phases."""
+        from harkdb_tpu.kernels.expand import expand_fills
+
+        for trial in range(8):
+            n_seg = int(rng.integers(1, 200))
+            sizes = rng.integers(1, 400, n_seg).astype(np.int32)
+            offsets = (np.cumsum(sizes) - sizes).astype(np.int32)
+            total = int(sizes.sum())
+            out_cap = total + int(rng.integers(0, 300))
+            mono = np.minimum(offsets // 2, 1 << 20).astype(np.int32)
+            seg, off_f, extra = expand_fills(
+                jnp.asarray(offsets), jnp.int32(n_seg), out_cap,
+                (jnp.asarray(mono),), interpret=True,
+            )
+            exp = self._oracle(offsets, n_seg, out_cap)
+            live = np.arange(out_cap) < total
+            np.testing.assert_array_equal(
+                np.asarray(seg)[live], exp[live], err_msg=f"trial {trial}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(extra[0])[live], mono[exp][live],
+                err_msg=f"trial {trial}",
+            )

@@ -214,6 +214,19 @@ def run():
                   .astype(jnp.int32))
 
     @jax.jit
+    def expand_kernel(i, sizes, vals):
+        from harkdb_tpu.kernels.expand import expand_fills
+
+        reps = jnp.maximum(sizes + (i - i), 1)       # non-empty contract
+        offsets = jnp.cumsum(reps) - reps
+        mono = jnp.minimum(offsets, vals.shape[0])   # a monotone value plane
+        seg, off_f, (m_f,) = expand_fills(
+            offsets, jnp.int32(n), n, (mono,),
+            interpret=jax.default_backend() != "tpu",
+        )
+        return cs(seg) + cs(off_f) + cs(m_f)
+
+    @jax.jit
     def ranges_only(i, lk, rk):
         from harkdb_tpu.ops.join import compute_join_ranges
 
@@ -263,19 +276,27 @@ def run():
     RESULTS["rtt_ms"] = round(rtt[0] * 1e3, 2)
     log(f"RTT {rtt[0]*1e3:.1f} ms")
 
-    stage("sort3_i32", sort3_i32, lk, rk)
-    stage("sort2_packed_i64", sort2_packed, lk, rk)
-    stage("sort3_payload4_i32", sort3_payload4_i32, lk, rk, p1, p2, p3, p4)
-    stage("sort3_payload2_i64", sort3_payload2_i64, lk, rk, p1, p2, p3, p4)
-    stage("scatter_sorted_cummax", scatter_sorted, sizes)
-    stage("scatter_packed64_cummax", scatter_packed64, sizes, vals)
-    stage("gather_sorted_3col", gather_sorted_3col, vals, sorted_idx)
-    stage("gather_sorted_1col", gather_sorted_1col, vals, sorted_idx)
-    stage("gather_random_1col", gather_random_1col, vals, rand_idx)
-    stage("cummax32", cummax32, vals)
-    stage("cummax64", cummax64, vals)
-    stage("ranges_only", ranges_only, lk, rk)
-    stage("full_join_current", full_join, lk, rk)
+    all_stages = [
+        ("sort3_i32", sort3_i32, (lk, rk)),
+        ("sort2_packed_i64", sort2_packed, (lk, rk)),
+        ("sort3_payload4_i32", sort3_payload4_i32, (lk, rk, p1, p2, p3, p4)),
+        ("sort3_payload2_i64", sort3_payload2_i64, (lk, rk, p1, p2, p3, p4)),
+        ("scatter_sorted_cummax", scatter_sorted, (sizes,)),
+        ("scatter_packed64_cummax", scatter_packed64, (sizes, vals)),
+        ("gather_sorted_3col", gather_sorted_3col, (vals, sorted_idx)),
+        ("gather_sorted_1col", gather_sorted_1col, (vals, sorted_idx)),
+        ("gather_random_1col", gather_random_1col, (vals, rand_idx)),
+        ("cummax32", cummax32, (vals,)),
+        ("cummax64", cummax64, (vals,)),
+        ("expand_kernel", expand_kernel, (sizes, vals)),
+        ("ranges_only", ranges_only, (lk, rk)),
+        ("full_join_current", full_join, (lk, rk)),
+    ]
+    only = os.environ.get("JP_STAGES")
+    wanted = set(only.split(",")) if only else None
+    for name, fn, args in all_stages:
+        if wanted is None or name in wanted:
+            stage(name, fn, *args)
 
 
 if __name__ == "__main__":
