@@ -143,7 +143,7 @@ class DistExecutor:
             else:
                 gathered = sort_batch(gathered, keys)
         else:
-            if self.config.dist_tail and not plan.distinct:
+            if self.config.dist_tail:
                 return self._ungrouped_tail(work, join_keys_newest_first)
             gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
             if join_keys_newest_first:
@@ -173,29 +173,6 @@ class DistExecutor:
         trade-off, tests/test_multihost.py).
         """
         plan, cfg = self.plan, self.config
-
-        tie_names: List[str] = []
-        if join_keys_newest_first:
-            tie_names = [
-                k for k in join_keys_newest_first if k in work.columns
-            ] + [n for n in work.names if n.startswith("#rid.")]
-
-        order_exprs = list(plan.order_items)
-        if order_exprs or tie_names:
-            descs = [d for _e, d in order_exprs] + [False] * len(tie_names)
-
-            def keys_fn(cols, cap):
-                ks = [eval_expr(e, cols, cap, cfg) for e, _d in order_exprs]
-                ks += [cols[k] for k in tie_names]
-                return ks
-
-            work = dist_orderby(work, keys_fn, descs, self.mesh, cfg)
-
-        if plan.offset or plan.limit is not None:
-            work = dist_head(
-                work, plan.offset or 0, plan.limit, self.mesh, cfg
-            )
-
         final_items = list(plan.final_items)
         out_names = [f"#out{i}" for i in range(len(final_items))]
 
@@ -205,7 +182,52 @@ class DistExecutor:
                 for i, (e, _n) in enumerate(final_items)
             }
 
-        work = dist_map(work, project, out_names, self.mesh, cfg)
+        if plan.distinct:
+            # DISTINCT = group-by over the full output tuple with no
+            # aggregates: project per shard, dedupe locally, shuffle by the
+            # tuple hash, dedupe again — shards end with disjoint row sets.
+            # Single-chip DISTINCT output order is lexicographic by the full
+            # tuple, with ORDER BY applied stably on top; the distributed
+            # sort reproduces it exactly with (order outputs, full tuple) as
+            # the key chain (tuples are unique, so the order is total).
+            work = dist_map(work, project, out_names, self.mesh, cfg)
+            work = dist_groupby(work, out_names, [], self.mesh, cfg)
+            order_cols = [f"#out{j}" for j in plan.order_out_idx]
+            keys = order_cols + out_names
+            descs = [d for _e, d in plan.order_items]
+            descs += [False] * len(out_names)
+
+            def dkeys_fn(cols, cap):
+                return [cols[k] for k in keys]
+
+            work = dist_orderby(work, dkeys_fn, descs, self.mesh, cfg)
+        else:
+            tie_names: List[str] = []
+            if join_keys_newest_first:
+                tie_names = [
+                    k for k in join_keys_newest_first if k in work.columns
+                ] + [n for n in work.names if n.startswith("#rid.")]
+
+            order_exprs = list(plan.order_items)
+            if order_exprs or tie_names:
+                descs = [d for _e, d in order_exprs]
+                descs += [False] * len(tie_names)
+
+                def keys_fn(cols, cap):
+                    ks = [
+                        eval_expr(e, cols, cap, cfg)
+                        for e, _d in order_exprs
+                    ]
+                    ks += [cols[k] for k in tie_names]
+                    return ks
+
+                work = dist_orderby(work, keys_fn, descs, self.mesh, cfg)
+            work = dist_map(work, project, out_names, self.mesh, cfg)
+
+        if plan.offset or plan.limit is not None:
+            work = dist_head(
+                work, plan.offset or 0, plan.limit, self.mesh, cfg
+            )
 
         import jax
 

@@ -169,3 +169,26 @@ class TestFallbackPath:
         for c in (dc, sc):
             c.create_table("t", df)
         assert_same(dc, sc, "select k, v from t order by v desc limit 19")
+
+
+class TestDistinctDistributed:
+    """DISTINCT runs sharded too: per-shard dedupe -> tuple-hash shuffle ->
+    dedupe -> range-partitioned order. Must be bit-equal to single-chip."""
+
+    def test_distinct(self, pair):
+        assert_same(*pair, "select distinct k from t")
+
+    def test_distinct_multicol(self, pair):
+        assert_same(*pair, "select distinct k, w from t")
+
+    def test_distinct_orderby_limit(self, pair):
+        assert_same(*pair,
+                    "select distinct k, w from t order by w desc, k limit 9")
+
+    def test_distinct_expression(self, pair):
+        assert_same(*pair, "select distinct v % 7 from t where v > 0")
+
+    def test_distinct_after_join(self, pair):
+        assert_same(*pair,
+                    "select distinct k, m from t join r on t.k = r.j "
+                    "order by m")

@@ -22,6 +22,10 @@ import time
 
 import numpy as np
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 DEADLINE_S = float(os.environ.get("JP_DEADLINE_S", 900))
 STAGE_S = float(os.environ.get("JP_STAGE_S", 120))
 CACHE_DIR = os.path.join(
