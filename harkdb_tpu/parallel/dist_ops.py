@@ -463,7 +463,10 @@ def dist_join(
                 rs, rn, rof = repartition_by_key(
                     r_cols, r_key, r_cnt[0], axis, D, r_cap
                 )
-            cnt = join_match_count(ls[l_key], ln, rs[r_key], rn, kind)
+            cnt = join_match_count(
+                ls[l_key], ln, rs[r_key], rn, kind,
+                use_pallas=config.use_pallas,
+            )
             # Replicated scalars (pmax/psum) so the multi-process host loop
             # can read them: max local join size sets the uniform static
             # capacity; overflow drives the retry.
@@ -516,7 +519,7 @@ def dist_join(
             lb, rb, l_key, r_key, out_cap,
             {n: n for n in l_names},
             {n: n for n in r_names if n not in l_names},
-            kind=kind,
+            kind=kind, use_pallas=config.use_pallas,
         )
         return dict(out.columns), out.n_valid.reshape(1)
 

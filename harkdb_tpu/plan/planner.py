@@ -199,11 +199,12 @@ def _jit_ranges(l_key: str, r_key: str, l_names: tuple, r_names: tuple,
 
 @functools.lru_cache(maxsize=256)
 def _jit_join(l_key: str, r_key: str, capacity: int,
-              l_out: tuple, r_out: tuple, kind: str = "inner"):
+              l_out: tuple, r_out: tuple, kind: str = "inner",
+              use_pallas: bool = True):
     def f(ranges) -> ColumnBatch:
         return join_batches(
             None, None, l_key, r_key, capacity, dict(l_out), dict(r_out),
-            kind=kind, ranges=ranges,
+            kind=kind, ranges=ranges, use_pallas=use_pallas,
         )
     return jax.jit(f)
 
@@ -618,7 +619,9 @@ class QueryPlan:
             cap = _next_pow2(max(total, self.config.row_align))
             l_out = tuple((n, n) for n in l_names)
             r_out = tuple((n, n) for n in r_names)
-            batch = _jit_join(lk, rk, cap, l_out, r_out, kind)(ranges)
+            batch = _jit_join(
+                lk, rk, cap, l_out, r_out, kind, self.config.use_pallas
+            )(ranges)
         # Phase B: compiled pipeline (jit keyed by MXU fast-path span).
         fast_span, key_min = self._resolve_fast(batch)
         self.last_fast_span = fast_span
