@@ -114,14 +114,19 @@ class DistExecutor:
                     extra["#const"] = jnp.zeros((cap,), jnp.int32)
                 return extra
 
-            # MXU fast path distributed: the planner's statically-proven gate
-            # (single small-span int key from no-join table stats, sum/count
-            # only — plan.fast_agg) engages the one-hot matmul aggregation in
-            # every shard's local pre-aggregate; partials shuffle as usual.
+            # MXU fast path distributed: the planner's gate (single
+            # small-span int key, sum/count only) engages the one-hot matmul
+            # aggregation in every shard's local pre-aggregate; partials
+            # shuffle as usual. The span is either statically proven from
+            # no-join table stats (plan.fast_agg) or measured by a one-time
+            # distributed min/max probe over the live post-join/post-WHERE
+            # rows (cached on the plan, like the single-chip probe).
             fast = None
             if plan.fast_agg is not None and not plan.join_steps:
                 _key, key_min, span_p = plan.fast_agg
                 fast = (key_min, span_p)
+            elif plan.fast_candidate is not None:
+                fast = self._probe_fast_dist(work)
             plan.last_fast_span = fast[1] if fast is not None else None
 
             work = dist_groupby(
@@ -156,6 +161,53 @@ class DistExecutor:
                 gathered = sort_batch(gathered, sort_keys)
 
         return plan.run_tail(gathered)
+
+    def _probe_fast_dist(self, work) -> tuple | None:
+        """Distributed analog of QueryPlan._resolve_fast's on-device probe:
+        global (min, max, any) of the group key over live rows, one small
+        shard_map dispatch, cached on the plan (the Context invalidates the
+        plan cache whenever its tables change)."""
+        plan, cfg = self.plan, self.config
+        cached = getattr(plan, "_probed_fast_dist", None)
+        if cached is not None:
+            return cached if cached != () else None
+        from harkdb_tpu.kernels.matmul_agg import MAX_KEY_SPAN
+        from harkdb_tpu.plan.planner import _pad_span
+
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        key_name = plan.fast_candidate
+        axis = cfg.mesh_axis
+        C = work.local_capacity
+
+        def body(cols, cnt):
+            k = cols[key_name]
+            live = jnp.arange(C, dtype=jnp.int32) < cnt[0]
+            info = jnp.iinfo(k.dtype)
+            kmin = jnp.min(jnp.where(live, k, info.max))
+            kmax = jnp.max(jnp.where(live, k, info.min))
+            return (kmin.reshape(1), kmax.reshape(1),
+                    jnp.any(live).reshape(1))
+
+        f = jax.jit(jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=({n: P(axis) for n in work.names}, P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
+        ))
+        mins, maxs, anys = f(work.columns, work.shard_counts)
+        anys = np.asarray(anys).astype(bool)
+        fast = None
+        if anys.any():
+            kmin = int(np.asarray(mins)[anys].min())
+            kmax = int(np.asarray(maxs)[anys].max())
+            if not (cfg.compat_u32_key_order and kmin < 0):
+                span = kmax - kmin + 1
+                if span <= MAX_KEY_SPAN:
+                    fast = (kmin, _pad_span(span))
+        plan._probed_fast_dist = fast if fast is not None else ()
+        return fast
 
     def _ungrouped_tail(self, work, join_keys_newest_first) -> ColumnBatch:
         """Sharded tail for ungrouped queries (round-2 verdict item 4: stop

@@ -169,3 +169,46 @@ class TestDistributedQueries:
         dc.create_table("s", df)
         sc.create_table("s", df)
         assert_same(dc, sc, "select k, sum(v), count(*) from s group by k")
+
+
+class TestDistributedMXUGate:
+    def test_static_span_engages(self, pair):
+        dc, sc = pair
+        q = "select k, sum(v), count(*) from t group by k"
+        np.testing.assert_array_equal(dc.sql(q), sc.sql(q))
+        assert dc._plan(q).last_fast_span is not None
+
+    def test_probed_span_post_where(self, mesh, rng):
+        """Key range proven only AFTER the WHERE narrows a wide table —
+        the distributed probe must admit it to the MXU pre-aggregate."""
+        n = 4000
+        wide = rng.integers(0, 1 << 22, n).astype(np.int32)
+        sel = rng.random(n) < 0.5
+        wide[sel] = rng.integers(0, 500, int(sel.sum()))
+        df = pd.DataFrame({
+            "k": wide,
+            "v": rng.integers(-50, 50, n).astype(np.int32),
+        })
+        dc = Context(CFG, mesh=mesh)
+        sc = Context(CFG)
+        for c in (dc, sc):
+            c.create_table("w", df)
+        q = "select k, sum(v), count(*) from w where k < 500 group by k"
+        np.testing.assert_array_equal(dc.sql(q), sc.sql(q))
+        assert dc._plan(q).last_fast_span is not None
+        # probe result is cached on the plan
+        assert getattr(dc._plan(q), "_probed_fast_dist", None) not in (None, ())
+
+    def test_wide_span_stays_on_sort_path(self, mesh, rng):
+        n = 2000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 1 << 22, n).astype(np.int32),
+            "v": rng.integers(-50, 50, n).astype(np.int32),
+        })
+        dc = Context(CFG, mesh=mesh)
+        sc = Context(CFG)
+        for c in (dc, sc):
+            c.create_table("w", df)
+        q = "select k, sum(v) from w group by k"
+        np.testing.assert_array_equal(dc.sql(q), sc.sql(q))
+        assert dc._plan(q).last_fast_span is None
