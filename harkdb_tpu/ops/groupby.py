@@ -62,16 +62,38 @@ _SCAN_OP = {
 
 
 def _neutral(op_name: str, dtype) -> jax.Array:
+    return jnp.array(_neutral_py(op_name, dtype), dtype)
+
+
+def _neutral_py(op_name: str, dtype):
+    """Op-neutral element as a python scalar (static kernel argument)."""
     if op_name in ("sum", "count"):
-        return jnp.array(0, dtype)
+        return 0
     if op_name == "prod":
-        return jnp.array(1, dtype)
-    info = jnp.finfo(dtype) if jnp.issubdtype(dtype, jnp.floating) else jnp.iinfo(dtype)
+        return 1
+    if jnp.issubdtype(dtype, jnp.floating):
+        info = jnp.finfo(dtype)
+        return float(info.min) if op_name == "max" else float(info.max)
+    info = jnp.iinfo(dtype)
     if op_name == "max":
-        return jnp.array(info.min, dtype)
+        return int(info.min)
     if op_name == "min":
-        return jnp.array(info.max, dtype)
+        return int(info.max)
     raise ValueError(f"Unknown aggregate {op_name!r}")
+
+
+_SEGSCAN_NAME = {"sum": "add", "prod": "mul", "max": "max", "min": "min"}
+_FORCE_SEGSCAN: bool | None = None     # test hook: force the kernel path
+
+
+def _use_segscan(use_pallas) -> bool:
+    if _FORCE_SEGSCAN is not None:
+        return _FORCE_SEGSCAN
+    if use_pallas is None:
+        from harkdb_tpu.config import DEFAULT_CONFIG
+
+        use_pallas = DEFAULT_CONFIG.use_pallas
+    return bool(use_pallas) and jax.default_backend() == "tpu"
 
 
 def u32_order_key(key: Array) -> Array:
@@ -182,13 +204,31 @@ def groupby_aggregate(
         cum_base = len(end_arrays)
         end_arrays.extend(S[:, j] for j in range(len(cum_cols)))
     sid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    for (op, _dt), members in scan_groups.items():
-        D = doubling_segmented_scan(
-            _SCAN_OP[op], sid, jnp.stack([c for _ai, c in members], axis=1)
+    for (op, dt), members in scan_groups.items():
+        member_cols = [c for _ai, c in members]
+        # Streaming Pallas segmented scan on TPU (kernels/segscan.py):
+        # ONE pass of HBM traffic with a carry chain vs the doubling scan's
+        # 24 whole-array rounds at 16M rows. Fallback elsewhere.
+        from harkdb_tpu.kernels.segscan import (
+            flat_segscan, segscan_supported,
         )
-        for j, (ai, _c) in enumerate(members):
+
+        if _use_segscan(use_pallas) and segscan_supported(
+            _SEGSCAN_NAME[op], member_cols[0].dtype
+        ):
+            scanned = flat_segscan(
+                _SEGSCAN_NAME[op], sid, member_cols,
+                _neutral_py(op, member_cols[0].dtype),
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            D = doubling_segmented_scan(
+                _SCAN_OP[op], sid, jnp.stack(member_cols, axis=1)
+            )
+            scanned = [D[:, j] for j in range(len(members))]
+        for (ai, _c), col_scan in zip(members, scanned):
             slot_of[ai] = len(end_arrays)
-            end_arrays.append(D[:, j])
+            end_arrays.append(col_scan)
 
     # COUNT(DISTINCT x): one auxiliary sort per distinct column where x rides
     # as an extra trailing KEY — within each group's (identical-position)

@@ -150,4 +150,13 @@ def worker_sql(coordinator: str, num_processes: int, process_id: int) -> str:
     sc.create_table("dims", dims)
     expect = sc.sql(q)
     np.testing.assert_array_equal(out, expect)
+
+    # Ungrouped distributed tail across the process boundary: the
+    # range-partitioned ORDER BY's sample all_gather + row all_to_all and
+    # the sharded LIMIT window all cross processes; multi-process collection
+    # all_gathers (every process must return the full result).
+    q2 = "select v, k from facts where v != 0 order by v desc, k limit 37"
+    np.testing.assert_array_equal(dc.sql(q2), sc.sql(q2))
+    q3 = "select distinct k from facts order by k desc"
+    np.testing.assert_array_equal(dc.sql(q3), sc.sql(q3))
     return f"SQL OK {out.shape[0]}x{out.shape[1]}"

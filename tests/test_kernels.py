@@ -399,3 +399,95 @@ class TestExpandKernel:
                 np.asarray(extra[0])[live], mono[exp][live],
                 err_msg=f"trial {trial}",
             )
+
+
+class TestSegscanKernel:
+    """Streaming segmented scan (kernels/segscan.py) vs the doubling-scan
+    oracle: carry chains across tiles, all four ops, int and float."""
+
+    @pytest.mark.parametrize("op,neutral", [
+        ("max", -(2**31)), ("min", 2**31 - 1), ("add", 0), ("mul", 1),
+    ])
+    def test_vs_doubling(self, rng, op, neutral):
+        from harkdb_tpu.kernels.segscan import flat_segscan
+        from harkdb_tpu.prims.segmented import doubling_segmented_scan
+
+        n = 3 * 16384 + 777          # crosses tile boundaries + padding
+        sid = np.sort(rng.integers(0, 300, n)).astype(np.int32)
+        lo, hi = (-9, 9) if op == "mul" else (-1000, 1000)
+        v = rng.integers(lo, hi, n).astype(np.int32)
+        got = flat_segscan(
+            op, jnp.asarray(sid), [jnp.asarray(v)], neutral, interpret=True
+        )[0]
+        ops = {"max": jnp.maximum, "min": jnp.minimum,
+               "add": jnp.add, "mul": jnp.multiply}
+        exp = doubling_segmented_scan(
+            ops[op], jnp.asarray(sid), jnp.asarray(v)
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    def test_multi_column_and_float(self, rng):
+        from harkdb_tpu.kernels.segscan import flat_segscan
+        from harkdb_tpu.prims.segmented import doubling_segmented_scan
+
+        n = 2 * 16384 + 5
+        sid = np.sort(rng.integers(0, 50, n)).astype(np.int32)
+        a = rng.standard_normal(n).astype(np.float32)
+        b = rng.standard_normal(n).astype(np.float32)
+        got = flat_segscan(
+            "max", jnp.asarray(sid), [jnp.asarray(a), jnp.asarray(b)],
+            float(np.finfo(np.float32).min), interpret=True,
+        )
+        exp = doubling_segmented_scan(
+            jnp.maximum, jnp.asarray(sid),
+            jnp.stack([a, b], axis=1),
+        )
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(exp)[:, 0])
+        np.testing.assert_array_equal(np.asarray(got[1]),
+                                      np.asarray(exp)[:, 1])
+
+    def test_segment_spanning_many_tiles(self):
+        from harkdb_tpu.kernels.segscan import flat_segscan
+
+        n = 5 * 16384
+        sid = np.zeros(n, np.int32)       # ONE segment across all tiles
+        v = np.ones(n, np.int32)
+        got = flat_segscan("add", jnp.asarray(sid), [jnp.asarray(v)], 0,
+                           interpret=True)[0]
+        np.testing.assert_array_equal(
+            np.asarray(got), np.arange(1, n + 1, dtype=np.int32)
+        )
+
+    def test_groupby_kernel_path_matches(self, rng):
+        """groupby_aggregate forced onto the segscan path must equal the
+        doubling path bit for bit (max + min + float sum mix)."""
+        import harkdb_tpu.ops.groupby as G
+
+        n = 40000
+        keys = jnp.asarray(rng.integers(0, 97, n).astype(np.int32))
+        v = jnp.asarray(rng.integers(-1000, 1000, n).astype(np.int32))
+        f = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        aggs = [(v, "max"), (v, "min"), (f, "sum"), (v, "sum")]
+
+        def run():
+            ks, outs, ng = G.groupby_aggregate(
+                keys, aggs, jnp.int32(n - 13)
+            )
+            ng = int(ng)
+            return [np.asarray(a)[:ng] for a in [ks[0]] + outs]
+
+        try:
+            G._FORCE_SEGSCAN = False
+            ref = run()
+            G._FORCE_SEGSCAN = True
+            got = run()
+        finally:
+            G._FORCE_SEGSCAN = None
+        for i, (r, g) in enumerate(zip(ref, got)):
+            if r.dtype.kind == "f":
+                # float sums combine in a different (still deterministic)
+                # tree order on the kernel path — last-ulp differences only.
+                np.testing.assert_allclose(r, g, rtol=1e-5)
+            else:
+                np.testing.assert_array_equal(r, g, err_msg=str(i))
