@@ -178,3 +178,56 @@ def test_fuzz_left_join_where():
     m = t1.merge(t2, left_on="a", right_on="j", how="left").fillna(0)
     m = m[m.b > 0]
     _assert_rows_equal(got, m[["a", "b", "w"]].to_numpy(), q)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_new_features(seed):
+    """count(distinct), CASE WHEN inside aggregates, ABS — vs pandas."""
+    rng = np.random.default_rng(4000 + seed)
+    t1, _ = _make_tables(rng, int(rng.integers(1, 300)))
+    ctx = Context()
+    ctx.create_table("t1", t1)
+
+    sql_pred, oracle_pred = _PREDS[seed % len(_PREDS)]
+    q = (f"select a, count(distinct b), sum(case when b > 0 then c "
+         f"else 0 end), max(abs(b)) from t1 where {sql_pred} "
+         f"group by a order by a")
+    got = ctx.sql(q)
+
+    df = t1[oracle_pred(t1)].copy()
+    df["cc"] = np.where(df.b > 0, df.c, 0)
+    df["ab"] = np.abs(df.b)
+    g = df.groupby("a").agg(
+        nd=("b", "nunique"), s=("cc", "sum"), mx=("ab", "max")
+    ).reset_index()
+    _assert_rows_equal(got, g.sort_values("a").to_numpy(), q)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_distributed_matches_single(seed):
+    """Random clause combinations, 8-device mesh vs single chip — sweeps
+    the distributed tail (range-partitioned ORDER BY, sharded LIMIT/OFFSET,
+    sharded DISTINCT, MXU/sort pre-aggregates) against the single-chip
+    path, which the other fuzzers pin against pandas."""
+    from harkdb_tpu.parallel import make_engine_mesh
+
+    rng = np.random.default_rng(5000 + seed)
+    t1, t2 = _make_tables(rng, int(rng.integers(50, 400)))
+    mesh = make_engine_mesh(8)
+    dc = Context(mesh=mesh)
+    sc = Context()
+    for c in (dc, sc):
+        c.create_table("t1", t1)
+        c.create_table("t2", t2)
+
+    sql_pred, _ = _PREDS[seed % len(_PREDS)]
+    queries = [
+        f"select a, b, c from t1 where {sql_pred} order by b desc, c "
+        f"limit {5 + seed * 3} offset {seed}",
+        f"select distinct a, b from t1 where {sql_pred} order by a",
+        "select a, count(distinct c), sum(b) from t1 group by a order by a",
+        f"select a, c, w from t1 join t2 on t1.a = t2.j where {sql_pred} "
+        "order by w, c limit 40",
+    ]
+    q = queries[seed % len(queries)]
+    np.testing.assert_array_equal(dc.sql(q), sc.sql(q), err_msg=q)
