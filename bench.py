@@ -409,6 +409,13 @@ def _main():
             run()
         except BenchTimeout:
             log(f"[stage {name}] timed out after {budget:.0f}s — skipped")
+        except Exception as e:               # noqa: BLE001 — one stage's
+            # failure (e.g. a kernel that stops lowering on this backend)
+            # must not erase the other stages' measurements.
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            log(f"[stage {name}] failed: {type(e).__name__}: {e} — skipped")
         finally:
             signal.setitimer(signal.ITIMER_REAL, 0)
 

@@ -108,6 +108,7 @@ class Context:
         if self.config.collect_metrics:
             m.rows_out = int(out.n_valid)
         self.last_metrics = m
+        self._last_plan = plan          # sql_df reads output_dicts from here
         m.log()
         return out, plan.output_names
 
@@ -131,14 +132,25 @@ class Context:
         return batch.to_numpy()[0]
 
     def sql_df(self, sql_statement: str):
-        """Run a query, returning a pandas DataFrame with output headers."""
+        """Run a query, returning a pandas DataFrame with output headers.
+
+        String outputs (dictionary-encoded columns, or MIN/MAX over them)
+        decode host-side here — the device result holds int32 codes; ``sql``
+        returns the raw code matrix."""
         import pandas as pd
 
         batch, names = self.sql_batch(sql_statement)
+        dicts = getattr(self._last_plan, "output_dicts", None) or [None] * len(
+            names
+        )
         n = int(batch.n_valid)
         data = {}
-        for display, internal in zip(names, batch.names):
+        for (display, internal), d in zip(
+            zip(names, batch.names), dicts
+        ):
             col = np.asarray(batch.columns[internal])[:n]
+            if d is not None:
+                col = d[np.clip(col, 0, len(d) - 1)]
             # duplicate display names get pandas-style disambiguation
             key = display
             i = 1

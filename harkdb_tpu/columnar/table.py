@@ -30,9 +30,11 @@ class Table:
                  col_names: Optional[List[str]] = None, sharding=None):
         self._table_name = table_name
         self._config = config
-        host_cols, headers = load_table(source, config, col_names)
+        host_cols, headers, dicts = load_table(source, config, col_names)
         self._schema = headers
         self._host_cols = host_cols          # unpadded; kept for resharding
+        self._dicts = dicts                  # string col → sorted dictionary
+                                             # (host-side; device sees codes)
         self._n_rows = len(next(iter(host_cols.values()))) if host_cols else 0
         cap = align_capacity(self._n_rows, config.row_align)
         self._sharding = sharding
@@ -77,6 +79,16 @@ class Table:
     def host_columns(self) -> Dict[str, np.ndarray]:
         """Unpadded host copies (used for mesh resharding and native IO)."""
         return self._host_cols
+
+    def column_dict(self, name: str):
+        """Sorted string dictionary of a dictionary-encoded column, or None
+        for numeric columns. Codes are lexicographic ranks, so comparisons /
+        ORDER BY / MIN / MAX on the device codes match string semantics."""
+        return self._dicts.get(name)
+
+    @property
+    def dicts(self) -> Dict[str, np.ndarray]:
+        return self._dicts
 
     def column_range(self, name: str):
         """(min, max) of an integer column, cached — drives the planner's

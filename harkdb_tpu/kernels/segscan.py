@@ -65,6 +65,9 @@ def _make_segscan_kernel(op_name: str, n_cols: int, neutral):
     op = _OPS[op_name]
 
     def kernel(sid_ref, *rest):
+        # Carries live in SMEM: Mosaic rejects scalar stores to VMEM
+        # ("Cannot store scalars to VMEM"), and (segment id, running value)
+        # are genuine scalars chained across the sequential grid.
         col_refs = rest[:n_cols]
         out_refs = rest[n_cols:2 * n_cols]
         carry_sid, carry_val = rest[2 * n_cols:]
@@ -73,8 +76,9 @@ def _make_segscan_kernel(op_name: str, n_cols: int, neutral):
 
         @pl.when(sb == 0)
         def _():
-            carry_sid[0, 0] = -1
-            carry_val[:] = jnp.full_like(carry_val, neutral)
+            carry_sid[0] = -1
+            for c in range(n_cols):
+                carry_val[c] = jnp.asarray(neutral, carry_val.dtype)
 
         sid = sid_ref[:]
         # In-tile inclusive segmented scan: log-doubling entirely in VMEM.
@@ -91,21 +95,25 @@ def _make_segscan_kernel(op_name: str, n_cols: int, neutral):
             ]
 
         # Fold the running carry into this tile's leading segment (rows with
-        # sid == carry_sid form a prefix — ids are non-decreasing).
-        csid = carry_sid[0, 0]
+        # sid == carry_sid form a prefix — ids are non-decreasing). The folded
+        # value already includes the carry, so the new carry is simply the
+        # folded last element.
+        csid = carry_sid[0]
         lead = sid == csid
+        # Scalar extraction of the tile's flat-last element as a masked sum
+        # (exactly one nonzero term — exact for ints and floats; Mosaic has no
+        # vector→scalar extract).
+        row = jax.lax.broadcasted_iota(jnp.int32, sid.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, sid.shape, 1)
+        is_last = (row == BLOCK_ROWS - 1) & (lane == LANES - 1)
         for c in range(n_cols):
-            cv = carry_val[c, 0]
-            out_refs[c][:] = jnp.where(lead, op(outs[c], cv), outs[c])
-
-        # New carry: the tile's last row (flat order) per column.
-        carry_sid[0, 0] = sid[BLOCK_ROWS - 1, LANES - 1]
-        for c in range(n_cols):
-            carry_val[c, 0] = jnp.where(
-                sid[BLOCK_ROWS - 1, LANES - 1] == csid,
-                op(outs[c][BLOCK_ROWS - 1, LANES - 1], carry_val[c, 0]),
-                outs[c][BLOCK_ROWS - 1, LANES - 1],
+            cv = carry_val[c]
+            folded = jnp.where(lead, op(outs[c], cv), outs[c])
+            out_refs[c][:] = folded
+            carry_val[c] = jnp.sum(
+                jnp.where(is_last, folded, jnp.zeros_like(folded))
             )
+        carry_sid[0] = jnp.sum(jnp.where(is_last, sid, jnp.zeros_like(sid)))
 
     return kernel
 
@@ -128,8 +136,8 @@ def _run_segscan(sid2d, cols2d, op_name, n_cols, neutral, interpret):
                          memory_space=pltpu.VMEM)
         ] * n_cols,
         scratch_shapes=[
-            pltpu.VMEM((1, 1), jnp.int32),
-            pltpu.VMEM((n_cols, 1), dtype),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((n_cols,), dtype),
         ],
     )
     return pl.pallas_call(

@@ -54,12 +54,33 @@ class DistExecutor:
     # -- table sharding -------------------------------------------------------
     def _shard_table(self, tables: Dict[str, Table], binding_idx: int) -> ShardedBatch:
         b, tname, cols = self.plan.bindings[binding_idx]
-        key = (tname, b)
+        # Merged-dictionary code remaps (string-key joins / cross-table
+        # string comparisons) apply host-side before sharding; the cache key
+        # carries the remap fingerprint so plans with different merges don't
+        # alias each other's resident shards.
+        remaps = self.plan.load_remaps.get(b, {})
+        if remaps:
+            import hashlib
+
+            token = tuple(sorted(
+                (i, hashlib.md5(l.tobytes()).hexdigest())
+                for i, l in remaps.items()
+            ))
+        else:
+            token = None
+        key = (tname, b, token)
         cached = self._shard_cache.get(key)
         if cached is not None:
             return cached
         t = tables[tname]
-        host = {f"{b}.{c}": t.host_columns[c] for c in cols}
+        host = {}
+        for c in cols:
+            internal = f"{b}.{c}"
+            a = t.host_columns[c]
+            lut = remaps.get(internal)
+            if lut is not None:
+                a = lut[a]
+            host[internal] = a
         host[f"#rid.{b}"] = np.arange(t.n_rows, dtype=np.int32)
         sb = shard_batch(host, t.n_rows, self.mesh, self.config)
         self._shard_cache[key] = sb

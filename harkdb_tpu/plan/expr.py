@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from harkdb_tpu.config import DEFAULT_CONFIG, EngineConfig
-from harkdb_tpu.sql.ast_nodes import Agg, BinOp, Case, Col, Lit, UnOp
+from harkdb_tpu.sql.ast_nodes import Agg, BinOp, Case, Col, Lit, LutMember, UnOp
 
 Array = jax.Array
 
@@ -45,10 +45,22 @@ def eval_expr(expr, columns: Dict[str, Array], capacity: int,
               config: EngineConfig = DEFAULT_CONFIG) -> Array:
     """Evaluate a resolved expression to a column of shape (capacity,)."""
     if isinstance(expr, Lit):
+        if isinstance(expr.value, str):
+            raise ExprError(
+                "String literal reached the evaluator unlowered — the "
+                "planner translates string comparisons to dictionary codes"
+            )
         if isinstance(expr.value, float):
             return jnp.full((capacity,), expr.value,
                             jnp.dtype(config.float_dtype))
         return jnp.full((capacity,), expr.value, jnp.dtype(config.int_dtype))
+    if isinstance(expr, LutMember):
+        codes = eval_expr(expr.col, columns, capacity, config)
+        lut = jnp.asarray(expr.lut, dtype=jnp.bool_)
+        # Codes of live rows are valid dictionary indices; padding rows may
+        # hold anything, so clamp (their result is masked downstream anyway).
+        idx = jnp.clip(codes, 0, lut.shape[0] - 1).astype(jnp.int32)
+        return lut[idx]
     if isinstance(expr, Col):
         try:
             return columns[expr.name]

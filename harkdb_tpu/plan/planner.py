@@ -29,6 +29,7 @@ Plans and compiled phase functions are cached on the Context keyed by
 from __future__ import annotations
 
 import functools
+import re
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -44,7 +45,7 @@ from harkdb_tpu.ops.join import compute_join_ranges, join_batches
 from harkdb_tpu.plan.expr import eval_expr
 from harkdb_tpu.prims.compaction import compact_batch
 from harkdb_tpu.sql.ast_nodes import (
-    Agg, BinOp, Case, Col, Lit, SelectStmt, Star, UnOp, walk,
+    Agg, BinOp, Case, Col, Lit, LutMember, SelectStmt, Star, UnOp, walk,
 )
 from harkdb_tpu.sql.parser import parse_sql
 
@@ -171,6 +172,8 @@ def _substitute_aggs(expr, agg_map):
         )
     if isinstance(expr, UnOp):
         return UnOp(expr.op, _substitute_aggs(expr.operand, agg_map))
+    if isinstance(expr, LutMember):
+        return LutMember(_substitute_aggs(expr.col, agg_map), expr.lut)
     if isinstance(expr, Case):
         return Case(
             tuple((_substitute_aggs(c, agg_map), _substitute_aggs(r, agg_map))
@@ -259,6 +262,32 @@ class QueryPlan:
             self.join_steps.append((rb, lk, rk, j.kind))
             avail.add(rb)
 
+        # ---- string columns (dictionary-encoded at ingest) -------------------
+        # str_dicts: internal column → its current sorted dictionary. Codes are
+        # lexicographic ranks within the dictionary, so every comparison /
+        # ORDER BY / MIN / MAX / GROUP BY runs on plain int32 — the device
+        # never sees a string. Cross-dictionary operations (string-key joins,
+        # string col-vs-col comparisons across tables) merge dictionaries at
+        # plan time and record a per-column code-remap LUT applied at load.
+        self.str_dicts: Dict[str, np.ndarray] = {}
+        self._remap: Dict[str, np.ndarray] = {}   # internal → orig→current LUT
+        for b, tname, cols_ in bindings:
+            t = tables[tname]
+            for c in cols_:
+                d = t.column_dict(c)
+                if d is not None:
+                    self.str_dicts[f"{b}.{c}"] = d
+        for _rb, lk, rk, _k in self.join_steps:
+            ld = self.str_dicts.get(lk)
+            rd = self.str_dicts.get(rk)
+            if (ld is None) != (rd is None):
+                raise PlanError(
+                    f"Cannot join string column to numeric column "
+                    f"({lk} = {rk})"
+                )
+            if ld is not None:
+                self._merge_dicts(lk, rk)
+
         # Select list: expand stars, resolve, classify.
         items: List[Tuple[object, str]] = []       # (resolved expr, display)
         for it in stmt.items:
@@ -275,6 +304,76 @@ class QueryPlan:
         self.select_items = items
 
         self.where = res.rewrite(stmt.where) if stmt.where is not None else None
+        group_keys = [res.rewrite(c).name for c in stmt.group_by]
+
+        # ORDER BY may reference select-list aliases (standard SQL output-name
+        # resolution). Real columns win; an alias is tried only when the bare
+        # identifier resolves to no table column.
+        alias_map = {
+            it.alias: it.expr for it in stmt.items
+            if it.alias and not isinstance(it.expr, Star)
+        }
+
+        def _order_expr(e):
+            try:
+                return res.rewrite(e)
+            except PlanError:
+                if (isinstance(e, Col) and e.table is None
+                        and e.name in alias_map):
+                    return res.rewrite(alias_map[e.name])
+                raise
+
+        order_items = [
+            (_order_expr(o.expr), o.descending) for o in stmt.order_by
+        ]
+        having = res.rewrite(stmt.having) if stmt.having is not None else None
+
+        # ---- string lowering -------------------------------------------------
+        # Two passes over every resolved expression: (1) merge dictionaries
+        # for cross-dictionary string col-vs-col comparisons (join keys were
+        # merged above), so literal translation below sees FINAL dictionaries;
+        # (2) translate string-literal comparisons / LIKE patterns into
+        # integer code comparisons and validate string typing (no string
+        # arithmetic, no SUM/PROD/AVG over strings).
+        if self.str_dicts:
+            for e in (
+                [e for e, _ in items]
+                + ([self.where] if self.where is not None else [])
+                + [e for e, _ in order_items]
+                + ([having] if having is not None else [])
+            ):
+                self._collect_merges(e)
+        items = [(self._lower_strings(e), name) for e, name in items]
+        self.select_items = items
+        if self.where is not None:
+            self.where = self._lower_strings(self.where)
+        order_items = [(self._lower_strings(e), d) for e, d in order_items]
+        if having is not None:
+            having = self._lower_strings(having)
+        # A string literal surviving lowering was used outside a comparison
+        # (e.g. selected bare, or added to a number) — reject at plan time
+        # rather than failing inside a traced evaluator.
+        for e in (
+            [e for e, _ in items]
+            + ([self.where] if self.where is not None else [])
+            + [e for e, _ in order_items]
+            + ([having] if having is not None else [])
+        ):
+            for node in walk(e):
+                if isinstance(node, Lit) and isinstance(node.value, str):
+                    raise PlanError(
+                        "String literals are only supported in comparisons, "
+                        "IN, BETWEEN and LIKE"
+                    )
+
+        # Per-binding code-remap LUTs (original codes → merged-dictionary
+        # codes), applied at table load on both execution paths.
+        self.load_remaps: Dict[str, Dict[str, np.ndarray]] = {}
+        for internal, lut in self._remap.items():
+            self.load_remaps.setdefault(
+                internal.split(".", 1)[0], {}
+            )[internal] = lut
+        self._remap_dev_cache: Dict[str, object] = {}
 
         # ---- filter pushdown -------------------------------------------------
         # Split WHERE into top-level AND conjuncts; a conjunct referencing a
@@ -313,31 +412,8 @@ class QueryPlan:
             self.where_residual = w
         else:
             self.where_residual = None
-        group_keys = [res.rewrite(c).name for c in stmt.group_by]
-
-        # ORDER BY may reference select-list aliases (standard SQL output-name
-        # resolution). Real columns win; an alias is tried only when the bare
-        # identifier resolves to no table column.
-        alias_map = {
-            it.alias: it.expr for it in stmt.items
-            if it.alias and not isinstance(it.expr, Star)
-        }
-
-        def _order_expr(e):
-            try:
-                return res.rewrite(e)
-            except PlanError:
-                if (isinstance(e, Col) and e.table is None
-                        and e.name in alias_map):
-                    return res.rewrite(alias_map[e.name])
-                raise
-
-        order_items = [
-            (_order_expr(o.expr), o.descending) for o in stmt.order_by
-        ]
 
         # Aggregate extraction across select/having/order-by.
-        having = res.rewrite(stmt.having) if stmt.having is not None else None
         post_exprs = [e for e, _ in items]
         if having is not None:
             post_exprs.append(having)
@@ -375,6 +451,8 @@ class QueryPlan:
                     check(e.operand, inside_agg)
                 elif isinstance(e, Agg) and not isinstance(e.arg, Star):
                     check(e.arg, True)
+                elif isinstance(e, LutMember):
+                    check(e.col, inside_agg)
                 elif isinstance(e, Case):
                     for c, r in e.whens:
                         check(c, inside_agg)
@@ -389,8 +467,15 @@ class QueryPlan:
         self.agg_specs: List[Tuple[str, str, str]] = []   # (src, op, out)
         self.post_computes: List[Tuple[str, object]] = [] # avg, etc.
         agg_map: Dict[Agg, str] = {}
+        # MIN/MAX over a string column preserve dictionary codes — their
+        # output columns decode through the argument's dictionary.
+        self.agg_out_dicts: Dict[str, np.ndarray] = {}
         for i, node in enumerate(agg_nodes):
             out = f"#agg{i}"
+            if node.func in ("min", "max") and not isinstance(node.arg, Star):
+                d = self._expr_str_dict(node.arg)
+                if d is not None:
+                    self.agg_out_dicts[out] = d
             if isinstance(node.arg, Star):        # count(*)
                 self.agg_specs.append(("#ones", "count", out))
                 agg_map[node] = out
@@ -441,6 +526,17 @@ class QueryPlan:
                     )
                 self.order_out_idx.append(matches[0])
         self.output_names = [name for _, name in items]
+        # Per-output string dictionary (None = numeric): a select output that
+        # is a string column (or MIN/MAX of one) decodes host-side in sql_df;
+        # the device-result matrix itself always holds the int32 codes.
+        self.output_dicts = []
+        for e, _name in self.final_items:
+            d = None
+            if isinstance(e, Col):
+                d = self.str_dicts.get(e.name)
+                if d is None:
+                    d = self.agg_out_dicts.get(e.name)
+            self.output_dicts.append(d)
 
         # MXU fast path (kernels/matmul_agg.py): single int key with a small
         # span, aggregates all sum/count over direct int columns. Eligibility
@@ -476,7 +572,10 @@ class QueryPlan:
             )
             if int_srcs and _int_col(key_internal):
                 self.fast_candidate = key_internal
-                if not self.join_steps:
+                # Host table stats describe ORIGINAL codes; a remapped
+                # (merged-dictionary) key must go through the on-device
+                # probe instead.
+                if not self.join_steps and key_internal not in self._remap:
                     b, col = key_internal.split(".", 1)
                     tname = next(t for bb, t, _ in bindings if bb == b)
                     rng = tables[tname].column_range(col)
@@ -521,6 +620,215 @@ class QueryPlan:
         # general sort path); the probe jit is built lazily.
         self._phase_b_cache: Dict[object, object] = {}
         self._probe_jit = None
+
+    # -- string dictionary machinery ------------------------------------------
+    # Strings are dictionary-encoded at ingest (columnar/ingest.py): the
+    # device holds int32 codes assigned in lexicographic order, the host
+    # holds the sorted dictionary. All string semantics lower to integer
+    # operations at PLAN time: literal comparisons become code comparisons
+    # (binary search in the dictionary), LIKE becomes a code-range OR-chain
+    # or a boolean LUT gather, and cross-dictionary joins/comparisons merge
+    # dictionaries host-side with per-column code-remap LUTs applied at load.
+
+    _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+    _MIRROR = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+               "=": "=", "!=": "!="}
+
+    def _str_internal(self, e):
+        """Representative string-typed column internal of an expression
+        (through MIN/MAX, which preserve dictionary codes), else None."""
+        if isinstance(e, Col) and e.name in self.str_dicts:
+            return e.name
+        if (isinstance(e, Agg) and e.func in ("min", "max")
+                and not isinstance(e.arg, Star)):
+            return self._str_internal(e.arg)
+        return None
+
+    def _expr_str_dict(self, e):
+        internal = self._str_internal(e)
+        return None if internal is None else self.str_dicts[internal]
+
+    def _is_string_typed(self, e) -> bool:
+        if isinstance(e, Lit) and isinstance(e.value, str):
+            return True
+        return self._expr_str_dict(e) is not None
+
+    def _compose_remap(self, internal: str, step_lut: np.ndarray):
+        prev = self._remap.get(internal)
+        self._remap[internal] = (
+            step_lut if prev is None else step_lut[prev]
+        )
+
+    def _merge_dicts(self, a_internal: str, b_internal: str):
+        """Unify the dictionaries of two string columns: every column whose
+        current dictionary matches either side gets a composed remap LUT into
+        the union dictionary (codes stay lexicographic ranks)."""
+        da = self.str_dicts[a_internal]
+        db = self.str_dicts[b_internal]
+        if np.array_equal(da, db):
+            for k, d in self.str_dicts.items():
+                if d is db:
+                    self.str_dicts[k] = da
+            return
+        merged = np.union1d(da, db)
+        map_a = np.searchsorted(merged, da).astype(np.int32)
+        map_b = np.searchsorted(merged, db).astype(np.int32)
+        for k, d in list(self.str_dicts.items()):
+            if d is da or np.array_equal(d, da):
+                self._compose_remap(k, map_a)
+                self.str_dicts[k] = merged
+            elif d is db or np.array_equal(d, db):
+                self._compose_remap(k, map_b)
+                self.str_dicts[k] = merged
+
+    def _collect_merges(self, e):
+        """Pass 1: find string col-vs-col comparisons across different
+        dictionaries and merge, so pass 2 translates literals against final
+        dictionaries."""
+        if isinstance(e, BinOp):
+            if e.op in self._CMP_OPS:
+                a = self._str_internal(e.left)
+                b = self._str_internal(e.right)
+                if (a is not None and b is not None
+                        and not np.array_equal(self.str_dicts[a],
+                                               self.str_dicts[b])):
+                    self._merge_dicts(a, b)
+            self._collect_merges(e.left)
+            self._collect_merges(e.right)
+        elif isinstance(e, UnOp):
+            self._collect_merges(e.operand)
+        elif isinstance(e, Agg) and not isinstance(e.arg, Star):
+            self._collect_merges(e.arg)
+        elif isinstance(e, Case):
+            for c, r in e.whens:
+                self._collect_merges(c)
+                self._collect_merges(r)
+            if e.else_ is not None:
+                self._collect_merges(e.else_)
+
+    def _lower_str_cmp(self, op: str, col_expr, d: np.ndarray, v: str):
+        """col <op> 'literal' → integer code comparison. Codes are
+        lexicographic ranks, so range ops are one binary search; equality
+        against an absent value folds to constant false (codes are ≥ 0)."""
+        if op in ("=", "!="):
+            i = int(np.searchsorted(d, v))
+            present = i < len(d) and d[i] == v
+            if op == "=":
+                return (BinOp("=", col_expr, Lit(i)) if present
+                        else BinOp("<", col_expr, Lit(0)))      # always false
+            return (BinOp("!=", col_expr, Lit(i)) if present
+                    else BinOp(">=", col_expr, Lit(0)))          # always true
+        side = {"<": "left", "<=": "right", ">": "right", ">=": "left"}[op]
+        i = int(np.searchsorted(d, v, side=side))
+        out_op = "<" if op in ("<", "<=") else ">="
+        return BinOp(out_op, col_expr, Lit(i))
+
+    def _lower_like(self, col_expr, d: np.ndarray, pattern: str):
+        """LIKE against the dictionary, host-side: % → .*, _ → . (fullmatch).
+        Contiguous matching-code runs lower to a fused compare OR-chain; a
+        scattered match set lowers to one boolean-LUT gather (LutMember)."""
+        rx = re.compile(
+            "".join(".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+                    for ch in pattern),
+            re.DOTALL,
+        )
+        m = np.array([rx.fullmatch(s) is not None for s in d.tolist()],
+                     dtype=bool)
+        if not m.any():
+            return BinOp("<", col_expr, Lit(0))                  # always false
+        if m.all():
+            return BinOp(">=", col_expr, Lit(0))                 # always true
+        idx = np.flatnonzero(m)
+        runs = np.split(idx, np.flatnonzero(np.diff(idx) > 1) + 1)
+        if len(runs) <= 32:
+            out = None
+            for r in runs:
+                a, b = int(r[0]), int(r[-1])
+                t = (BinOp("=", col_expr, Lit(a)) if a == b
+                     else BinOp("and", BinOp(">=", col_expr, Lit(a)),
+                                BinOp("<=", col_expr, Lit(b))))
+                out = t if out is None else BinOp("or", out, t)
+            return out
+        return LutMember(col_expr, m)
+
+    def _lower_strings(self, e):
+        """Pass 2: translate string comparisons/LIKE to code operations and
+        validate typing (no string arithmetic, no SUM/PROD/AVG on strings,
+        no string-valued CASE)."""
+        if isinstance(e, (Lit, Col)):
+            return e
+        if isinstance(e, UnOp):
+            v = self._lower_strings(e.operand)
+            if e.op in ("-", "abs") and self._is_string_typed(v):
+                raise PlanError(f"Cannot apply {e.op} to a string column")
+            return UnOp(e.op, v)
+        if isinstance(e, Agg):
+            if isinstance(e.arg, Star):
+                return e
+            arg = self._lower_strings(e.arg)
+            if e.func in ("sum", "prod", "avg") and self._is_string_typed(arg):
+                raise PlanError(
+                    f"{e.func.upper()} over a string column is not supported"
+                )
+            return Agg(e.func, arg, e.distinct)
+        if isinstance(e, Case):
+            whens = tuple(
+                (self._lower_strings(c), self._lower_strings(r))
+                for c, r in e.whens
+            )
+            else_ = (self._lower_strings(e.else_)
+                     if e.else_ is not None else None)
+            for _c, r in whens:
+                if self._is_string_typed(r):
+                    raise PlanError("CASE cannot produce string values")
+            if else_ is not None and self._is_string_typed(else_):
+                raise PlanError("CASE cannot produce string values")
+            return Case(whens, else_)
+        if isinstance(e, BinOp):
+            if e.op == "like":
+                left = self._lower_strings(e.left)
+                d = self._expr_str_dict(left)
+                if d is None:
+                    raise PlanError("LIKE requires a string column")
+                return self._lower_like(left, d, e.right.value)
+            left = self._lower_strings(e.left)
+            right = self._lower_strings(e.right)
+            if e.op in self._CMP_OPS:
+                ld = self._expr_str_dict(left)
+                rd = self._expr_str_dict(right)
+                llit = isinstance(left, Lit) and isinstance(left.value, str)
+                rlit = isinstance(right, Lit) and isinstance(right.value, str)
+                l_str = ld is not None or llit
+                r_str = rd is not None or rlit
+                if l_str != r_str:
+                    raise PlanError(
+                        "Cannot compare string and numeric values"
+                    )
+                if ld is not None and rlit:
+                    return self._lower_str_cmp(e.op, left, ld, right.value)
+                if rd is not None and llit:
+                    return self._lower_str_cmp(
+                        self._MIRROR[e.op], right, rd, left.value
+                    )
+                if llit and rlit:
+                    res = {
+                        "=": left.value == right.value,
+                        "!=": left.value != right.value,
+                        "<": left.value < right.value,
+                        "<=": left.value <= right.value,
+                        ">": left.value > right.value,
+                        ">=": left.value >= right.value,
+                    }[e.op]
+                    return Lit(1 if res else 0)
+                # both dictionary-typed: dictionaries were merged in pass 1,
+                # codes compare directly.
+            elif e.op in ("+", "-", "*", "/", "%"):
+                if self._is_string_typed(left) or self._is_string_typed(right):
+                    raise PlanError(
+                        "String columns do not support arithmetic"
+                    )
+            return BinOp(e.op, left, right)
+        return e
 
     def _phase_b_for(self, fast_span, stop_after_group: bool = False):
         key = (fast_span, stop_after_group)
@@ -644,13 +952,30 @@ class QueryPlan:
         b, tname, cols = self.bindings[binding_idx]
         t = tables[tname]
         src = t.batch()
-        return ColumnBatch(
-            {
-                f"{b}.{c}": src.column(c) for c in cols
-                if f"{b}.{c}" in self.used_columns
-            },
-            src.n_valid,
-        )
+        remaps = self.load_remaps.get(b, {})
+        out = {}
+        # A query touching no columns at all (``select count(*) from t``)
+        # still needs one column for row capacity.
+        needed = {f"{b}.{c}" for c in cols} & self.used_columns
+        if not needed and cols:
+            needed = {f"{b}.{cols[0]}"}
+        for c in cols:
+            internal = f"{b}.{c}"
+            if internal not in needed:
+                continue
+            col = src.column(c)
+            lut = remaps.get(internal)
+            if lut is not None:
+                # Merged-dictionary code remap: one small-LUT gather, cached
+                # on the plan (tables are immutable while the plan is cached —
+                # the Context invalidates on create/drop_table).
+                cached = self._remap_dev_cache.get(internal)
+                if cached is None:
+                    cached = jnp.asarray(lut)[col]
+                    self._remap_dev_cache[internal] = cached
+                col = cached
+            out[internal] = col
+        return ColumnBatch(out, src.n_valid)
 
     def _phase_b_impl(self, fast_span, batch: ColumnBatch, key_min,
                       stop_after_group: bool = False) -> ColumnBatch:

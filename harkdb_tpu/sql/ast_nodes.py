@@ -17,7 +17,9 @@ from typing import Optional, Tuple, Union
 
 @dataclass(frozen=True)
 class Lit:
-    value: Union[int, float]
+    value: Union[int, float, str]    # str literals ('...') lower to dictionary
+                                     # codes at plan time and never reach the
+                                     # device (see planner string lowering)
 
 
 @dataclass(frozen=True)
@@ -65,7 +67,18 @@ class Case:
     else_: Optional["Expr"] = None
 
 
-Expr = Union[Lit, Col, BinOp, UnOp, Agg, Case]
+@dataclass(frozen=True, eq=False)
+class LutMember:
+    """Boolean membership test ``lut[col]`` over a small plan-time lookup
+    table indexed by dictionary code (planner-generated for LIKE patterns
+    whose matching codes are too scattered for a range OR-chain; never
+    produced by the parser). ``eq=False``: ndarray payload — identity
+    equality is sufficient (never deduplicated)."""
+    col: "Expr"
+    lut: object                      # np.ndarray[bool], len == dictionary size
+
+
+Expr = Union[Lit, Col, BinOp, UnOp, Agg, Case, LutMember]
 
 
 @dataclass(frozen=True)
@@ -126,4 +139,6 @@ def walk(expr) -> list:
             out += walk(c) + walk(r)
         if expr.else_ is not None:
             out += walk(expr.else_)
+    elif isinstance(expr, LutMember):
+        out += walk(expr.col)
     return out

@@ -38,7 +38,7 @@ class SqlError(Exception):
 KEYWORDS = {
     "select", "from", "where", "group", "order", "sort", "by", "having",
     "limit", "offset", "join", "inner", "left", "right", "outer", "on", "as", "and",
-    "or", "not", "asc", "desc", "distinct", "in", "between",
+    "or", "not", "asc", "desc", "distinct", "in", "between", "like",
     "case", "when", "then", "else", "end",
 }
 
@@ -48,6 +48,7 @@ SCALAR_FUNCS = {"abs"}               # lowered to UnOp(func, arg)
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
+  | (?P<str>'(?:[^']|'')*')
   | (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
   | (?P<op><>|!=|==|<=|>=|=|<|>|\+|-|\*|/|%|\(|\)|,|\.)
@@ -81,6 +82,9 @@ def tokenize(sql: str) -> List[Token]:
         if m.lastgroup == "ident":
             low = text.lower()
             tokens.append(Token("kw" if low in KEYWORDS else "ident", text))
+        elif m.lastgroup == "str":
+            # SQL string literal: strip quotes, unescape doubled ''.
+            tokens.append(Token("str", text[1:-1].replace("''", "'")))
         else:
             tokens.append(Token(m.lastgroup, text))
     tokens.append(Token("eof", ""))
@@ -285,7 +289,8 @@ class Parser:
         negate = False
         if self.at_kw("not"):
             nxt = self.tokens[self.i + 1]
-            if nxt.kind == "kw" and nxt.text.lower() in ("in", "between"):
+            if nxt.kind == "kw" and nxt.text.lower() in ("in", "between",
+                                                         "like"):
                 self.next()
                 negate = True
         if self.eat_kw("in"):
@@ -305,8 +310,19 @@ class Parser:
             hi = self.parse_add()
             rng = BinOp("and", BinOp(">=", left, lo), BinOp("<=", left, hi))
             return UnOp("not", rng) if negate else rng
+        # x [NOT] LIKE 'pattern' — pattern must be a string literal; the
+        # planner lowers it against the column's dictionary (range OR-chain
+        # when the matching codes are contiguous runs, LUT membership else).
+        if self.eat_kw("like"):
+            t = self.peek()
+            if t.kind != "str":
+                raise SqlError(
+                    f"LIKE expects a string literal pattern, got {t.text!r}"
+                )
+            e = BinOp("like", left, Lit(self.next().text))
+            return UnOp("not", e) if negate else e
         if negate:
-            raise SqlError("Expected IN or BETWEEN after NOT")
+            raise SqlError("Expected IN, BETWEEN or LIKE after NOT")
         t = self.peek()
         if t.kind == "op" and t.text in self._CMP:
             op = self._CMP[self.next().text]
@@ -345,6 +361,9 @@ class Parser:
         if t.kind == "num":
             self.next()
             return Lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "str":
+            self.next()
+            return Lit(t.text)
         if self.eat_op("("):
             e = self.parse_expr()
             self.expect_op(")")

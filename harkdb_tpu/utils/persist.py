@@ -21,8 +21,13 @@ def save_tables(tables: Dict[str, "Table"], directory: str) -> None:
     manifest = {}
     for name, t in tables.items():
         path = os.path.join(directory, f"{name}.npz")
-        np.savez(path, **t.host_columns)
-        manifest[name] = {"schema": t.get_schema(), "n_rows": t.n_rows}
+        # String columns persist as (codes, "#dict.<col>" dictionary) pairs.
+        extra = {f"#dict.{c}": d for c, d in t.dicts.items()}
+        np.savez(path, **t.host_columns, **extra)
+        manifest[name] = {
+            "schema": t.get_schema(), "n_rows": t.n_rows,
+            "str_cols": sorted(t.dicts.keys()),
+        }
     with open(os.path.join(directory, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
 
@@ -32,6 +37,14 @@ def load_tables(context, directory: str) -> None:
     with open(os.path.join(directory, "manifest.json")) as f:
         manifest = json.load(f)
     for name, info in manifest.items():
+        str_cols = set(info.get("str_cols", ()))
         with np.load(os.path.join(directory, f"{name}.npz")) as z:
-            cols = {c: z[c] for c in info["schema"]}
+            cols = {}
+            for c in info["schema"]:
+                a = z[c]
+                if c in str_cols:
+                    # decode codes → strings; create_table re-encodes (the
+                    # values are already sorted-unique, so codes round-trip)
+                    a = z[f"#dict.{c}"][a]
+                cols[c] = a
         context.create_table(name, cols)

@@ -19,7 +19,7 @@ DATA_CSV = os.path.join(os.path.dirname(__file__), "data", "data.csv")
 class TestIngest:
     def test_dataframe(self):
         df = pd.DataFrame({"a": [1, 2, 3], "b": [4.0, 5.0, 6.0]})
-        cols, headers = load_table(df, CFG)
+        cols, headers, _dicts = load_table(df, CFG)
         assert headers == ["a", "b"]
         assert cols["a"].dtype == np.int32
         assert cols["b"].dtype == np.float32
@@ -28,17 +28,17 @@ class TestIngest:
     def test_ndarray_autonames(self):
         # Reference table.py:12-16 autogenerates col1..colN.
         arr = np.arange(12).reshape(4, 3)
-        cols, headers = load_table(arr, CFG)
+        cols, headers, _dicts = load_table(arr, CFG)
         assert headers == ["col1", "col2", "col3"]
         np.testing.assert_array_equal(cols["col2"], [1, 4, 7, 10])
 
     def test_csv(self):
-        cols, headers = load_table(DATA_CSV, CFG)
+        cols, headers, _dicts = load_table(DATA_CSV, CFG)
         assert headers == [f"col{i}" for i in range(1, 9)]
         np.testing.assert_array_equal(cols["col1"], [6, 0, 0, 0, 0, 6, 1])
 
     def test_dict(self):
-        cols, headers = load_table({"x": [1, 2], "y": [3.5, 4.5]}, CFG)
+        cols, headers, _dicts = load_table({"x": [1, 2], "y": [3.5, 4.5]}, CFG)
         assert headers == ["x", "y"]
         assert cols["y"].dtype == np.float32
 

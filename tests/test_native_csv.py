@@ -79,6 +79,6 @@ def test_ingest_uses_native_transparently(tmp_path):
 
     p = tmp_path / "t.csv"
     p.write_text("x,y\n5,6\n7,8\n")
-    cols, names = load_csv(str(p), CFG)
+    cols, names, _dicts = load_csv(str(p), CFG)
     assert names == ["x", "y"]
     np.testing.assert_array_equal(cols["x"], [5, 7])

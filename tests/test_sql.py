@@ -224,6 +224,14 @@ class TestGroupByE2E:
         assert out[0, 0] == df.v.max()
         assert out[0, 1] == len(df)
 
+    def test_bare_count_star_loads_capacity(self, ctx_rand):
+        # Regression: a query touching no columns (projection pushdown loads
+        # nothing) must still see the table's row capacity.
+        c, df = ctx_rand
+        out = c.sql("select count(*) from t")
+        assert out.shape == (1, 1)
+        assert out[0, 0] == len(df)
+
     def test_avg(self, ctx_rand):
         c, df = ctx_rand
         out = c.sql("select k, avg(w) from t group by k")
