@@ -84,6 +84,16 @@ class Context:
         m.distributed = distributed
 
         def _run():
+            from harkdb_tpu.plan.planner import UnionPlan
+
+            if isinstance(plan, UnionPlan):
+                # UnionPlan drives its own arms (distributed or not) and
+                # unions the gathered results device-locally.
+                return plan.execute(
+                    self.tables,
+                    mesh=self.mesh if distributed else None,
+                    shard_cache=self._shard_cache,
+                )
             if distributed:
                 from harkdb_tpu.parallel.executor import DistExecutor
 

@@ -125,6 +125,23 @@ class SelectStmt:
     distinct: bool = False
 
 
+@dataclass(frozen=True)
+class UnionStmt:
+    """``arm1 UNION [ALL] arm2 [UNION [ALL] arm3 ...] [ORDER BY ...]
+    [LIMIT n] [OFFSET m]``.
+
+    Arms are plain SelectStmts without ORDER BY/LIMIT/OFFSET (standard SQL:
+    those trail the whole union and apply to the combined result). ``alls[i]``
+    is the ALL flag of the junction between the accumulated result and
+    ``arms[i + 1]``; evaluation is left-associative with a dedupe at every
+    non-ALL junction."""
+    arms: Tuple[SelectStmt, ...]
+    alls: Tuple[bool, ...]               # len == len(arms) - 1
+    order_by: Tuple[OrderItem, ...] = ()
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+
+
 def walk(expr) -> list:
     """All nodes of an expression tree, preorder."""
     out = [expr]

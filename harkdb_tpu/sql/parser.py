@@ -27,7 +27,7 @@ from typing import List, Tuple
 
 from harkdb_tpu.sql.ast_nodes import (
     Agg, BinOp, Case, Col, JoinClause, Lit, OrderItem, SelectItem, SelectStmt,
-    Star, TableRef, UnOp,
+    Star, TableRef, UnionStmt, UnOp,
 )
 
 
@@ -39,7 +39,7 @@ KEYWORDS = {
     "select", "from", "where", "group", "order", "sort", "by", "having",
     "limit", "offset", "join", "inner", "left", "right", "outer", "on", "as", "and",
     "or", "not", "asc", "desc", "distinct", "in", "between", "like",
-    "case", "when", "then", "else", "end",
+    "case", "when", "then", "else", "end", "union", "all",
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
@@ -137,7 +137,9 @@ class Parser:
         return self.next().text
 
     # -- statement ------------------------------------------------------------
-    def parse_select(self) -> SelectStmt:
+    def parse_select_core(self) -> SelectStmt:
+        """One SELECT arm: everything up to (not including) ORDER BY / LIMIT /
+        OFFSET / UNION — those trail the whole statement."""
         self.expect_kw("select")
         distinct = self.eat_kw("distinct")
         items = self.parse_select_list()
@@ -160,6 +162,13 @@ class Parser:
         having = None
         if self.eat_kw("having"):
             having = self.parse_expr()
+        return SelectStmt(
+            items=tuple(items), table=table, joins=tuple(joins), where=where,
+            group_by=group_by, having=having, order_by=(), limit=None,
+            offset=None, distinct=distinct,
+        )
+
+    def _parse_order_limit_offset(self):
         order_by: Tuple[OrderItem, ...] = ()
         if self.at_kw("order", "sort"):
             self.next()
@@ -180,12 +189,29 @@ class Parser:
             if t.kind != "num" or "." in t.text:
                 raise SqlError(f"OFFSET expects an integer, got {t.text!r}")
             offset = int(self.next().text)
+        return order_by, limit, offset
+
+    def parse_select(self):
+        """Full statement: SELECT arm(s) [UNION [ALL] arm]* [ORDER BY ...]
+        [LIMIT n] [OFFSET m]. Returns SelectStmt or UnionStmt."""
+        arms = [self.parse_select_core()]
+        alls = []
+        while self.eat_kw("union"):
+            alls.append(self.eat_kw("all"))
+            arms.append(self.parse_select_core())
+        order_by, limit, offset = self._parse_order_limit_offset()
         if self.peek().kind != "eof":
             raise SqlError(f"Unexpected trailing input at {self.peek().text!r}")
-        return SelectStmt(
-            items=tuple(items), table=table, joins=tuple(joins), where=where,
-            group_by=group_by, having=having, order_by=order_by, limit=limit,
-            offset=offset, distinct=distinct,
+        if len(arms) == 1:
+            s = arms[0]
+            return SelectStmt(
+                items=s.items, table=s.table, joins=s.joins, where=s.where,
+                group_by=s.group_by, having=s.having, order_by=order_by,
+                limit=limit, offset=offset, distinct=s.distinct,
+            )
+        return UnionStmt(
+            arms=tuple(arms), alls=tuple(alls), order_by=order_by,
+            limit=limit, offset=offset,
         )
 
     def parse_select_list(self) -> List[SelectItem]:

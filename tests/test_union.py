@@ -1,0 +1,189 @@
+"""UNION / UNION ALL (engine extension; the reference grammar is
+single-SELECT only, ``parse.py:27-33``).
+
+Semantics under test (``plan/planner.py:UnionPlan``): arms plan
+independently; live rows concatenate; every non-ALL junction dedupes
+(left-associative, standard SQL); trailing ORDER BY / LIMIT / OFFSET apply
+to the combined result and resolve by output name or 1-based ordinal;
+string outputs merge dictionaries position-wise.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from harkdb_tpu import Context
+from harkdb_tpu.plan.planner import PlanError
+
+
+@pytest.fixture
+def uctx(rng):
+    c = Context()
+    a = pd.DataFrame({
+        "k": rng.integers(0, 6, 200).astype(np.int32),
+        "v": rng.integers(-40, 40, 200).astype(np.int32),
+    })
+    b = pd.DataFrame({
+        "k": rng.integers(3, 9, 150).astype(np.int32),
+        "v": rng.integers(-40, 40, 150).astype(np.int32),
+    })
+    c.create_table("a", a)
+    c.create_table("b", b)
+    return c, a, b
+
+
+def sorted_eq(got: pd.DataFrame, want: pd.DataFrame):
+    assert list(got.columns) == list(want.columns)
+    gs = got.sort_values(list(got.columns)).reset_index(drop=True)
+    ws = want.sort_values(list(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(gs, ws, check_dtype=False)
+
+
+class TestUnionAll:
+    def test_concat(self, uctx):
+        c, a, b = uctx
+        got = c.sql_df("select k, v from a union all select k, v from b")
+        want = pd.concat([a, b], ignore_index=True)
+        sorted_eq(got, want)
+
+    def test_with_filters(self, uctx):
+        c, a, b = uctx
+        got = c.sql_df(
+            "select k, v from a where v > 0 "
+            "union all select k, v from b where v < 0"
+        )
+        want = pd.concat([a[a.v > 0], b[b.v < 0]], ignore_index=True)
+        sorted_eq(got, want)
+
+    def test_three_arms(self, uctx):
+        c, a, b = uctx
+        got = c.sql_df(
+            "select k from a union all select k from b "
+            "union all select k from a"
+        )
+        assert len(got) == 2 * len(a) + len(b)
+
+
+class TestUnionDistinct:
+    def test_dedupe(self, uctx):
+        c, a, b = uctx
+        got = c.sql_df("select k, v from a union select k, v from b")
+        want = pd.concat([a, b], ignore_index=True).drop_duplicates()
+        sorted_eq(got, want)
+
+    def test_mixed_chain_left_assoc(self, uctx):
+        # (a UNION b) dedupes; then UNION ALL appends duplicates untouched.
+        c, a, b = uctx
+        got = c.sql_df(
+            "select k from a union select k from b union all select k from b"
+        )
+        dd = pd.concat([a[["k"]], b[["k"]]]).drop_duplicates()
+        assert len(got) == len(dd) + len(b)
+
+    def test_grouped_arms(self, uctx):
+        c, a, b = uctx
+        got = c.sql_df(
+            "select k, sum(v) as s from a group by k "
+            "union select k, sum(v) as s from b group by k"
+        )
+        wa = a.groupby("k", as_index=False).agg(s=("v", "sum"))
+        wb = b.groupby("k", as_index=False).agg(s=("v", "sum"))
+        want = pd.concat([wa, wb], ignore_index=True).drop_duplicates()
+        sorted_eq(got, want)
+
+
+class TestUnionTail:
+    def test_order_by_name_and_ordinal(self, uctx):
+        c, a, b = uctx
+        got = c.sql_df(
+            "select k, v from a union select k, v from b order by k desc, v"
+        )
+        want = (pd.concat([a, b], ignore_index=True).drop_duplicates()
+                .sort_values(["k", "v"], ascending=[False, True])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+        got2 = c.sql_df(
+            "select k, v from a union select k, v from b order by 1 desc, 2"
+        )
+        pd.testing.assert_frame_equal(got2, got, check_dtype=False)
+
+    def test_limit_offset(self, uctx):
+        c, a, b = uctx
+        full = c.sql_df(
+            "select k, v from a union select k, v from b order by k, v"
+        )
+        part = c.sql_df(
+            "select k, v from a union select k, v from b "
+            "order by k, v limit 5 offset 3"
+        )
+        pd.testing.assert_frame_equal(
+            part.reset_index(drop=True),
+            full.iloc[3:8].reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_int_float_promotion(self, uctx):
+        c, a, _b = uctx
+        got = c.sql_df(
+            "select k, avg(v) as x from a group by k "
+            "union all select k, v from a"
+        )
+        assert len(got) == a.k.nunique() + len(a)
+        assert got["x"].dtype.kind == "f"
+
+
+class TestUnionStrings:
+    def test_string_dicts_merge(self):
+        c = Context()
+        c.create_table("s1", pd.DataFrame({"s": ["x", "y"], "n": [1, 2]}))
+        c.create_table("s2", pd.DataFrame({"s": ["y", "z"], "n": [2, 9]}))
+        got = c.sql_df("select s, n from s1 union select s, n from s2 "
+                       "order by s")
+        assert got["s"].tolist() == ["x", "y", "z"]
+        assert got["n"].tolist() == [1, 2, 9]
+
+    def test_mixed_string_numeric_rejected(self):
+        c = Context()
+        c.create_table("s1", pd.DataFrame({"s": ["x"], "n": [1]}))
+        with pytest.raises(PlanError):
+            c.sql_df("select s from s1 union select n from s1")
+
+
+class TestUnionErrors:
+    def test_arity_mismatch(self, uctx):
+        c, _a, _b = uctx
+        with pytest.raises(PlanError):
+            c.sql_df("select k, v from a union select k from b")
+
+    def test_order_by_unknown(self, uctx):
+        c, _a, _b = uctx
+        with pytest.raises(PlanError):
+            c.sql_df("select k from a union select k from b order by zzz")
+
+
+class TestUnionDistributed:
+    def test_matches_single(self, rng):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        mesh = make_engine_mesh(8)
+        a = pd.DataFrame({
+            "k": rng.integers(0, 5, 300).astype(np.int32),
+            "v": rng.integers(0, 100, 300).astype(np.int32),
+        })
+        b = pd.DataFrame({
+            "k": rng.integers(3, 8, 300).astype(np.int32),
+            "v": rng.integers(0, 100, 300).astype(np.int32),
+        })
+        q = ("select k, sum(v) as s from a group by k "
+             "union select k, sum(v) as s from b group by k order by k, s")
+        cs = Context()
+        cs.create_table("a", a)
+        cs.create_table("b", b)
+        cm = Context(mesh=mesh)
+        cm.create_table("a", a)
+        cm.create_table("b", b)
+        pd.testing.assert_frame_equal(
+            cm.sql_df(q), cs.sql_df(q), check_dtype=False
+        )
