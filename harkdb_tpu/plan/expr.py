@@ -74,6 +74,16 @@ def eval_expr(expr, columns: Dict[str, Array], capacity: int,
             return jnp.logical_not(v.astype(jnp.bool_))
         if expr.op == "abs":
             return jnp.abs(v)
+        if expr.op in ("floor", "ceil", "round"):
+            # SQL numeric semantics: identity on integers; floats stay float
+            # (values may exceed int32 range).
+            if jnp.issubdtype(v.dtype, jnp.floating):
+                f = {"floor": jnp.floor, "ceil": jnp.ceil,
+                     "round": jnp.round}[expr.op]
+                return f(v)
+            return v
+        if expr.op == "sqrt":
+            return jnp.sqrt(v.astype(jnp.dtype(config.float_dtype)))
         raise ExprError(f"Unknown unary op {expr.op!r}")
     if isinstance(expr, Case):
         # First true WHEN wins: fold jnp.where back-to-front over a chain of

@@ -759,7 +759,8 @@ class QueryPlan:
             return e
         if isinstance(e, UnOp):
             v = self._lower_strings(e.operand)
-            if e.op in ("-", "abs") and self._is_string_typed(v):
+            if (e.op in ("-", "abs", "floor", "ceil", "round", "sqrt")
+                    and self._is_string_typed(v)):
                 raise PlanError(f"Cannot apply {e.op} to a string column")
             return UnOp(e.op, v)
         if isinstance(e, Agg):

@@ -43,7 +43,8 @@ KEYWORDS = {
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
-SCALAR_FUNCS = {"abs"}               # lowered to UnOp(func, arg)
+# lowered to UnOp(func, arg); floor/ceil/round are identity on ints
+SCALAR_FUNCS = {"abs", "floor", "ceil", "round", "sqrt"}
 
 _TOKEN_RE = re.compile(
     r"""

@@ -95,16 +95,19 @@ class TestAbs:
 
 
 class TestKeywordHygiene:
-    def test_all_and_union_usable_as_column_names(self):
-        """'union'/'all' were reserved without any UNION grammar — they must
-        parse as plain identifiers (round-2 advice)."""
+    def test_union_and_all_are_reserved_with_grammar(self):
+        """'union'/'all' are reserved keywords now that UNION is actually
+        implemented (they were temporarily freed in round 2 while no grammar
+        consumed them — keywords must only be reserved by real grammar)."""
+        from harkdb_tpu.sql.parser import SqlError
+
         c = Context()
-        c.create_table("t", pd.DataFrame({
-            "union": np.array([1, 2], np.int32),
-            "all": np.array([3, 4], np.int32),
-        }))
-        out = c.sql_df("select union, all from t where all > 3")
-        np.testing.assert_array_equal(out.iloc[0], [2, 4])
+        c.create_table("t", pd.DataFrame({"v": np.array([1, 2], np.int32)}))
+        with pytest.raises(SqlError):
+            c.sql_df("select union from t")
+        # ... and the grammar that reserves them works:
+        out = c.sql_df("select v from t union all select v from t")
+        assert len(out) == 4
 
 
 class TestOrderByAlias:
@@ -133,3 +136,48 @@ class TestOrderByAlias:
         from harkdb_tpu.plan.planner import PlanError
         with pytest.raises(PlanError):
             c.sql("select v from t order by nosuch")
+
+
+class TestScalarFuncs:
+    """floor/ceil/round/sqrt (engine extensions; identity on ints for the
+    rounding trio, sqrt always promotes to float)."""
+
+    def test_rounding_on_floats(self, rng):
+        f = (rng.standard_normal(200) * 10).astype(np.float32)
+        c = Context()
+        c.create_table("t", pd.DataFrame({"f": f}))
+        out = c.sql_df(
+            "select floor(f) as fl, ceil(f) as ce, round(f) as ro from t"
+        )
+        np.testing.assert_allclose(out["fl"], np.floor(f), rtol=1e-6)
+        np.testing.assert_allclose(out["ce"], np.ceil(f), rtol=1e-6)
+        np.testing.assert_allclose(out["ro"], np.round(f), rtol=1e-6)
+
+    def test_rounding_identity_on_ints(self, ctx):
+        c, df = ctx
+        out = c.sql_df("select floor(v) as a, ceil(v) as b from t")
+        np.testing.assert_array_equal(out["a"], df.v)
+        np.testing.assert_array_equal(out["b"], df.v)
+
+    def test_sqrt(self, ctx):
+        c, df = ctx
+        out = c.sql_df("select sqrt(abs(v)) as s from t")
+        np.testing.assert_allclose(
+            out["s"], np.sqrt(np.abs(df.v)), rtol=1e-6
+        )
+
+    def test_sqrt_in_predicate(self, ctx):
+        c, df = ctx
+        out = c.sql_df("select v from t where sqrt(abs(v)) > 5")
+        np.testing.assert_array_equal(
+            out["v"], df.v[np.sqrt(np.abs(df.v)) > 5]
+        )
+
+    def test_on_strings_rejected(self):
+        from harkdb_tpu.plan.planner import PlanError
+
+        c = Context()
+        c.create_table("s", pd.DataFrame({"x": ["a", "b"]}))
+        for fn in ["floor", "ceil", "round", "sqrt"]:
+            with pytest.raises(PlanError):
+                c.sql_df(f"select {fn}(x) from s")
