@@ -98,6 +98,10 @@ class DistExecutor:
 
     def execute(self, tables: Dict[str, Table]) -> ColumnBatch:
         plan = self.plan
+        # Subqueries evaluate once, single-chip (their results are small
+        # scalars / value sets), before the sharded pipeline reads the
+        # plan's expression containers.
+        plan._resolve_subqueries(tables)
         work = self._pushdown(self._shard_table(tables, 0),
                               plan.bindings[0][0])
         join_keys_newest_first: List[str] = []

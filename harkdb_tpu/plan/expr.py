@@ -138,4 +138,11 @@ def eval_expr(expr, columns: Dict[str, Array], capacity: int,
         raise ExprError(
             "Aggregate reached the evaluator unrewritten — planner bug"
         )
+    from harkdb_tpu.sql.ast_nodes import InSub, SubQuery
+
+    if isinstance(expr, (SubQuery, InSub)):
+        raise ExprError(
+            "Subquery reached the evaluator unresolved — planner bug "
+            "(_resolve_subqueries substitutes literals at first execution)"
+        )
     raise ExprError(f"Cannot evaluate node {expr!r}")

@@ -45,7 +45,8 @@ from harkdb_tpu.ops.join import compute_join_ranges, join_batches
 from harkdb_tpu.plan.expr import eval_expr
 from harkdb_tpu.prims.compaction import compact_batch
 from harkdb_tpu.sql.ast_nodes import (
-    Agg, BinOp, Case, Col, Lit, LutMember, SelectStmt, Star, UnOp, walk,
+    Agg, BinOp, Case, Col, InSub, Lit, LutMember, SelectStmt, Star, SubQuery,
+    UnOp, walk,
 )
 from harkdb_tpu.sql.parser import parse_sql
 
@@ -83,6 +84,10 @@ def _expr_name(expr) -> str:
         return str(expr.value)
     if isinstance(expr, Case):
         return "case"
+    if isinstance(expr, SubQuery):
+        return "(subquery)"
+    if isinstance(expr, InSub):
+        return f"({_expr_name(expr.expr)} in (subquery))"
     return "expr"
 
 
@@ -126,9 +131,15 @@ class _Resolver:
         return matches[0][1]
 
     def rewrite(self, expr):
-        """Recursively replace Col nodes with internal-keyed Col nodes."""
+        """Recursively replace Col nodes with internal-keyed Col nodes.
+        Subquery bodies are self-contained (non-correlated) — they resolve
+        against their own plan, not this environment."""
         if isinstance(expr, Col):
             return Col(self.resolve_col(expr))
+        if isinstance(expr, SubQuery):
+            return expr
+        if isinstance(expr, InSub):
+            return InSub(self.rewrite(expr.expr), expr.sub, expr.negate)
         if isinstance(expr, BinOp):
             return BinOp(expr.op, self.rewrite(expr.left), self.rewrite(expr.right))
         if isinstance(expr, UnOp):
@@ -174,6 +185,10 @@ def _substitute_aggs(expr, agg_map):
         return UnOp(expr.op, _substitute_aggs(expr.operand, agg_map))
     if isinstance(expr, LutMember):
         return LutMember(_substitute_aggs(expr.col, agg_map), expr.lut)
+    if isinstance(expr, InSub):
+        return InSub(
+            _substitute_aggs(expr.expr, agg_map), expr.sub, expr.negate
+        )
     if isinstance(expr, Case):
         return Case(
             tuple((_substitute_aggs(c, agg_map), _substitute_aggs(r, agg_map))
@@ -453,6 +468,8 @@ class QueryPlan:
                     check(e.arg, True)
                 elif isinstance(e, LutMember):
                     check(e.col, inside_agg)
+                elif isinstance(e, InSub):
+                    check(e.expr, inside_agg)
                 elif isinstance(e, Case):
                     for c, r in e.whens:
                         check(c, inside_agg)
@@ -611,6 +628,14 @@ class QueryPlan:
         for _rb, lk, rk, _k in self.join_steps:
             used |= {lk, rk}
         self.used_columns = used
+
+        # ---- subqueries ------------------------------------------------------
+        # Plan every (self-contained) subquery now so resolution errors
+        # surface at plan time; evaluation happens once, lazily, at first
+        # execution (_resolve_subqueries) — tables are immutable while a
+        # plan is cached, so the substituted literal stays valid.
+        self._subplans: Dict[object, "QueryPlan"] = {}
+        self._subs_resolved = not self._collect_subqueries(tables)
 
         self._push_jits = {
             b: jax.jit(functools.partial(self._apply_pushdown, b))
@@ -794,6 +819,12 @@ class QueryPlan:
                 return self._lower_like(left, d, e.right.value)
             left = self._lower_strings(e.left)
             right = self._lower_strings(e.right)
+            if isinstance(left, (SubQuery, InSub)) or isinstance(
+                right, (SubQuery, InSub)
+            ):
+                # Defer: the subquery substitutes a literal at first
+                # execution, and lowering re-runs then.
+                return BinOp(e.op, left, right)
             if e.op in self._CMP_OPS:
                 ld = self._expr_str_dict(left)
                 rd = self._expr_str_dict(right)
@@ -830,6 +861,121 @@ class QueryPlan:
                     )
             return BinOp(e.op, left, right)
         return e
+
+    # -- subqueries ------------------------------------------------------------
+    def _iter_exprs(self):
+        """Every stored expression tree that may carry subquery nodes."""
+        for e, _n in self.final_items:
+            yield e
+        for b in self.pushdown:
+            yield self.pushdown[b]
+        if self.where_residual is not None:
+            yield self.where_residual
+        if self.having is not None:
+            yield self.having
+        for e, _d in self.order_items:
+            yield e
+        for _i, e in self.agg_arg_cols:
+            yield e
+
+    def _collect_subqueries(self, tables) -> bool:
+        found = False
+        for e in self._iter_exprs():
+            for node in walk(e):
+                subs = []
+                if isinstance(node, SubQuery):
+                    subs = [node]
+                elif isinstance(node, InSub):
+                    subs = [node.sub]
+                for s in subs:
+                    found = True
+                    if s not in self._subplans:
+                        p = QueryPlan(s.stmt, tables, self.config)
+                        if len(p.output_names) != 1:
+                            raise PlanError(
+                                "Subquery must select exactly one column"
+                            )
+                        self._subplans[s] = p
+        return found
+
+    _IN_SUB_MAX = 1024
+
+    def _resolve_subqueries(self, tables):
+        """First-execution pass: run each subquery plan, then substitute
+        scalar results / IN value sets as literals and re-lower (string
+        values translate against the outer column's dictionary here)."""
+        if self._subs_resolved:
+            return
+        values: Dict[object, object] = {}      # SubQuery → scalar | np array
+        for s, p in self._subplans.items():
+            b = p.execute(tables)
+            n = int(b.n_valid)
+            col = np.asarray(b.columns[b.names[0]])[:n]
+            d = p.output_dicts[0]
+            values[s] = (col, d)
+
+        def scalar_of(s) -> object:
+            col, d = values[s]
+            if col.shape[0] != 1:
+                raise PlanError(
+                    f"Scalar subquery returned {col.shape[0]} rows, "
+                    f"expected 1"
+                )
+            v = col[0]
+            return str(d[int(v)]) if d is not None else v.item()
+
+        def set_of(s) -> list:
+            col, d = values[s]
+            vals = np.unique(col)
+            if vals.shape[0] > self._IN_SUB_MAX:
+                raise PlanError(
+                    f"IN (SELECT ...) with more than {self._IN_SUB_MAX} "
+                    f"distinct values is not supported"
+                )
+            if d is not None:
+                return [str(x) for x in d[vals]]
+            return [v.item() for v in vals]
+
+        def subst(e):
+            if isinstance(e, SubQuery):
+                return Lit(scalar_of(e))
+            if isinstance(e, InSub):
+                left = subst(e.expr)
+                vals = set_of(e.sub)
+                if not vals:
+                    chain = BinOp("<", Lit(1), Lit(0))      # empty set: false
+                else:
+                    chain = BinOp("=", left, Lit(vals[0]))
+                    for v in vals[1:]:
+                        chain = BinOp("or", chain, BinOp("=", left, Lit(v)))
+                return UnOp("not", chain) if e.negate else chain
+            if isinstance(e, BinOp):
+                return BinOp(e.op, subst(e.left), subst(e.right))
+            if isinstance(e, UnOp):
+                return UnOp(e.op, subst(e.operand))
+            if isinstance(e, Agg) and not isinstance(e.arg, Star):
+                return Agg(e.func, subst(e.arg), e.distinct)
+            if isinstance(e, LutMember):
+                return LutMember(subst(e.col), e.lut)
+            if isinstance(e, Case):
+                return Case(
+                    tuple((subst(c), subst(r)) for c, r in e.whens),
+                    subst(e.else_) if e.else_ is not None else None,
+                )
+            return e
+
+        def lower(e):
+            return self._lower_strings(subst(e))
+
+        self.final_items = [(lower(e), n) for e, n in self.final_items]
+        self.pushdown = {b: lower(e) for b, e in self.pushdown.items()}
+        if self.where_residual is not None:
+            self.where_residual = lower(self.where_residual)
+        if self.having is not None:
+            self.having = lower(self.having)
+        self.order_items = [(lower(e), d) for e, d in self.order_items]
+        self.agg_arg_cols = [(i, lower(e)) for i, e in self.agg_arg_cols]
+        self._subs_resolved = True
 
     def _phase_b_for(self, fast_span, stop_after_group: bool = False):
         key = (fast_span, stop_after_group)
@@ -909,6 +1055,7 @@ class QueryPlan:
 
     # -- execution ------------------------------------------------------------
     def execute(self, tables: Dict[str, Table]) -> ColumnBatch:
+        self._resolve_subqueries(tables)
         # Phase A: load + joins (count-then-materialize per join).
         b0, t0, _ = self.bindings[0]
         batch = self._load(tables, 0)

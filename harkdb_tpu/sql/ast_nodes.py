@@ -67,6 +67,25 @@ class Case:
     else_: Optional["Expr"] = None
 
 
+@dataclass(frozen=True)
+class SubQuery:
+    """A parenthesized scalar subquery ``(SELECT ...)`` — one output column,
+    one row, non-correlated (inner names resolve only against the table
+    registry). Evaluated once at first execution and substituted as a
+    literal (tables are immutable while a plan is cached)."""
+    stmt: "SelectStmt"
+
+
+@dataclass(frozen=True)
+class InSub:
+    """``expr [NOT] IN (SELECT ...)`` — one output column, non-correlated.
+    Lowered at first execution to an OR-chain of equality comparisons over
+    the subquery's distinct values."""
+    expr: "Expr"
+    sub: SubQuery
+    negate: bool = False
+
+
 @dataclass(frozen=True, eq=False)
 class LutMember:
     """Boolean membership test ``lut[col]`` over a small plan-time lookup
@@ -78,7 +97,7 @@ class LutMember:
     lut: object                      # np.ndarray[bool], len == dictionary size
 
 
-Expr = Union[Lit, Col, BinOp, UnOp, Agg, Case, LutMember]
+Expr = Union[Lit, Col, BinOp, UnOp, Agg, Case, LutMember, SubQuery, InSub]
 
 
 @dataclass(frozen=True)
@@ -158,4 +177,7 @@ def walk(expr) -> list:
             out += walk(expr.else_)
     elif isinstance(expr, LutMember):
         out += walk(expr.col)
+    elif isinstance(expr, InSub):
+        out += walk(expr.expr)       # the subquery body is self-contained —
+                                     # its names resolve against its own plan
     return out

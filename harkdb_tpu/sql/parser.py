@@ -26,8 +26,8 @@ import re
 from typing import List, Tuple
 
 from harkdb_tpu.sql.ast_nodes import (
-    Agg, BinOp, Case, Col, JoinClause, Lit, OrderItem, SelectItem, SelectStmt,
-    Star, TableRef, UnionStmt, UnOp,
+    Agg, BinOp, Case, Col, InSub, JoinClause, Lit, OrderItem, SelectItem,
+    SelectStmt, Star, SubQuery, TableRef, UnionStmt, UnOp,
 )
 
 
@@ -322,6 +322,10 @@ class Parser:
                 negate = True
         if self.eat_kw("in"):
             self.expect_op("(")
+            if self.at_kw("select"):           # x [NOT] IN (SELECT ...)
+                sub = SubQuery(self.parse_select_core())
+                self.expect_op(")")
+                return InSub(left, sub, negate)
             exprs = [self.parse_expr()]
             while self.eat_op(","):
                 exprs.append(self.parse_expr())
@@ -392,6 +396,10 @@ class Parser:
             self.next()
             return Lit(t.text)
         if self.eat_op("("):
+            if self.at_kw("select"):           # scalar subquery
+                sub = SubQuery(self.parse_select_core())
+                self.expect_op(")")
+                return sub
             e = self.parse_expr()
             self.expect_op(")")
             return e
