@@ -231,3 +231,90 @@ def test_fuzz_distributed_matches_single(seed):
     ]
     q = queries[seed % len(queries)]
     np.testing.assert_array_equal(dc.sql(q), sc.sql(q), err_msg=q)
+
+
+_SPREDS = [
+    ("s = 'gamma'", lambda d: d.s == "gamma"),
+    ("s != 'alpha'", lambda d: d.s != "alpha"),
+    ("s < 'delta'", lambda d: d.s < "delta"),
+    ("s >= 'beta'", lambda d: d.s >= "beta"),
+    ("s like '%a'", lambda d: d.s.str.endswith("a")),
+    ("s in ('alpha', 'eps', 'zzz')", lambda d: d.s.isin(["alpha", "eps"])),
+    ("s between 'b' and 'e'", lambda d: (d.s >= "b") & (d.s <= "e")),
+    ("s not like 'b%'", lambda d: ~d.s.str.startswith("b")),
+]
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_strings(seed):
+    """String predicates (dictionary-code lowering) + string group keys vs
+    pandas; distributed parity on even seeds."""
+    rng = np.random.default_rng(6000 + seed)
+    n = int(rng.integers(1, 300))
+    t1 = pd.DataFrame({
+        "s": rng.choice(_WORDS, n),
+        "b": rng.integers(-8, 9, n).astype(np.int32),
+        "c": rng.integers(0, 50, n).astype(np.int32),
+    })
+    ctx = Context()
+    ctx.create_table("t1", t1)
+
+    sql_pred, oracle_pred = _SPREDS[seed % len(_SPREDS)]
+    q = (f"select s, sum(c), count(distinct b), min(s), max(b) from t1 "
+         f"where {sql_pred} group by s order by s")
+    got_df = ctx.sql_df(q)
+
+    df = t1[oracle_pred(t1)]
+    g = df.groupby("s").agg(
+        sc=("c", "sum"), nd=("b", "nunique"), mn=("s", "min"),
+        mx=("b", "max"),
+    ).reset_index().sort_values("s")
+    assert got_df["s"].tolist() == g["s"].tolist(), q
+    assert got_df.iloc[:, 1].tolist() == g["sc"].tolist(), q
+    assert got_df.iloc[:, 2].tolist() == g["nd"].tolist(), q
+    assert got_df.iloc[:, 3].tolist() == g["mn"].tolist(), q
+    assert got_df.iloc[:, 4].tolist() == g["mx"].tolist(), q
+
+    if seed % 2 == 0:
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        dc = Context(mesh=make_engine_mesh(8))
+        dc.create_table("t1", t1)
+        pd.testing.assert_frame_equal(
+            dc.sql_df(q), got_df, check_dtype=False
+        )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_union_subquery(seed):
+    """UNION [ALL] arms with random predicates, and scalar/IN subqueries —
+    vs pandas composition."""
+    rng = np.random.default_rng(7000 + seed)
+    t1, t2 = _make_tables(rng, int(rng.integers(20, 300)))
+    ctx = Context()
+    ctx.create_table("t1", t1)
+    ctx.create_table("t2", t2)
+
+    p1, o1 = _PREDS[seed % len(_PREDS)]
+    p2, o2 = _PREDS[(seed + 2) % len(_PREDS)]
+    use_all = seed % 2 == 0
+
+    q = (f"select a, b from t1 where {p1} "
+         f"union {'all ' if use_all else ''}select a, b from t1 where {p2} "
+         f"order by a, b")
+    got = ctx.sql(q)
+    w1 = t1[o1(t1)][["a", "b"]]
+    w2 = t1[o2(t1)][["a", "b"]]
+    exp = pd.concat([w1, w2], ignore_index=True)
+    if not use_all:
+        exp = exp.drop_duplicates()
+    _assert_rows_equal(got, exp.to_numpy(), q)
+
+    q2 = (f"select a, c from t1 where c > (select avg(c) from t1) "
+          f"and a in (select j from t2 where w > 0)")
+    got2 = ctx.sql(q2)
+    hot = set(t2[t2.w > 0].j)
+    exp2 = t1[(t1.c > t1.c.mean()) & t1.a.isin(hot)][["a", "c"]]
+    _assert_rows_equal(got2, exp2.to_numpy(), q2)
