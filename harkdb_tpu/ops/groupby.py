@@ -89,6 +89,17 @@ _FORCE_SEGSCAN: bool | None = None     # test hook: force the kernel path
 def _use_segscan(use_pallas) -> bool:
     if _FORCE_SEGSCAN is not None:
         return _FORCE_SEGSCAN
+    import os
+
+    # Dedicated off-switch (finer than HARKDB_USE_PALLAS, which would also
+    # disable the proven compaction/expand/MXU kernels): the streaming
+    # segscan is the newest kernel and compiles slowest on the remote
+    # service — this keeps a one-env-var escape hatch if its compile
+    # becomes a liability in a given environment.
+    if os.environ.get("HARKDB_USE_SEGSCAN", "1").lower() in (
+        "0", "false", "no", "off"
+    ):
+        return False
     if use_pallas is None:
         from harkdb_tpu.config import DEFAULT_CONFIG
 
