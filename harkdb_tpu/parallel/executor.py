@@ -102,6 +102,13 @@ class DistExecutor:
         # scalars / value sets), before the sharded pipeline reads the
         # plan's expression containers.
         plan._resolve_subqueries(tables)
+        if getattr(plan, "window_specs", None):
+            from harkdb_tpu.plan.planner import PlanError
+
+            raise PlanError(
+                "Window functions are not supported on a distributed "
+                "context yet; run them on a single-chip Context"
+            )
         work = self._pushdown(self._shard_table(tables, 0),
                               plan.bindings[0][0])
         join_keys_newest_first: List[str] = []

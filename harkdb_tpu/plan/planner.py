@@ -46,7 +46,7 @@ from harkdb_tpu.plan.expr import eval_expr
 from harkdb_tpu.prims.compaction import compact_batch
 from harkdb_tpu.sql.ast_nodes import (
     Agg, BinOp, Case, Col, InSub, Lit, LutMember, SelectStmt, Star, SubQuery,
-    UnOp, walk,
+    UnOp, WindowFn, walk,
 )
 from harkdb_tpu.sql.parser import parse_sql
 
@@ -88,6 +88,11 @@ def _expr_name(expr) -> str:
         return "(subquery)"
     if isinstance(expr, InSub):
         return f"({_expr_name(expr.expr)} in (subquery))"
+    if isinstance(expr, WindowFn):
+        arg = ("" if expr.arg is None
+               else "*" if isinstance(expr.arg, Star)
+               else _expr_name(expr.arg))
+        return f"{expr.func}({arg}) over (...)"
     return "expr"
 
 
@@ -140,6 +145,18 @@ class _Resolver:
             return expr
         if isinstance(expr, InSub):
             return InSub(self.rewrite(expr.expr), expr.sub, expr.negate)
+        if isinstance(expr, WindowFn):
+            from harkdb_tpu.sql.ast_nodes import OrderItem
+
+            arg = expr.arg
+            if arg is not None and not isinstance(arg, Star):
+                arg = self.rewrite(arg)
+            return WindowFn(
+                expr.func, arg,
+                tuple(Col(self.resolve_col(p)) for p in expr.partition_by),
+                tuple(OrderItem(self.rewrite(o.expr), o.descending)
+                      for o in expr.order_by),
+            )
         if isinstance(expr, BinOp):
             return BinOp(expr.op, self.rewrite(expr.left), self.rewrite(expr.right))
         if isinstance(expr, UnOp):
@@ -170,6 +187,29 @@ class _Resolver:
             raise PlanError(f"{binding} is not in tables")
         _, _t, cols = next(x for x in self.bindings if x[0] == binding)
         return [(b_env[c], c) for c in cols]
+
+
+def _substitute_wins(expr, win_map):
+    """Replace WindowFn nodes with their computed output columns."""
+    if isinstance(expr, WindowFn):
+        return Col(win_map[expr])
+    if isinstance(expr, BinOp):
+        return BinOp(
+            expr.op, _substitute_wins(expr.left, win_map),
+            _substitute_wins(expr.right, win_map),
+        )
+    if isinstance(expr, UnOp):
+        return UnOp(expr.op, _substitute_wins(expr.operand, win_map))
+    if isinstance(expr, LutMember):
+        return LutMember(_substitute_wins(expr.col, win_map), expr.lut)
+    if isinstance(expr, Case):
+        return Case(
+            tuple((_substitute_wins(c, win_map), _substitute_wins(r, win_map))
+                  for c, r in expr.whens),
+            _substitute_wins(expr.else_, win_map)
+            if expr.else_ is not None else None,
+        )
+    return expr
 
 
 def _substitute_aggs(expr, agg_map):
@@ -525,6 +565,62 @@ class QueryPlan:
         self.order_items = [
             (_substitute_aggs(e, agg_map), d) for e, d in order_items
         ]
+
+        # ---- window functions ------------------------------------------------
+        # Computed in phase B over the post-WHERE rows: one payload sort per
+        # distinct (PARTITION BY, ORDER BY) shape, segmented scans / position
+        # arithmetic in sorted order, one sort back by original row id
+        # (_compute_windows). Only in the select list / ORDER BY, and only in
+        # ungrouped queries (standard SQL evaluates windows after grouping —
+        # over grouped output — which this engine does not support yet).
+        win_nodes: List[WindowFn] = []
+        for e in ([e for e, _ in self.final_items]
+                  + [e for e, _ in self.order_items]):
+            for node in walk(e):
+                if isinstance(node, WindowFn) and node not in win_nodes:
+                    win_nodes.append(node)
+        for container in (
+            list(self.pushdown.values())
+            + ([self.where_residual] if self.where_residual is not None
+               else [])
+            + ([self.having] if self.having is not None else [])
+        ):
+            if any(isinstance(n, WindowFn) for n in walk(container)):
+                raise PlanError(
+                    "Window functions are only allowed in the select list "
+                    "and ORDER BY"
+                )
+        if win_nodes and grouped:
+            raise PlanError(
+                "Window functions over grouped queries are not supported"
+            )
+        self.window_specs: List[Tuple] = []
+        self.win_out_dicts: Dict[str, np.ndarray] = {}
+        win_map: Dict[WindowFn, str] = {}
+        for i, node in enumerate(win_nodes):
+            out = f"#win{i}"
+            if (node.func in ("min", "max") and node.arg is not None
+                    and not isinstance(node.arg, Star)):
+                d = self._expr_str_dict(node.arg)
+                if d is not None:
+                    self.win_out_dicts[out] = d
+            self.window_specs.append((
+                out, node.func,
+                None if (node.arg is None or isinstance(node.arg, Star))
+                else node.arg,
+                tuple(p.name for p in node.partition_by),
+                tuple(o.expr for o in node.order_by),
+                tuple(o.descending for o in node.order_by),
+            ))
+            win_map[node] = out
+        if win_nodes:
+            self.final_items = [
+                (_substitute_wins(e, win_map), n) for e, n in self.final_items
+            ]
+            self.order_items = [
+                (_substitute_wins(e, win_map), d) for e, d in self.order_items
+            ]
+
         self.limit = stmt.limit
         self.offset = stmt.offset
         self.distinct = stmt.distinct
@@ -553,6 +649,8 @@ class QueryPlan:
                 d = self.str_dicts.get(e.name)
                 if d is None:
                     d = self.agg_out_dicts.get(e.name)
+                if d is None:
+                    d = self.win_out_dicts.get(e.name)
             self.output_dicts.append(d)
 
         # MXU fast path (kernels/matmul_agg.py): single int key with a small
@@ -627,6 +725,12 @@ class QueryPlan:
         used |= set(self.group_keys)
         for _rb, lk, rk, _k in self.join_steps:
             used |= {lk, rk}
+        for _out, _f, arg, parts, oexprs, _ds in self.window_specs:
+            used |= set(parts)
+            if arg is not None:
+                used |= {n.name for n in walk(arg) if isinstance(n, Col)}
+            for oe in oexprs:
+                used |= {n.name for n in walk(oe) if isinstance(n, Col)}
         self.used_columns = used
 
         # ---- subqueries ------------------------------------------------------
@@ -730,6 +834,11 @@ class QueryPlan:
                 self._collect_merges(r)
             if e.else_ is not None:
                 self._collect_merges(e.else_)
+        elif isinstance(e, WindowFn):
+            if e.arg is not None and not isinstance(e.arg, Star):
+                self._collect_merges(e.arg)
+            for o in e.order_by:
+                self._collect_merges(o.expr)
 
     def _lower_str_cmp(self, op: str, col_expr, d: np.ndarray, v: str):
         """col <op> 'literal' → integer code comparison. Codes are
@@ -797,6 +906,23 @@ class QueryPlan:
                     f"{e.func.upper()} over a string column is not supported"
                 )
             return Agg(e.func, arg, e.distinct)
+        if isinstance(e, WindowFn):
+            from harkdb_tpu.sql.ast_nodes import OrderItem
+
+            arg = e.arg
+            if arg is not None and not isinstance(arg, Star):
+                arg = self._lower_strings(arg)
+                if (e.func in ("sum", "prod", "avg")
+                        and self._is_string_typed(arg)):
+                    raise PlanError(
+                        f"{e.func.upper()} over a string column is not "
+                        f"supported"
+                    )
+            return WindowFn(
+                e.func, arg, e.partition_by,
+                tuple(OrderItem(self._lower_strings(o.expr), o.descending)
+                      for o in e.order_by),
+            )
         if isinstance(e, Case):
             whens = tuple(
                 (self._lower_strings(c), self._lower_strings(r))
@@ -1142,7 +1268,13 @@ class QueryPlan:
             where_mask = eval_expr(
                 self.where_residual, batch.columns, cap, self.config
             ).astype(jnp.bool_)
-            absorbed = self.grouped or self.order_items or self.distinct
+            # Window partitions must only see surviving rows, so windows
+            # force the compaction that a downstream sort would otherwise
+            # absorb.
+            absorbed = (
+                (self.grouped or self.order_items or self.distinct)
+                and not self.window_specs
+            )
             if not absorbed:
                 batch = compact_batch(batch, where_mask, self.config.use_pallas)
                 where_mask = None
@@ -1207,7 +1339,147 @@ class QueryPlan:
             if stop_after_group:
                 return batch
 
+        if self.window_specs:
+            batch = self._compute_windows(batch)
         return self.run_tail(batch, filter_mask=where_mask)
+
+    def _compute_windows(self, batch: ColumnBatch) -> ColumnBatch:
+        """Window functions, TPU-style (traced; jit-safe).
+
+        For each distinct (PARTITION BY, ORDER BY) shape: ONE stable payload
+        sort by (dropped, partition keys, order keys) carrying the argument
+        columns and the original row id; partition/tie boundaries from
+        adjacent-key changes; per-function values as position arithmetic
+        (row_number/rank/dense_rank via cummax-filled starts) or inclusive
+        segmented scans (the groupby's own streaming-segscan/doubling-scan
+        machinery); the SQL default RANGE frame (peers included) via a
+        reversed take-first segmented scan that broadcasts each tie-run's
+        last scanned value; finally ONE sort back by original row id aligns
+        outputs with the batch. No scatters or gathers anywhere.
+        """
+        from harkdb_tpu.ops.sort import _descending_transform
+        from harkdb_tpu.ops.groupby import (
+            _SEGSCAN_NAME, _neutral_py, _use_segscan,
+        )
+        from harkdb_tpu.prims.segmented import doubling_segmented_scan
+
+        cap = batch.capacity
+        cols = dict(batch.columns)
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        live = idx < batch.n_valid
+        dropped = jnp.logical_not(live).astype(jnp.int32)
+
+        groups: Dict[tuple, List[tuple]] = {}
+        for spec in self.window_specs:
+            _out, _f, _arg, parts, oexprs, descs = spec
+            groups.setdefault((parts, oexprs, descs), []).append(spec)
+
+        _SCAN = {"sum": jnp.add, "prod": jnp.multiply,
+                 "max": jnp.maximum, "min": jnp.minimum}
+
+        for (parts, oexprs, descs), specs in groups.items():
+            part_arrays = [cols[p] for p in parts]
+            order_arrays = []
+            for oe, d in zip(oexprs, descs):
+                a = eval_expr(oe, cols, cap, self.config)
+                order_arrays.append(_descending_transform(a) if d else a)
+            # Deduplicated argument columns ride the sort as payload.
+            arg_payload: List[jax.Array] = []
+            arg_slot: Dict[int, int] = {}
+            for si, (_o, func, arg, *_r) in enumerate(specs):
+                if func in ("row_number", "rank", "dense_rank", "count"):
+                    continue
+                a = eval_expr(arg, cols, cap, self.config)
+                arg_slot[si] = len(arg_payload)
+                arg_payload.append(a)
+
+            nk = 1 + len(part_arrays) + len(order_arrays)
+            sorted_ = jax.lax.sort(
+                [dropped] + part_arrays + order_arrays + [idx] + arg_payload,
+                num_keys=nk, is_stable=True,
+            )
+            s_part = sorted_[1:1 + len(part_arrays)]
+            s_order = sorted_[1 + len(part_arrays):nk]
+            s_idx = sorted_[nk]
+            s_args = sorted_[nk + 1:]
+
+            count = jnp.sum(live.astype(jnp.int32))
+            valid = idx < count
+            p_changed = jnp.zeros((cap,), jnp.bool_)
+            for k in s_part:
+                prev = jnp.concatenate([k[:1], k[:-1]])
+                p_changed = p_changed | (k != prev)
+            o_changed = p_changed
+            for k in s_order:
+                prev = jnp.concatenate([k[:1], k[:-1]])
+                o_changed = o_changed | (k != prev)
+            is_pstart = valid & ((idx == 0) | p_changed)
+            is_tstart = valid & ((idx == 0) | o_changed)
+
+            start = jax.lax.cummax(jnp.where(is_pstart, idx, 0))
+            pos = idx - start                       # 0-based in partition
+            sid_p = jnp.cumsum(is_pstart.astype(jnp.int32)) - 1
+            run_id = jnp.cumsum(is_tstart.astype(jnp.int32)) - 1
+
+            # Padding rows would otherwise extend the last live tie-run and
+            # leak garbage backward through the peer broadcast — isolate
+            # them in their own run.
+            safe_run = jnp.where(valid, run_id, jnp.int32(1 << 30))
+
+            def peers_last(S):
+                """Broadcast each tie-run's LAST value to the whole run (the
+                SQL default RANGE frame includes peers): reverse, take-first
+                segmented scan over reversed run ids, reverse back."""
+                rev_sid = jnp.flip(jnp.int32(1 << 30) - safe_run)
+                first = doubling_segmented_scan(
+                    lambda cur, prev: prev, rev_sid, jnp.flip(S)
+                )
+                return jnp.flip(first)
+
+            def pscan(opname, x):
+                if _use_segscan(self.config.use_pallas):
+                    from harkdb_tpu.kernels.segscan import (
+                        flat_segscan, segscan_supported,
+                    )
+
+                    if segscan_supported(_SEGSCAN_NAME[opname], x.dtype):
+                        return flat_segscan(
+                            _SEGSCAN_NAME[opname], sid_p, [x],
+                            _neutral_py(opname, x.dtype),
+                            interpret=jax.default_backend() != "tpu",
+                        )[0]
+                return doubling_segmented_scan(_SCAN[opname], sid_p, x)
+
+            outs = []
+            for si, (out_name, func, _arg, *_r) in enumerate(specs):
+                if func == "row_number":
+                    o = pos + 1
+                elif func == "rank":
+                    tstart_idx = jax.lax.cummax(jnp.where(is_tstart, idx, 0))
+                    o = tstart_idx - start + 1
+                elif func == "dense_rank":
+                    g = jnp.cumsum(is_tstart.astype(jnp.int32))
+                    gp = jax.lax.cummax(jnp.where(is_pstart, g, 0))
+                    o = g - gp + 1
+                elif func == "count":
+                    o = peers_last(pos + 1)        # rows up to last peer
+                elif func == "avg":
+                    x = s_args[arg_slot[si]]
+                    s = peers_last(pscan("sum", x.astype(jnp.float32)))
+                    c = peers_last(pos + 1).astype(jnp.float32)
+                    o = s / jnp.maximum(c, 1.0)
+                else:                               # sum / prod / min / max
+                    x = s_args[arg_slot[si]]
+                    o = peers_last(pscan(func, x))
+                outs.append((out_name, o))
+
+            restored = jax.lax.sort(
+                [s_idx] + [o for _n, o in outs], num_keys=1, is_stable=False,
+            )[1:]
+            for (out_name, _o), col in zip(outs, restored):
+                cols[out_name] = col
+
+        return ColumnBatch(cols, batch.n_valid)
 
     def run_tail(self, batch: ColumnBatch, filter_mask=None) -> ColumnBatch:
         """Post-aggregation tail: avg computes → HAVING → projection →

@@ -68,6 +68,20 @@ class Case:
 
 
 @dataclass(frozen=True)
+class WindowFn:
+    """``func([arg]) OVER ([PARTITION BY cols] [ORDER BY exprs])``.
+
+    Funcs: row_number / rank / dense_rank (no argument) and the aggregates
+    sum/count/min/max/avg/prod. Frame semantics are the SQL defaults: with
+    ORDER BY, RANGE UNBOUNDED PRECEDING..CURRENT ROW (running aggregate,
+    peers included); without, the whole partition."""
+    func: str
+    arg: object                          # Expr | Star | None
+    partition_by: Tuple[Col, ...] = ()
+    order_by: Tuple["OrderItem", ...] = ()
+
+
+@dataclass(frozen=True)
 class SubQuery:
     """A parenthesized scalar subquery ``(SELECT ...)`` — one output column,
     one row, non-correlated (inner names resolve only against the table
@@ -97,7 +111,8 @@ class LutMember:
     lut: object                      # np.ndarray[bool], len == dictionary size
 
 
-Expr = Union[Lit, Col, BinOp, UnOp, Agg, Case, LutMember, SubQuery, InSub]
+Expr = Union[Lit, Col, BinOp, UnOp, Agg, Case, LutMember, SubQuery, InSub,
+             WindowFn]
 
 
 @dataclass(frozen=True)
@@ -180,4 +195,11 @@ def walk(expr) -> list:
     elif isinstance(expr, InSub):
         out += walk(expr.expr)       # the subquery body is self-contained —
                                      # its names resolve against its own plan
+    elif isinstance(expr, WindowFn):
+        if expr.arg is not None and not isinstance(expr.arg, Star):
+            out += walk(expr.arg)
+        for p in expr.partition_by:
+            out += walk(p)
+        for o in expr.order_by:
+            out += walk(o.expr)
     return out

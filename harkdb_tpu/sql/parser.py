@@ -27,7 +27,7 @@ from typing import List, Tuple
 
 from harkdb_tpu.sql.ast_nodes import (
     Agg, BinOp, Case, Col, InSub, JoinClause, Lit, OrderItem, SelectItem,
-    SelectStmt, Star, SubQuery, TableRef, UnionStmt, UnOp,
+    SelectStmt, Star, SubQuery, TableRef, UnionStmt, UnOp, WindowFn,
 )
 
 
@@ -40,11 +40,13 @@ KEYWORDS = {
     "limit", "offset", "join", "inner", "left", "right", "outer", "on", "as", "and",
     "or", "not", "asc", "desc", "distinct", "in", "between", "like",
     "case", "when", "then", "else", "end", "union", "all",
+    "over", "partition",
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
 # lowered to UnOp(func, arg); floor/ceil/round are identity on ints
 SCALAR_FUNCS = {"abs", "floor", "ceil", "round", "sqrt"}
+WINDOW_ONLY_FUNCS = {"row_number", "rank", "dense_rank"}   # require OVER
 
 _TOKEN_RE = re.compile(
     r"""
@@ -428,7 +430,22 @@ class Parser:
                 else:
                     arg = self.parse_expr()
                 self.expect_op(")")
-                return Agg(low, arg, distinct)
+                agg = Agg(low, arg, distinct)
+                if self.eat_kw("over"):         # windowed aggregate
+                    if distinct:
+                        raise SqlError(
+                            "DISTINCT is not supported in window functions"
+                        )
+                    part, order = self.parse_over()
+                    return WindowFn(low, arg, part, order)
+                return agg
+            if low in WINDOW_ONLY_FUNCS and nxt.kind == "op" and nxt.text == "(":
+                self.next()          # func name
+                self.next()          # "("
+                self.expect_op(")")
+                self.expect_kw("over")
+                part, order = self.parse_over()
+                return WindowFn(low, None, part, order)
             if low in SCALAR_FUNCS and nxt.kind == "op" and nxt.text == "(":
                 self.next()          # func name
                 self.next()          # "("
@@ -437,6 +454,27 @@ class Parser:
                 return UnOp(low, arg)
             return self.parse_qualified_col()
         raise SqlError(f"Unexpected token {t.text!r} in expression")
+
+    def parse_over(self):
+        """OVER ( [PARTITION BY col, ...] [ORDER BY expr [ASC|DESC], ...] ).
+        Explicit frame clauses (ROWS/RANGE BETWEEN ...) are not supported —
+        the SQL default frame applies."""
+        self.expect_op("(")
+        part = []
+        if self.eat_kw("partition"):
+            self.expect_kw("by")
+            part.append(self.parse_qualified_col())
+            while self.eat_op(","):
+                part.append(self.parse_qualified_col())
+        order = []
+        if self.at_kw("order", "sort"):
+            self.next()
+            self.expect_kw("by")
+            order.append(self.parse_order_item())
+            while self.eat_op(","):
+                order.append(self.parse_order_item())
+        self.expect_op(")")
+        return tuple(part), tuple(order)
 
     def parse_case(self) -> Case:
         """Searched CASE: CASE WHEN cond THEN val ... [ELSE val] END."""

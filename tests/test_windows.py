@@ -1,0 +1,274 @@
+"""Window functions (engine extension; no reference analog).
+
+Implementation under test (``plan/planner.py:_compute_windows``): one stable
+payload sort per distinct (PARTITION BY, ORDER BY) shape; boundaries from
+adjacent-key changes; row_number/rank/dense_rank via position arithmetic
+(cummax-filled starts); running aggregates via the groupby's segmented-scan
+machinery; the SQL default RANGE frame (peers included) via a reversed
+take-first segmented scan; one sort back by row id. Differential vs pandas.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from harkdb_tpu import Context
+from harkdb_tpu.plan.planner import PlanError
+
+
+@pytest.fixture
+def wctx(rng):
+    df = pd.DataFrame({
+        "dept": rng.choice(["eng", "ops", "hr", "sales"], 200),
+        "pay": rng.integers(50, 150, 200).astype(np.int32),
+        "yr": rng.integers(2018, 2023, 200).astype(np.int32),
+        "f": rng.standard_normal(200).astype(np.float32),
+    })
+    c = Context()
+    c.create_table("emp", df)
+    return c, df
+
+
+class TestRankingFuncs:
+    def test_row_number_is_partition_permutation(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, pay, row_number() over "
+            "(partition by dept order by pay desc) as rn from emp"
+        )
+        for _d, g in got.groupby("dept"):
+            assert sorted(g["rn"]) == list(range(1, len(g) + 1))
+            # rn order must agree with pay desc
+            s = g.sort_values("rn")
+            assert (np.diff(s["pay"]) <= 0).all()
+
+    def test_rank_min_semantics(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, pay, rank() over "
+            "(partition by dept order by pay) as rk from emp "
+            "order by dept, pay"
+        )
+        w = df.sort_values(["dept", "pay"], kind="stable")
+        exp = w.groupby("dept")["pay"].rank(method="min").astype(int)
+        assert got["rk"].tolist() == exp.tolist()
+
+    def test_dense_rank(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select yr, dense_rank() over (order by yr) as dr from emp "
+            "order by yr"
+        )
+        w = df.sort_values("yr")
+        exp = w["yr"].rank(method="dense").astype(int)
+        assert got["dr"].tolist() == exp.tolist()
+
+    def test_rank_without_order_is_all_ones(self, wctx):
+        c, _df = wctx
+        got = c.sql_df(
+            "select rank() over (partition by dept) as rk from emp"
+        )
+        assert (got["rk"] == 1).all()
+
+
+class TestRunningAggregates:
+    def test_running_sum_range_frame_peers(self, wctx):
+        # SQL default frame with ORDER BY is RANGE ...CURRENT ROW: tie rows
+        # (peers) all carry the value at the LAST peer.
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, pay, sum(pay) over "
+            "(partition by dept order by pay) as rs from emp "
+            "order by dept, pay"
+        )
+        w = df.sort_values(["dept", "pay"], kind="stable")
+        w["rs"] = w.groupby("dept")["pay"].cumsum()
+        w["rs"] = w.groupby(["dept", "pay"])["rs"].transform("max")
+        assert got["rs"].tolist() == w["rs"].tolist()
+
+    def test_running_count_and_min_max(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, pay, count(*) over "
+            "(partition by dept order by pay) as cnt, "
+            "min(pay) over (partition by dept order by pay) as mn, "
+            "max(pay) over (partition by dept order by pay) as mx "
+            "from emp order by dept, pay"
+        )
+        w = df.sort_values(["dept", "pay"], kind="stable")
+        w["cnt"] = w.groupby("dept")["pay"].rank(method="max").astype(int)
+        w["mn"] = w.groupby("dept")["pay"].transform("min")  # running min of
+        # sorted-asc pay = partition min at every row? No: running min of an
+        # ascending sequence is the first element.
+        w["mn"] = w.groupby("dept")["pay"].transform("first")
+        w["mx"] = w["pay"]                      # running max of ascending
+        w["mx"] = w.groupby(["dept", "pay"])["mx"].transform("max")
+        assert got["cnt"].tolist() == w["cnt"].tolist()
+        assert got["mn"].tolist() == w["mn"].tolist()
+        assert got["mx"].tolist() == w["mx"].tolist()
+
+    def test_whole_partition_aggregates(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, sum(pay) over (partition by dept) as tot, "
+            "avg(pay) over (partition by dept) as ap, "
+            "count(*) over (partition by dept) as n from emp"
+        )
+        w = df.copy()
+        w["tot"] = w.groupby("dept")["pay"].transform("sum")
+        w["ap"] = w.groupby("dept")["pay"].transform("mean")
+        w["n"] = w.groupby("dept")["pay"].transform("size")
+        assert got["tot"].tolist() == w["tot"].tolist()
+        assert got["n"].tolist() == w["n"].tolist()
+        np.testing.assert_allclose(got["ap"], w["ap"], rtol=1e-5)
+
+    def test_float_running_sum(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select yr, f, sum(f) over (partition by yr order by f) as rs "
+            "from emp order by yr, f"
+        )
+        w = df.sort_values(["yr", "f"], kind="stable")
+        exp = w.groupby("yr")["f"].cumsum()
+        np.testing.assert_allclose(got["rs"], exp, rtol=1e-4, atol=1e-4)
+
+    def test_empty_over_is_global(self, wctx):
+        c, df = wctx
+        got = c.sql_df("select sum(pay) over () as tot from emp")
+        assert (got["tot"] == df.pay.sum()).all()
+
+    def test_desc_order_running(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, pay, sum(pay) over "
+            "(partition by dept order by pay desc) as rs from emp "
+            "order by dept, pay desc"
+        )
+        w = df.sort_values(["dept", "pay"], ascending=[True, False],
+                           kind="stable")
+        w["rs"] = w.groupby("dept")["pay"].cumsum()
+        w["rs"] = w.groupby(["dept", "pay"])["rs"].transform("max")
+        assert got["rs"].tolist() == w["rs"].tolist()
+
+
+class TestWindowInteractions:
+    def test_windows_see_only_where_survivors(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, count(*) over (partition by dept) as n from emp "
+            "where pay > 100"
+        )
+        w = df[df.pay > 100].copy()
+        w["n"] = w.groupby("dept")["pay"].transform("size")
+        assert got["n"].tolist() == w["n"].tolist()
+
+    def test_order_by_window_alias(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, pay, row_number() over "
+            "(partition by dept order by pay desc) as rn from emp "
+            "order by dept, rn limit 8"
+        )
+        assert len(got) == 8
+        for _d, g in got.groupby("dept"):
+            assert g["rn"].tolist() == sorted(g["rn"].tolist())
+
+    def test_window_output_in_expression(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select pay, pay - avg(pay) over (partition by dept) as dev "
+            "from emp"
+        )
+        w = df.copy()
+        w["dev"] = w.pay - w.groupby("dept")["pay"].transform("mean")
+        # engine computes in float32; pandas in float64
+        np.testing.assert_allclose(got["dev"], w["dev"], rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_two_window_shapes_one_query(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select row_number() over (order by pay) as a, "
+            "sum(pay) over (partition by dept) as b from emp"
+        )
+        assert sorted(got["a"]) == list(range(1, len(df) + 1))
+        w = df.groupby("dept")["pay"].transform("sum")
+        assert got["b"].tolist() == w.tolist()
+
+    def test_string_partition_and_min_decode(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select yr, min(dept) over (partition by yr) as md from emp "
+            "order by yr"
+        )
+        w = df.copy()
+        w["md"] = w.groupby("yr")["dept"].transform("min")
+        w = w.sort_values("yr", kind="stable")
+        assert got["md"].tolist() == w["md"].tolist()
+
+    def test_with_join(self, rng):
+        c = Context()
+        left = pd.DataFrame({
+            "k": rng.integers(0, 4, 60).astype(np.int32),
+            "v": rng.integers(0, 100, 60).astype(np.int32),
+        })
+        dims = pd.DataFrame({"j": np.arange(4, dtype=np.int32),
+                             "w": np.array([10, 20, 30, 40], np.int32)})
+        c.create_table("l", left)
+        c.create_table("d", dims)
+        got = c.sql_df(
+            "select l.k, l.v, sum(d.w) over (partition by l.k) as sw "
+            "from l join d on l.k = d.j"
+        )
+        m = left.merge(dims, left_on="k", right_on="j")
+        m = m.sort_values(["k"], kind="stable")          # join emits key order
+        w = m.groupby("k")["w"].transform("sum")
+        assert got["sw"].tolist() == w.tolist()
+
+
+class TestWindowErrors:
+    def test_window_in_where_rejected(self, wctx):
+        c, _df = wctx
+        with pytest.raises(PlanError):
+            c.sql_df(
+                "select pay from emp "
+                "where row_number() over (order by pay) < 5"
+            )
+
+    def test_window_in_grouped_query_rejected(self, wctx):
+        c, _df = wctx
+        with pytest.raises(PlanError):
+            c.sql_df(
+                "select dept, sum(pay), row_number() over (order by dept) "
+                "from emp group by dept"
+            )
+
+    def test_distributed_rejected(self, rng):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        c = Context(mesh=make_engine_mesh(8))
+        c.create_table("t", pd.DataFrame({
+            "k": np.arange(64, dtype=np.int32),
+            "v": np.arange(64, dtype=np.int32),
+        }))
+        with pytest.raises(PlanError):
+            c.sql_df("select row_number() over (order by v) from t")
+
+    def test_sum_over_string_rejected(self, wctx):
+        c, _df = wctx
+        with pytest.raises(PlanError):
+            c.sql_df("select sum(dept) over () from emp")
+
+    def test_distinct_in_window_rejected(self, wctx):
+        from harkdb_tpu.sql.parser import SqlError
+
+        c, _df = wctx
+        with pytest.raises(SqlError):
+            c.sql_df("select count(distinct pay) over () from emp")
+
+    def test_window_only_funcs_require_over(self, wctx):
+        from harkdb_tpu.sql.parser import SqlError
+
+        c, _df = wctx
+        with pytest.raises(SqlError):
+            c.sql_df("select row_number() from emp")
