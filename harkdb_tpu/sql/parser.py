@@ -325,7 +325,7 @@ class Parser:
         if self.eat_kw("in"):
             self.expect_op("(")
             if self.at_kw("select"):           # x [NOT] IN (SELECT ...)
-                sub = SubQuery(self.parse_select_core())
+                sub = SubQuery(self.parse_subquery_stmt())
                 self.expect_op(")")
                 return InSub(left, sub, negate)
             exprs = [self.parse_expr()]
@@ -399,7 +399,7 @@ class Parser:
             return Lit(t.text)
         if self.eat_op("("):
             if self.at_kw("select"):           # scalar subquery
-                sub = SubQuery(self.parse_select_core())
+                sub = SubQuery(self.parse_subquery_stmt())
                 self.expect_op(")")
                 return sub
             e = self.parse_expr()
@@ -454,6 +454,20 @@ class Parser:
                 return UnOp(low, arg)
             return self.parse_qualified_col()
         raise SqlError(f"Unexpected token {t.text!r} in expression")
+
+    def parse_subquery_stmt(self) -> SelectStmt:
+        """Subquery body: one SELECT arm plus its own trailing ORDER BY /
+        LIMIT / OFFSET (enables the ``(select v from t order by v desc
+        limit 1)`` argmax idiom)."""
+        s = self.parse_select_core()
+        order_by, limit, offset = self._parse_order_limit_offset()
+        if not (order_by or limit is not None or offset is not None):
+            return s
+        return SelectStmt(
+            items=s.items, table=s.table, joins=s.joins, where=s.where,
+            group_by=s.group_by, having=s.having, order_by=order_by,
+            limit=limit, offset=offset, distinct=s.distinct,
+        )
 
     def parse_over(self):
         """OVER ( [PARTITION BY col, ...] [ORDER BY expr [ASC|DESC], ...] ).

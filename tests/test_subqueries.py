@@ -170,3 +170,29 @@ class TestSubqueryDistributed:
         pd.testing.assert_frame_equal(
             cm.sql_df(q), cs.sql_df(q), check_dtype=False
         )
+
+
+class TestSubqueryOrderLimit:
+    def test_scalar_via_order_limit(self, qctx):
+        c, df = qctx
+        got = c.sql_df(
+            "select v - (select v from t order by v limit 1) as d from t"
+        )
+        np.testing.assert_array_equal(got["d"], df.v - df.v.min())
+
+    def test_in_top_k(self, qctx):
+        c, df = qctx
+        got = c.sql_df(
+            "select k from t "
+            "where k in (select key from hot order by key desc limit 2)"
+        )
+        assert len(got) == df.k.isin([3, 4]).sum()
+
+    def test_offset_in_subquery(self, qctx):
+        c, df = qctx
+        got = c.sql_df(
+            "select count(*) as n from t where k = "
+            "(select key from hot order by key limit 1 offset 1)"
+        )
+        # second-smallest hot key = 3
+        assert int(got["n"][0]) == int((df.k == 3).sum())
