@@ -222,6 +222,70 @@ def dist_groupby(
         bucket_cap *= 2
 
 
+def dist_window(
+    sb: ShardedBatch,
+    part_names: Sequence[str],
+    compute_fn: Callable[[ColumnBatch], ColumnBatch],
+    win_names: Sequence[str],
+    mesh: Mesh,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> ShardedBatch:
+    """Distributed window functions for one PARTITION BY shape.
+
+    Rows hash-shuffle on the partition keys so every partition lands wholly
+    on one shard; the single-chip window computation (``compute_fn`` =
+    ``QueryPlan._compute_windows`` over this shape's specs) then runs
+    per-shard and is globally correct. Previously computed window columns
+    ride the shuffle as ordinary payload, so several shapes chain as
+    sequential passes. Output rows stay wherever the shuffle put them — the
+    executor's distributed tail restores order (rid / join-key / ORDER BY
+    sort). An empty PARTITION BY routes every row to shard 0 (a global
+    window has no parallelism to exploit; the retry loop grows the bucket
+    capacity to fit).
+    """
+    axis = config.mesh_axis
+    D = mesh.devices.size
+    C = sb.local_capacity
+
+    def make(bucket_cap: int):
+        def body(cols: Dict[str, Array], cnt: Array):
+            n_local = cnt[0]
+            rcols = dict(cols)
+            if part_names:
+                rcols["#route"] = hash_keys(rcols, list(part_names), D)
+            else:
+                rcols["#route"] = jnp.zeros((C,), jnp.int32)
+            shuf_cols, shuf_n, overflow = repartition_by_key(
+                rcols, "#route", n_local, axis, D, bucket_cap,
+                dest_is_bucket=True,
+            )
+            shuf_cols.pop("#route", None)
+            out = compute_fn(ColumnBatch(shuf_cols, shuf_n))
+            return (dict(out.columns), shuf_n.reshape(1),
+                    jax.lax.psum(overflow, axis))
+
+        out_names = list(sb.names) + [
+            n for n in win_names if n not in sb.names
+        ]
+        specs_in = ({n: P(axis) for n in sb.names}, P(axis))
+        specs_out = ({n: P(axis) for n in out_names}, P(axis), P())
+        # check_vma off: the window scans may engage the Pallas segscan
+        # kernel, whose ShapeDtypeStructs carry no vma annotations (same
+        # situation as dist_groupby's MXU path).
+        return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
+                                     out_specs=specs_out, check_vma=False))
+
+    bucket_cap = max(128, _next_pow2(-(-C // D)) * 2)
+    while True:
+        f = make(bucket_cap)
+        out_cols, out_counts, overflow = f(sb.columns, sb.shard_counts)
+        if int(overflow) == 0:
+            return ShardedBatch(out_cols, out_counts)
+        if bucket_cap >= C * 2:
+            raise ShuffleOverflow("window shuffle bucket overflow")
+        bucket_cap *= 2
+
+
 def _route_order_view(key: Array, descending: bool) -> Array:
     """Monotone integer view of a sort key for RANGE partitioning.
 

@@ -102,13 +102,6 @@ class DistExecutor:
         # scalars / value sets), before the sharded pipeline reads the
         # plan's expression containers.
         plan._resolve_subqueries(tables)
-        if getattr(plan, "window_specs", None):
-            from harkdb_tpu.plan.planner import PlanError
-
-            raise PlanError(
-                "Window functions are not supported on a distributed "
-                "context yet; run them on a single-chip Context"
-            )
         work = self._pushdown(self._shard_table(tables, 0),
                               plan.bindings[0][0])
         join_keys_newest_first: List[str] = []
@@ -127,6 +120,24 @@ class DistExecutor:
                                                   self.config),
                 self.mesh, self.config,
             )
+
+        if plan.window_specs:
+            # One hash-shuffle pass per distinct PARTITION BY shape: each
+            # partition lands wholly on one shard, the single-chip window
+            # computation runs locally, and already-computed window columns
+            # ride later passes as payload (dist_ops.dist_window).
+            from harkdb_tpu.parallel.dist_ops import dist_window
+
+            by_parts: Dict[tuple, list] = {}
+            for spec in plan.window_specs:
+                by_parts.setdefault(spec[3], []).append(spec)
+            for parts, specs in by_parts.items():
+                win_names = [s[0] for s in specs]
+                work = dist_window(
+                    work, parts,
+                    lambda b, _s=specs: plan._compute_windows(b, _s),
+                    win_names, self.mesh, self.config,
+                )
 
         if plan.grouped:
             keys = list(plan.group_keys) or ["#const"]
@@ -183,7 +194,9 @@ class DistExecutor:
             if self.config.dist_tail:
                 return self._ungrouped_tail(work, join_keys_newest_first)
             gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
-            if join_keys_newest_first:
+            # Window shuffles scatter rows off their original shards, so the
+            # gathered result must re-sort by row id even without joins.
+            if join_keys_newest_first or plan.window_specs:
                 rid_cols = [
                     n for n in gathered.names if n.startswith("#rid.")
                 ]
@@ -287,7 +300,9 @@ class DistExecutor:
             work = dist_orderby(work, dkeys_fn, descs, self.mesh, cfg)
         else:
             tie_names: List[str] = []
-            if join_keys_newest_first:
+            if join_keys_newest_first or plan.window_specs:
+                # Windows shuffled rows off their original shards — row ids
+                # (and join keys, when joined) restore single-chip order.
                 tie_names = [
                     k for k in join_keys_newest_first if k in work.columns
                 ] + [n for n in work.names if n.startswith("#rid.")]

@@ -1343,7 +1343,8 @@ class QueryPlan:
             batch = self._compute_windows(batch)
         return self.run_tail(batch, filter_mask=where_mask)
 
-    def _compute_windows(self, batch: ColumnBatch) -> ColumnBatch:
+    def _compute_windows(self, batch: ColumnBatch,
+                         specs: Sequence[Tuple] = None) -> ColumnBatch:
         """Window functions, TPU-style (traced; jit-safe).
 
         For each distinct (PARTITION BY, ORDER BY) shape: ONE stable payload
@@ -1370,7 +1371,7 @@ class QueryPlan:
         dropped = jnp.logical_not(live).astype(jnp.int32)
 
         groups: Dict[tuple, List[tuple]] = {}
-        for spec in self.window_specs:
+        for spec in (self.window_specs if specs is None else specs):
             _out, _f, _arg, parts, oexprs, descs = spec
             groups.setdefault((parts, oexprs, descs), []).append(spec)
 
@@ -1393,13 +1394,23 @@ class QueryPlan:
                 arg_slot[si] = len(arg_payload)
                 arg_payload.append(a)
 
-            nk = 1 + len(part_arrays) + len(order_arrays)
+            # Tie-break on the GLOBAL row id (falls back to local position
+            # single-chip, where they coincide): makes row_number over peers
+            # deterministic and bit-identical between the single-chip path
+            # and the distributed shuffle (which changes arrival order).
+            rid_cols = [cols[n] for n in batch.names
+                        if n.startswith("#rid.")]
+            tie_cols = rid_cols if rid_cols else [idx]
+            nk = 1 + len(part_arrays) + len(order_arrays) + len(tie_cols)
             sorted_ = jax.lax.sort(
-                [dropped] + part_arrays + order_arrays + [idx] + arg_payload,
+                [dropped] + part_arrays + order_arrays + tie_cols + [idx]
+                + arg_payload,
                 num_keys=nk, is_stable=True,
             )
             s_part = sorted_[1:1 + len(part_arrays)]
-            s_order = sorted_[1 + len(part_arrays):nk]
+            s_order = sorted_[
+                1 + len(part_arrays):1 + len(part_arrays) + len(order_arrays)
+            ]
             s_idx = sorted_[nk]
             s_args = sorted_[nk + 1:]
 

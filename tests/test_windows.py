@@ -243,17 +243,6 @@ class TestWindowErrors:
                 "from emp group by dept"
             )
 
-    def test_distributed_rejected(self, rng):
-        from harkdb_tpu.parallel import make_engine_mesh
-
-        c = Context(mesh=make_engine_mesh(8))
-        c.create_table("t", pd.DataFrame({
-            "k": np.arange(64, dtype=np.int32),
-            "v": np.arange(64, dtype=np.int32),
-        }))
-        with pytest.raises(PlanError):
-            c.sql_df("select row_number() over (order by v) from t")
-
     def test_sum_over_string_rejected(self, wctx):
         c, _df = wctx
         with pytest.raises(PlanError):
@@ -272,3 +261,41 @@ class TestWindowErrors:
         c, _df = wctx
         with pytest.raises(SqlError):
             c.sql_df("select row_number() from emp")
+
+
+class TestWindowsDistributed:
+    """Distributed windows (dist_ops.dist_window): one hash-shuffle per
+    PARTITION BY shape puts each partition wholly on one shard; global-rid
+    tie-breaking makes row_number bit-identical to the single-chip path."""
+
+    QUERIES = [
+        "select dept, pay, rank() over "
+        "(partition by dept order by pay desc) as rk from emp "
+        "order by dept, pay",
+        # two different partition shapes chain as sequential shuffles
+        "select dept, sum(pay) over (partition by dept) as tot, "
+        "row_number() over (partition by yr order by pay) as rn from emp",
+        # empty PARTITION BY degenerates to one shard, still correct
+        "select pay, sum(pay) over () as tot from emp where pay > 80",
+        "select dept, pay, sum(pay) over "
+        "(partition by dept order by pay) as rs from emp "
+        "order by rs desc limit 10",
+    ]
+
+    @pytest.mark.parametrize("qi", range(len(QUERIES)))
+    def test_matches_single_chip(self, rng, qi):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        df = pd.DataFrame({
+            "dept": rng.choice(["eng", "ops", "hr", "sales"], 300),
+            "pay": rng.integers(50, 150, 300).astype(np.int32),
+            "yr": rng.integers(2018, 2023, 300).astype(np.int32),
+        })
+        cs = Context()
+        cs.create_table("emp", df)
+        cm = Context(mesh=make_engine_mesh(8))
+        cm.create_table("emp", df)
+        q = self.QUERIES[qi]
+        pd.testing.assert_frame_equal(
+            cs.sql_df(q), cm.sql_df(q), check_dtype=False
+        )
