@@ -1,0 +1,87 @@
+"""A tour of the engine surface beyond the reference's two smoke queries
+(which live in examples/demo.py, ported 1:1 from reference test.py:1-9).
+
+Run: python examples/tour.py    (forces CPU so it never contends for the
+single tunneled TPU chip; on a real deployment just build a Context).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from harkdb_tpu import Context  # noqa: E402
+from harkdb_tpu.parallel import make_engine_mesh  # noqa: E402
+
+rng = np.random.default_rng(0)
+n = 10_000
+sales = pd.DataFrame({
+    "region": rng.choice(["north", "south", "east", "west"], n),
+    "product": rng.choice(["widget", "gadget", "doohickey"], n),
+    "units": rng.integers(1, 50, n).astype(np.int32),
+    "price": rng.uniform(5, 500, n).astype(np.float32),
+})
+regions = pd.DataFrame({
+    "name": ["north", "south", "east", "west"],
+    "manager": ["ada", "bob", "cyd", "dan"],
+})
+
+ctx = Context()
+ctx.create_table("sales", sales)
+ctx.create_table("regions", regions)
+
+print("— string predicates, LIKE, aggregates —")
+print(ctx.sql_df(
+    "select region, product, sum(units) as total_units, "
+    "avg(price) as avg_price "
+    "from sales where product like '%get' and region != 'east' "
+    "group by region, product order by total_units desc limit 5"
+))
+
+print("\n— string-key join (dictionaries merge at plan time) —")
+print(ctx.sql_df(
+    "select sales.region, regions.manager, sum(units) as u from sales "
+    "join regions on sales.region = regions.name "
+    "group by sales.region, regions.manager order by u desc"
+))
+
+print("\n— window functions —")
+print(ctx.sql_df(
+    "select region, units, "
+    "row_number() over (partition by region order by units desc) as rn, "
+    "sum(units) over (partition by region) as region_total "
+    "from sales order by region, rn limit 8"
+))
+
+print("\n— scalar + IN subqueries —")
+print(ctx.sql_df(
+    "select region, count(*) as big_orders from sales "
+    "where units > (select avg(units) from sales) "
+    "and region in (select name from regions where manager != 'bob') "
+    "group by region order by big_orders desc"
+))
+
+print("\n— UNION ALL with trailing ORDER BY —")
+print(ctx.sql_df(
+    "select region, units from sales where units >= 49 "
+    "union all select region, units from sales where units = 1 "
+    "order by units desc, region limit 6"
+))
+
+print("\n— the same engine, distributed over an 8-device mesh —")
+dctx = Context(mesh=make_engine_mesh(8))
+dctx.create_table("sales", sales)
+print(dctx.sql_df(
+    "select region, units, rank() over "
+    "(partition by region order by units desc) as rk "
+    "from sales where units > 45 order by region, rk limit 6"
+))
