@@ -84,6 +84,11 @@ def log(*a):
 
 _PARTIAL = {}        # stage name → rows/s (join: output pairs/s, marked)
 _TIMES_MS = {}       # stage name → measured ms per op
+# name → (raw seconds per iteration, n_syncs, inner): RTT correction is
+# applied at EMIT time, so an rtt stage that only succeeds late (the first
+# dispatch can hang on a flaky chip grant) still corrects every stage.
+_RAW = {}
+_RTT_FALLBACK = 0.026      # cross-session median dispatch RTT
 _T0 = time.monotonic()
 _HBM_GBPS = float(os.environ.get("HARKDB_BENCH_HBM_GBPS", 800.0))
 # Old north-star ratio (kept as a secondary field): 70% of the HBM roofline
@@ -113,6 +118,13 @@ def _emit(n_rows: int):
     falling back to the Context.sql-driven number — same operator chain),
     else the slowest rows/s operator as a conservative proxy (join excluded:
     its rate is output PAIRS/s against a different probe size)."""
+    # Final RTT correction from raw timings (uses the measured RTT whenever
+    # the rtt stage succeeded — even if only on its end-of-run retry).
+    rtt = _PARTIAL.get("rtt", _RTT_FALLBACK)
+    for name, (raw, n_syncs, inner) in _RAW.items():
+        dt = max((raw - n_syncs * rtt) / inner, 1e-9)
+        _PARTIAL[name] = n_rows / dt
+        _TIMES_MS[name] = dt * 1e3
     mix = _PARTIAL.get("mix", _PARTIAL.get("sql"))
     proxy = mix is None
     if proxy:
@@ -332,24 +344,20 @@ def _main():
     rtt_holder = [0.0]
 
     def sync_time(fn, *args, n_syncs=1, inner=1):
-        """fn(i, *args) -> scalar checksum; seconds per op minus the
-        dispatch round-trips (n_syncs host syncs per iteration; ops that
-        repeat `inner` times inside the jit divide accordingly)."""
+        """fn(i, *args) -> scalar checksum; returns RAW seconds per
+        iteration (RTT correction happens at emit time — see _RAW)."""
         t_c0 = time.monotonic()
         _ = int(fn(0, *args))                      # warmup/compile
         log(f"  warmup+compile {time.monotonic() - t_c0:.1f}s")
         t0 = time.perf_counter()
         for i in range(1, iters + 1):
             _ = int(fn(i, *args))
-        dt = ((time.perf_counter() - t0) / iters
-              - n_syncs * rtt_holder[0]) / inner
-        return max(dt, 1e-9)
+        return (time.perf_counter() - t0) / iters
 
     # If the chip grant is slow (a previous client's lease can take minutes
-    # to release on this tunneled platform), the rtt stage may time out
-    # before the first dispatch returns. Fall back to the cross-session
-    # median RTT so later stages still subtract something sane.
-    _RTT_FALLBACK = 0.026
+    # to release on this tunneled platform), the rtt stage's FIRST dispatch
+    # may hang past its budget; it gets a short budget up front and a retry
+    # at the end of the run (the grant has long settled by then).
     rtt_holder[0] = _RTT_FALLBACK
 
     def stage_rtt():
@@ -370,17 +378,22 @@ def _main():
         def run():
             if setup is not None:
                 setup()
-            dt = sync_time(fn, *args, n_syncs=n_syncs, inner=inner)
-            _PARTIAL[name] = n / dt
-            _TIMES_MS[name] = dt * 1e3
-            log(f"{name:8s} {n / dt / 1e9:.3f} Grows/s  ({dt*1e3:.1f} ms)")
+            raw = sync_time(fn, *args, n_syncs=n_syncs, inner=inner)
+            _RAW[name] = (raw, n_syncs, inner)
+            dt = max((raw - n_syncs * rtt_holder[0]) / inner, 1e-9)
+            log(f"{name:8s} {n / dt / 1e9:.3f} Grows/s  ({dt*1e3:.1f} ms, "
+                f"provisional rtt {rtt_holder[0]*1e3:.1f} ms)")
         return run
 
     # Stage order = value order: the mix (the headline) and the Context.sql
     # pipeline run as soon as their prerequisite compile (the shared group
     # phase) exists; the expensive-to-compile, lower-priority join runs last.
     stages = [
-        ("rtt", stage_rtt),
+        # (name, runner, budget override): rtt gets a SHORT budget — its
+        # first dispatch absorbs the chip grant, which on a flaky session
+        # can hang arbitrarily long; losing 60 s beats losing 170 s, and the
+        # end-of-run retry recovers the measurement either way.
+        ("rtt", stage_rtt, 60),
         ("filter", op_stage("filter", run_filter, key, val, nv,
                             inner=FILTER_REPS)),
         ("groupby", op_stage("groupby", run_groupby, key, val, nv)),
@@ -396,12 +409,12 @@ def _main():
         ("join", op_stage("join", run_join, key, rkey, nv, nm)),
     ]
 
-    for name, run in stages:
+    def run_stage(name, run, budget_cap=None):
         left = _remaining()
         if left <= 5:
             log(f"global deadline reached before stage {name}; stopping")
-            break
-        budget = min(STAGE_S, left)
+            return False
+        budget = min(STAGE_S if budget_cap is None else budget_cap, left)
         log(f"[stage {name}] budget {budget:.0f}s "
             f"(elapsed {time.monotonic() - _T0:.1f}s)")
         signal.setitimer(signal.ITIMER_REAL, budget)
@@ -418,6 +431,19 @@ def _main():
             log(f"[stage {name}] failed: {type(e).__name__}: {e} — skipped")
         finally:
             signal.setitimer(signal.ITIMER_REAL, 0)
+        return True
+
+    for entry in stages:
+        name, run = entry[0], entry[1]
+        budget_cap = entry[2] if len(entry) > 2 else None
+        if not run_stage(name, run, budget_cap):
+            break
+
+    # The rtt stage's first dispatch can hang on a cold/flaky chip grant;
+    # by now the grant has long settled, so a retry is ~6 tiny dispatches.
+    # _emit applies the correction from raw timings either way.
+    if "rtt" not in _PARTIAL:
+        run_stage("rtt-retry", stage_rtt, 30)
 
 
 if __name__ == "__main__":
