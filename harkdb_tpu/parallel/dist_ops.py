@@ -300,10 +300,15 @@ def _route_order_view(key: Array, descending: bool) -> Array:
         )
         # Positive floats already compare correctly as signed ints; negative
         # floats' bit patterns reverse, so map b → INT_MIN - b (monotone,
-        # lands below every positive; ±0.0 both map to 0).
+        # lands below every positive; ±0.0 both map to 0). float64→float32
+        # is monotone (splitters only need approximate ranges; the local
+        # sort uses the real keys).
         key = jnp.where(bits < 0, jnp.int32(-0x80000000) - bits, bits)
-    else:
+    elif key.dtype.itemsize <= 4:
         key = key.astype(jnp.int32)
+    # else: int64 keys keep their dtype — truncating to int32 would wrap
+    # mod 2^32 and make the routing view non-monotone (shard ranges then
+    # overlap and the concatenated output is not globally sorted).
     return ~key if descending else key
 
 

@@ -202,6 +202,10 @@ def _substitute_wins(expr, win_map):
         return UnOp(expr.op, _substitute_wins(expr.operand, win_map))
     if isinstance(expr, LutMember):
         return LutMember(_substitute_wins(expr.col, win_map), expr.lut)
+    if isinstance(expr, InSub):
+        return InSub(
+            _substitute_wins(expr.expr, win_map), expr.sub, expr.negate
+        )
     if isinstance(expr, Case):
         return Case(
             tuple((_substitute_wins(c, win_map), _substitute_wins(r, win_map))
@@ -414,7 +418,13 @@ class QueryPlan:
             + [e for e, _ in order_items]
             + ([having] if having is not None else [])
         ):
-            for node in walk(e):
+            nodes = walk(e)
+            if any(isinstance(nd, (SubQuery, InSub)) for nd in nodes):
+                # Comparisons against a subquery defer lowering to first
+                # execution ('x' = (select max(name) ...) is legitimate);
+                # _resolve_subqueries re-validates post-substitution.
+                continue
+            for node in nodes:
                 if isinstance(node, Lit) and isinstance(node.value, str):
                     raise PlanError(
                         "String literals are only supported in comparisons, "
@@ -990,7 +1000,10 @@ class QueryPlan:
 
     # -- subqueries ------------------------------------------------------------
     def _iter_exprs(self):
-        """Every stored expression tree that may carry subquery nodes."""
+        """Every stored expression tree that may carry subquery nodes —
+        including window-spec argument / ORDER BY expressions (WindowFn
+        nodes were substituted out of final_items, so their inner trees
+        live only in window_specs)."""
         for e, _n in self.final_items:
             yield e
         for b in self.pushdown:
@@ -1003,6 +1016,11 @@ class QueryPlan:
             yield e
         for _i, e in self.agg_arg_cols:
             yield e
+        for _out, _f, arg, _p, oexprs, _d in self.window_specs:
+            if arg is not None:
+                yield arg
+            for oe in oexprs:
+                yield oe
 
     def _collect_subqueries(self, tables) -> bool:
         found = False
@@ -1071,9 +1089,18 @@ class QueryPlan:
                 if not vals:
                     chain = BinOp("<", Lit(1), Lit(0))      # empty set: false
                 else:
-                    chain = BinOp("=", left, Lit(vals[0]))
-                    for v in vals[1:]:
-                        chain = BinOp("or", chain, BinOp("=", left, Lit(v)))
+                    # BALANCED or-tree: a left-deep chain of ~1000 terms
+                    # blows Python's recursion limit in every tree walker.
+                    terms = [BinOp("=", left, Lit(v)) for v in vals]
+                    while len(terms) > 1:
+                        nxt = [
+                            BinOp("or", a, b)
+                            for a, b in zip(terms[::2], terms[1::2])
+                        ]
+                        if len(terms) % 2:
+                            nxt.append(terms[-1])
+                        terms = nxt
+                    chain = terms[0]
                 return UnOp("not", chain) if e.negate else chain
             if isinstance(e, BinOp):
                 return BinOp(e.op, subst(e.left), subst(e.right))
@@ -1101,6 +1128,21 @@ class QueryPlan:
             self.having = lower(self.having)
         self.order_items = [(lower(e), d) for e, d in self.order_items]
         self.agg_arg_cols = [(i, lower(e)) for i, e in self.agg_arg_cols]
+        self.window_specs = [
+            (out, f,
+             lower(arg) if arg is not None else None,
+             parts, tuple(lower(oe) for oe in oexprs), descs)
+            for out, f, arg, parts, oexprs, descs in self.window_specs
+        ]
+        # Deferred string-literal misuse (e.g. a str literal compared only
+        # against a numeric subquery result) surfaces here, post-lowering.
+        for e in self._iter_exprs():
+            for node in walk(e):
+                if isinstance(node, Lit) and isinstance(node.value, str):
+                    raise PlanError(
+                        "String literals are only supported in comparisons, "
+                        "IN, BETWEEN and LIKE"
+                    )
         self._subs_resolved = True
 
     def _phase_b_for(self, fast_span, stop_after_group: bool = False):
@@ -1711,8 +1753,7 @@ class UnionPlan:
             cols.append(col)
         return cols
 
-    @staticmethod
-    def _dedupe(cols: List[jax.Array]) -> List[jax.Array]:
+    def _dedupe(self, cols: List[jax.Array]) -> List[jax.Array]:
         """Distinct rows of a packed (no padding) column tuple."""
         n = cols[0].shape[0]
         if n == 0:
@@ -1730,6 +1771,7 @@ class UnionPlan:
                 jnp.int32(n),
             ),
             keep,
+            self.config.use_pallas,
         )
         k = int(b.n_valid)
         return [b.columns[f"#u{j}"][:k] for j in range(len(cols))]

@@ -192,3 +192,27 @@ class TestDistinctDistributed:
         assert_same(*pair,
                     "select distinct k, m from t join r on t.k = r.j "
                     "order by m")
+
+
+def test_dist_orderby_int64_keys_route_monotone(rng):
+    """Round-3 review: the range-partition routing view must not truncate
+    int64 keys to int32 (wrapping makes shard ranges overlap)."""
+    import jax
+    from harkdb_tpu import Context
+    from harkdb_tpu.config import EngineConfig
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = EngineConfig(int_dtype="int64")
+        vals = (rng.integers(-(2**40), 2**40, 2048)).astype(np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame({"v": vals})
+        cs = Context(cfg)
+        cs.create_table("t", df)
+        cm = Context(cfg, mesh=make_engine_mesh(8, cfg))
+        cm.create_table("t", df)
+        q = "select v from t order by v limit 50"
+        np.testing.assert_array_equal(cs.sql(q), cm.sql(q))
+    finally:
+        jax.config.update("jax_enable_x64", False)

@@ -196,3 +196,58 @@ class TestSubqueryOrderLimit:
         )
         # second-smallest hot key = 3
         assert int(got["n"][0]) == int((df.k == 3).sum())
+
+
+class TestSubqueryReviewRegressions:
+    """Round-3 review findings: recursion depth, window-spec subqueries,
+    deferred string-literal comparisons."""
+
+    def test_large_in_subquery_no_recursion_error(self, rng):
+        # ~1000 distinct values must not blow the recursion limit — the
+        # OR-chain is built as a balanced tree.
+        c = Context()
+        n = 1000
+        c.create_table("t", {"k": np.arange(n, dtype=np.int32),
+                             "v": np.ones(n, dtype=np.int32)})
+        got = c.sql_df("select count(*) as n from t "
+                       "where k in (select k from t)")
+        assert int(got["n"][0]) == n
+
+    def test_subquery_inside_window_arg(self, qctx):
+        c, df = qctx
+        got = c.sql_df(
+            "select k, sum(v - (select min(v) from t)) over "
+            "(partition by k) as s from t"
+        )
+        base = df.v - df.v.min()
+        w = df.assign(b=base).groupby("k")["b"].transform("sum")
+        assert got["s"].tolist() == w.tolist()
+
+    def test_subquery_inside_window_order(self, qctx):
+        c, df = qctx
+        got = c.sql_df(
+            "select row_number() over "
+            "(order by v + (select min(v) from t)) as rn from t"
+        )
+        assert sorted(got["rn"]) == list(range(1, len(df) + 1))
+
+    def test_window_output_in_in_subquery(self, qctx):
+        c, df = qctx
+        got = c.sql_df(
+            "select k, rank() over (order by v) in (select key from hot) "
+            "as b from t"
+        )
+        assert len(got) == len(df)
+        assert set(got["b"]) <= {0, 1, True, False}
+
+    def test_string_literal_vs_string_subquery(self, rng):
+        c = Context()
+        c.create_table("t", {"name": ["ann", "bea"], "v": [1, 2]})
+        got = c.sql_df(
+            "select count(*) as n from t where 'bea' = (select max(name) from t)"
+        )
+        assert int(got["n"][0]) == 2
+        got = c.sql_df(
+            "select count(*) as n from t where 'zzz' = (select max(name) from t)"
+        )
+        assert len(got) == 0 or int(got["n"][0]) == 0
