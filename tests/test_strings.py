@@ -466,3 +466,28 @@ class TestStringPersistence:
         )
         assert got["name"].tolist() == ["abe", "zoe"]
         assert got["t"].tolist() == [1, 8]
+
+
+class TestLeftJoinStringFill:
+    def test_unmatched_rows_decode_to_smallest_entry(self):
+        """Documented limitation (README): the engine's numeric model has no
+        NULL — LEFT JOIN zero-fills unmatched rows, and code 0 decodes to
+        the lexicographically smallest dictionary entry."""
+        c = Context()
+        c.create_table("l", pd.DataFrame(
+            {"k": [1, 2], "x": np.array([10, 20], np.int32)}
+        ))
+        c.create_table("r", pd.DataFrame(
+            {"k2": [1], "tag": ["zulu"]}
+        ))
+        got = c.sql_df(
+            "select l.k, r.tag from l left join r on l.k = r.k2 order by l.k"
+        )
+        assert got["tag"].tolist() == ["zulu", "zulu"]  # dict has one entry
+        # two-entry dictionary: unmatched decodes to the smallest entry
+        c.create_table("r", pd.DataFrame({"k2": [1, 3],
+                                          "tag": ["zulu", "alpha"]}))
+        got = c.sql_df(
+            "select l.k, r.tag from l left join r on l.k = r.k2 order by l.k"
+        )
+        assert got["tag"].tolist() == ["zulu", "alpha"]
