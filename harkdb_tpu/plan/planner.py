@@ -156,6 +156,7 @@ class _Resolver:
                 tuple(Col(self.resolve_col(p)) for p in expr.partition_by),
                 tuple(OrderItem(self.rewrite(o.expr), o.descending)
                       for o in expr.order_by),
+                expr.params,
             )
         if isinstance(expr, BinOp):
             return BinOp(expr.op, self.rewrite(expr.left), self.rewrite(expr.right))
@@ -609,11 +610,27 @@ class QueryPlan:
         win_map: Dict[WindowFn, str] = {}
         for i, node in enumerate(win_nodes):
             out = f"#win{i}"
-            if (node.func in ("min", "max") and node.arg is not None
-                    and not isinstance(node.arg, Star)):
-                d = self._expr_str_dict(node.arg)
-                if d is not None:
-                    self.win_out_dicts[out] = d
+            arg_is_str = (
+                node.arg is not None and not isinstance(node.arg, Star)
+                and self._expr_str_dict(node.arg) is not None
+            )
+            # code-preserving funcs keep the argument's dictionary
+            if node.func in ("min", "max", "lag", "lead", "first_value",
+                             "last_value") and arg_is_str:
+                self.win_out_dicts[out] = self._expr_str_dict(node.arg)
+            if node.func in ("lag", "lead"):
+                if node.params and (
+                    not isinstance(node.params[0], int)
+                    or node.params[0] < 0
+                ):
+                    raise PlanError(
+                        f"{node.func} offset must be a non-negative integer"
+                    )
+                if arg_is_str and len(node.params) > 1:
+                    raise PlanError(
+                        f"{node.func} over a string column does not "
+                        f"support an explicit default"
+                    )
             self.window_specs.append((
                 out, node.func,
                 None if (node.arg is None or isinstance(node.arg, Star))
@@ -621,6 +638,7 @@ class QueryPlan:
                 tuple(p.name for p in node.partition_by),
                 tuple(o.expr for o in node.order_by),
                 tuple(o.descending for o in node.order_by),
+                tuple(node.params),
             ))
             win_map[node] = out
         if win_nodes:
@@ -735,7 +753,7 @@ class QueryPlan:
         used |= set(self.group_keys)
         for _rb, lk, rk, _k in self.join_steps:
             used |= {lk, rk}
-        for _out, _f, arg, parts, oexprs, _ds in self.window_specs:
+        for _out, _f, arg, parts, oexprs, _ds, _pp in self.window_specs:
             used |= set(parts)
             if arg is not None:
                 used |= {n.name for n in walk(arg) if isinstance(n, Col)}
@@ -932,6 +950,7 @@ class QueryPlan:
                 e.func, arg, e.partition_by,
                 tuple(OrderItem(self._lower_strings(o.expr), o.descending)
                       for o in e.order_by),
+                e.params,
             )
         if isinstance(e, Case):
             whens = tuple(
@@ -1016,7 +1035,7 @@ class QueryPlan:
             yield e
         for _i, e in self.agg_arg_cols:
             yield e
-        for _out, _f, arg, _p, oexprs, _d in self.window_specs:
+        for _out, _f, arg, _p, oexprs, _d, _pp in self.window_specs:
             if arg is not None:
                 yield arg
             for oe in oexprs:
@@ -1131,8 +1150,8 @@ class QueryPlan:
         self.window_specs = [
             (out, f,
              lower(arg) if arg is not None else None,
-             parts, tuple(lower(oe) for oe in oexprs), descs)
-            for out, f, arg, parts, oexprs, descs in self.window_specs
+             parts, tuple(lower(oe) for oe in oexprs), descs, pp)
+            for out, f, arg, parts, oexprs, descs, pp in self.window_specs
         ]
         # Deferred string-literal misuse (e.g. a str literal compared only
         # against a numeric subquery result) surfaces here, post-lowering.
@@ -1414,7 +1433,7 @@ class QueryPlan:
 
         groups: Dict[tuple, List[tuple]] = {}
         for spec in (self.window_specs if specs is None else specs):
-            _out, _f, _arg, parts, oexprs, descs = spec
+            _out, _f, _arg, parts, oexprs, descs, _pp = spec
             groups.setdefault((parts, oexprs, descs), []).append(spec)
 
         _SCAN = {"sum": jnp.add, "prod": jnp.multiply,
@@ -1504,7 +1523,8 @@ class QueryPlan:
                 return doubling_segmented_scan(_SCAN[opname], sid_p, x)
 
             outs = []
-            for si, (out_name, func, _arg, *_r) in enumerate(specs):
+            for si, (out_name, func, _arg, *_rest) in enumerate(specs):
+                params = specs[si][6]
                 if func == "row_number":
                     o = pos + 1
                 elif func == "rank":
@@ -1514,6 +1534,37 @@ class QueryPlan:
                     g = jnp.cumsum(is_tstart.astype(jnp.int32))
                     gp = jax.lax.cummax(jnp.where(is_pstart, g, 0))
                     o = g - gp + 1
+                elif func in ("lag", "lead"):
+                    # ROWS-based (position, not peers) per the standard;
+                    # partition edges fill with the default (0 when omitted
+                    # — the engine's numeric model has no NULL).
+                    x = s_args[arg_slot[si]]
+                    off = min(int(params[0]) if params else 1, cap)
+                    dflt = jnp.asarray(
+                        params[1] if len(params) > 1 else 0, x.dtype
+                    )
+                    fill = jnp.full((off,), dflt, x.dtype)
+                    sfill = jnp.full((off,), -7, sid_p.dtype)
+                    if func == "lag":
+                        shifted = jnp.concatenate([fill, x[:cap - off]])
+                        nbr_sid = jnp.concatenate(
+                            [sfill, sid_p[:cap - off]]
+                        )
+                    else:
+                        shifted = jnp.concatenate([x[off:], fill])
+                        nbr_sid = jnp.concatenate([sid_p[off:], sfill])
+                    o = jnp.where(nbr_sid == sid_p, shifted, dflt)
+                elif func == "first_value":
+                    # take-first segmented scan propagates each partition's
+                    # first value forward
+                    o = doubling_segmented_scan(
+                        lambda cur, prev: prev, sid_p,
+                        s_args[arg_slot[si]],
+                    )
+                elif func == "last_value":
+                    # SQL default frame: the LAST PEER's value (the famous
+                    # last_value-with-default-frame behavior)
+                    o = peers_last(s_args[arg_slot[si]])
                 elif func == "count":
                     o = peers_last(pos + 1)        # rows up to last peer
                 elif func == "avg":

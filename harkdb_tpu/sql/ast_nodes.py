@@ -71,14 +71,17 @@ class Case:
 class WindowFn:
     """``func([arg]) OVER ([PARTITION BY cols] [ORDER BY exprs])``.
 
-    Funcs: row_number / rank / dense_rank (no argument) and the aggregates
-    sum/count/min/max/avg/prod. Frame semantics are the SQL defaults: with
+    Funcs: row_number / rank / dense_rank (no argument), the aggregates
+    sum/count/min/max/avg/prod, and the positional functions
+    lag/lead (``params`` = (offset, default), ROWS-based per the standard)
+    and first_value/last_value. Frame semantics are the SQL defaults: with
     ORDER BY, RANGE UNBOUNDED PRECEDING..CURRENT ROW (running aggregate,
     peers included); without, the whole partition."""
     func: str
     arg: object                          # Expr | Star | None
     partition_by: Tuple[Col, ...] = ()
     order_by: Tuple["OrderItem", ...] = ()
+    params: Tuple = ()                   # lag/lead: (offset, default)
 
 
 @dataclass(frozen=True)

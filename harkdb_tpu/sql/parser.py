@@ -47,6 +47,9 @@ AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
 # lowered to UnOp(func, arg); floor/ceil/round are identity on ints
 SCALAR_FUNCS = {"abs", "floor", "ceil", "round", "sqrt"}
 WINDOW_ONLY_FUNCS = {"row_number", "rank", "dense_rank"}   # require OVER
+# positional window funcs with an argument; lag/lead take optional
+# (offset, default) numeric literals
+WINDOW_ARG_FUNCS = {"lag", "lead", "first_value", "last_value"}
 
 _TOKEN_RE = re.compile(
     r"""
@@ -446,6 +449,32 @@ class Parser:
                 self.expect_kw("over")
                 part, order = self.parse_over()
                 return WindowFn(low, None, part, order)
+            if low in WINDOW_ARG_FUNCS and nxt.kind == "op" and nxt.text == "(":
+                self.next()          # func name
+                self.next()          # "("
+                arg = self.parse_expr()
+                params = []
+                while self.eat_op(","):
+                    if low not in ("lag", "lead"):
+                        raise SqlError(
+                            f"{low} takes exactly one argument"
+                        )
+                    neg = self.eat_op("-")
+                    t2 = self.peek()
+                    if t2.kind != "num":
+                        raise SqlError(
+                            f"{low} offset/default must be a numeric "
+                            f"literal, got {t2.text!r}"
+                        )
+                    v = float(t2.text) if "." in t2.text else int(t2.text)
+                    self.next()
+                    params.append(-v if neg else v)
+                if len(params) > 2:
+                    raise SqlError(f"{low} takes at most 3 arguments")
+                self.expect_op(")")
+                self.expect_kw("over")
+                part, order = self.parse_over()
+                return WindowFn(low, arg, part, order, tuple(params))
             if low in SCALAR_FUNCS and nxt.kind == "op" and nxt.text == "(":
                 self.next()          # func name
                 self.next()          # "("

@@ -299,3 +299,90 @@ class TestWindowsDistributed:
         pd.testing.assert_frame_equal(
             cs.sql_df(q), cm.sql_df(q), check_dtype=False
         )
+
+
+class TestPositionalWindowFuncs:
+    """lag/lead (ROWS-based, optional offset + default) and
+    first_value/last_value (SQL default frame: last peer)."""
+
+    def test_lag_lead_vs_pandas(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, yr, pay, "
+            "lag(pay) over (partition by dept order by yr, pay) as prev, "
+            "lead(pay, 2) over (partition by dept order by yr, pay) as nxt "
+            "from emp order by dept, yr, pay"
+        )
+        w = df.sort_values(["dept", "yr", "pay"], kind="stable")
+        w["prev"] = w.groupby("dept")["pay"].shift(1).fillna(0).astype(int)
+        w["nxt"] = w.groupby("dept")["pay"].shift(-2).fillna(0).astype(int)
+        assert got["prev"].tolist() == w["prev"].tolist()
+        assert got["nxt"].tolist() == w["nxt"].tolist()
+
+    def test_lag_explicit_default(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select lag(pay, 1, -1) over (order by pay, yr) as p from emp "
+            "order by pay, yr limit 1"
+        )
+        assert got["p"].tolist() == [-1]
+
+    def test_lag_offset_exceeds_partition(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select lag(pay, 100000) over (partition by dept) as p from emp"
+        )
+        assert (got["p"] == 0).all()
+
+    def test_first_last_value(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, pay, "
+            "first_value(pay) over (partition by dept order by pay) as fv "
+            "from emp order by dept, pay"
+        )
+        w = df.sort_values(["dept", "pay"], kind="stable")
+        assert got["fv"].tolist() == (
+            w.groupby("dept")["pay"].transform("min").tolist()
+        )
+
+    def test_string_lag_preserves_dictionary(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select lag(dept) over (order by pay, yr, f) as pd from emp "
+            "order by pay, yr, f"
+        )
+        w = df.sort_values(["pay", "yr", "f"], kind="stable")
+        exp = w["dept"].shift(1)
+        exp.iloc[0] = sorted(df.dept.unique())[0]   # code-0 fill
+        assert got["pd"].tolist() == exp.tolist()
+
+    def test_lag_negative_offset_rejected(self, wctx):
+        c, _df = wctx
+        # parser-level minus folds into the literal; planner validates
+        with pytest.raises(PlanError):
+            c.sql_df("select lag(pay, -1) over (order by pay) from emp")
+
+    def test_string_default_rejected(self, wctx):
+        c, _df = wctx
+        with pytest.raises(PlanError):
+            c.sql_df("select lag(dept, 1, 5) over (order by pay) from emp")
+
+    def test_distributed_parity(self, rng):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], 200),
+            "t": np.arange(200, dtype=np.int32),
+            "v": rng.integers(0, 100, 200).astype(np.int32),
+        })
+        q = ("select k, t, lag(v) over (partition by k order by t) as p, "
+             "first_value(v) over (partition by k order by t) as fv "
+             "from s order by k, t")
+        cs = Context()
+        cs.create_table("s", df)
+        cm = Context(mesh=make_engine_mesh(8))
+        cm.create_table("s", df)
+        pd.testing.assert_frame_equal(
+            cs.sql_df(q), cm.sql_df(q), check_dtype=False
+        )
