@@ -1544,16 +1544,23 @@ class QueryPlan:
                         params[1] if len(params) > 1 else 0, x.dtype
                     )
                     fill = jnp.full((off,), dflt, x.dtype)
-                    sfill = jnp.full((off,), -7, sid_p.dtype)
+                    # Validity-isolated sid (mirrors safe_run): padding rows
+                    # inherit the last live partition's sid_p (is_pstart is
+                    # masked by valid), so a raw sid_p comparison lets
+                    # lead() on the last live row of the last partition
+                    # match a padding neighbor and return its value —
+                    # arbitrary garbage on the Pallas compaction path.
+                    ssid = jnp.where(valid, sid_p, jnp.int32(-7))
+                    sfill = jnp.full((off,), -8, sid_p.dtype)
                     if func == "lag":
                         shifted = jnp.concatenate([fill, x[:cap - off]])
                         nbr_sid = jnp.concatenate(
-                            [sfill, sid_p[:cap - off]]
+                            [sfill, ssid[:cap - off]]
                         )
                     else:
                         shifted = jnp.concatenate([x[off:], fill])
-                        nbr_sid = jnp.concatenate([sid_p[off:], sfill])
-                    o = jnp.where(nbr_sid == sid_p, shifted, dflt)
+                        nbr_sid = jnp.concatenate([ssid[off:], sfill])
+                    o = jnp.where(nbr_sid == ssid, shifted, dflt)
                 elif func == "first_value":
                     # take-first segmented scan propagates each partition's
                     # first value forward

@@ -280,6 +280,11 @@ class TestWindowsDistributed:
         "select dept, pay, sum(pay) over "
         "(partition by dept order by pay) as rs from emp "
         "order by rs desc limit 10",
+        # lead with a nonzero default exercises the partition-tail guard
+        # (advisor r3) through the distributed shuffle too
+        "select dept, pay, lead(pay, 1, -999) over "
+        "(partition by dept order by pay) as nx from emp "
+        "order by dept, pay",
     ]
 
     @pytest.mark.parametrize("qi", range(len(QUERIES)))
@@ -326,6 +331,34 @@ class TestPositionalWindowFuncs:
             "order by pay, yr limit 1"
         )
         assert got["p"].tolist() == [-1]
+
+    def test_lead_nonzero_default_at_partition_tail(self, wctx):
+        # Advisor r3 (high): padding rows inherit the last live partition's
+        # sid_p, so lead() on each partition's LAST row matched a padding
+        # neighbor and returned its (unspecified) value instead of the
+        # default. The nonzero default makes the bug visible.
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, yr, pay, "
+            "lead(pay, 1, -999) over (partition by dept order by yr, pay) "
+            "as nxt from emp order by dept, yr, pay"
+        )
+        w = df.sort_values(["dept", "yr", "pay"], kind="stable")
+        exp = w.groupby("dept")["pay"].shift(-1).fillna(-999).astype(int)
+        assert got["nxt"].tolist() == exp.tolist()
+
+    def test_lead_nonzero_default_after_where(self, wctx):
+        # WHERE forces a pre-window compaction whose tail rows are
+        # unspecified on the Pallas path — the default must still win on
+        # the last live row.
+        c, df = wctx
+        got = c.sql_df(
+            "select pay, lead(pay, 2, -5) over (order by pay, yr) as nxt "
+            "from emp where pay > 90 order by pay, yr"
+        )
+        w = df[df["pay"] > 90].sort_values(["pay", "yr"], kind="stable")
+        exp = w["pay"].shift(-2).fillna(-5).astype(int)
+        assert got["nxt"].tolist() == exp.tolist()
 
     def test_lag_offset_exceeds_partition(self, wctx):
         c, df = wctx
