@@ -78,8 +78,11 @@ def eval_expr(expr, columns: Dict[str, Array], capacity: int,
             # SQL numeric semantics: identity on integers; floats stay float
             # (values may exceed int32 range).
             if jnp.issubdtype(v.dtype, jnp.floating):
-                f = {"floor": jnp.floor, "ceil": jnp.ceil,
-                     "round": jnp.round}[expr.op]
+                if expr.op == "round":
+                    # SQL ROUND is half-away-from-zero (round(2.5) = 3,
+                    # round(-2.5) = -3); jnp.round is banker's rounding.
+                    return jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)
+                f = {"floor": jnp.floor, "ceil": jnp.ceil}[expr.op]
                 return f(v)
             return v
         if expr.op == "sqrt":

@@ -1858,6 +1858,22 @@ class UnionPlan:
                 if (jnp.issubdtype(a.dtype, jnp.floating)
                         != jnp.issubdtype(c.dtype, jnp.floating)):
                     tgt = jnp.dtype(cfg.float_dtype)
+                    # Integers beyond the float target's exact-integer span
+                    # would silently lose precision in the cast — corrupting
+                    # values AND making distinct-dedupe merge unequal rows.
+                    # The union tail is eager, so a range readback is cheap.
+                    span = 1 << (jnp.finfo(tgt).nmant + 1)
+                    for x in (a, c):
+                        if (not jnp.issubdtype(x.dtype, jnp.floating)
+                                and x.shape[0]
+                                and max(abs(int(jnp.min(x))),
+                                        abs(int(jnp.max(x)))) > span):
+                            raise PlanError(
+                                f"UNION mixes int and float values in a "
+                                f"column and an integer exceeds "
+                                f"{tgt.name}'s exact-integer span "
+                                f"(±{span}); the cast would corrupt it"
+                            )
                     a, c = a.astype(tgt), c.astype(tgt)
                 merged.append(jnp.concatenate([a, c]))
             acc = merged

@@ -151,7 +151,18 @@ class TestScalarFuncs:
         )
         np.testing.assert_allclose(out["fl"], np.floor(f), rtol=1e-6)
         np.testing.assert_allclose(out["ce"], np.ceil(f), rtol=1e-6)
-        np.testing.assert_allclose(out["ro"], np.round(f), rtol=1e-6)
+        # SQL ROUND: half away from zero, not numpy's banker's rounding
+        np.testing.assert_allclose(
+            out["ro"], np.sign(f) * np.floor(np.abs(f) + 0.5), rtol=1e-6
+        )
+
+    def test_round_half_away_from_zero(self):
+        c = Context()
+        c.create_table("t", pd.DataFrame(
+            {"f": np.array([2.5, -2.5, 3.5, -0.5, 0.5], np.float32)}
+        ))
+        out = c.sql_df("select round(f) as r from t")
+        assert out["r"].tolist() == [3.0, -3.0, 4.0, -1.0, 1.0]
 
     def test_rounding_identity_on_ints(self, ctx):
         c, df = ctx

@@ -10,7 +10,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
 
 WORKER = r"""
 import os, sys
@@ -60,12 +59,10 @@ def _run_two_process(tmp_path, fn, expect_marker):
         assert expect_marker in out, (out, err[-500:])
 
 
-@pytest.mark.timeout(300)
 def test_two_process_shuffle(tmp_path):
     _run_two_process(tmp_path, "worker_demo", "OK 512")
 
 
-@pytest.mark.timeout(300)
 def test_two_process_sql_end_to_end(tmp_path):
     """VERDICT round-1 item 6: a 2-process cluster runs a full SQL query
     (join + where + groupby + having + order by) and EVERY process collects

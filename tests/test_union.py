@@ -133,6 +133,24 @@ class TestUnionTail:
         assert len(got) == a.k.nunique() + len(a)
         assert got["x"].dtype.kind == "f"
 
+    def test_int_float_promotion_rejects_lossy_cast(self):
+        # int32 above float32's exact-integer span (2^24) would silently
+        # corrupt in the promotion cast (advisor r3) — must error instead.
+        c = Context()
+        c.create_table("big", pd.DataFrame(
+            {"v": np.array([1 << 25, 3], np.int32)}
+        ))
+        c.create_table("fl", pd.DataFrame(
+            {"v": np.array([0.5], np.float32)}
+        ))
+        with pytest.raises(PlanError, match="exact-integer span"):
+            c.sql_df("select v from big union all select v from fl")
+        # in-range ints still promote fine
+        got = c.sql_df(
+            "select v from big where v < 100 union all select v from fl"
+        )
+        assert sorted(got["v"].tolist()) == [0.5, 3.0]
+
 
 class TestUnionStrings:
     def test_string_dicts_merge(self):
