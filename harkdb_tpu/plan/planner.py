@@ -1053,13 +1053,39 @@ class QueryPlan:
                 for s in subs:
                     found = True
                     if s not in self._subplans:
-                        p = QueryPlan(s.stmt, tables, self.config)
+                        try:
+                            p = QueryPlan(s.stmt, tables, self.config)
+                        except PlanError as err:
+                            # A sub-plan resolution failure that names an
+                            # OUTER binding (alias or column) is a
+                            # correlated reference — say so instead of the
+                            # misleading "X is not in tables".
+                            if self._names_outer_binding(str(err)):
+                                raise PlanError(
+                                    "correlated subqueries are not "
+                                    "supported"
+                                ) from None
+                            raise
                         if len(p.output_names) != 1:
                             raise PlanError(
                                 "Subquery must select exactly one column"
                             )
                         self._subplans[s] = p
         return found
+
+    def _names_outer_binding(self, msg: str) -> bool:
+        """True when a sub-plan PlanError message refers to a name that
+        resolves in THIS (outer) scope — i.e. the subquery was correlated."""
+        for b, _t, _cols in self.bindings:
+            if msg.startswith(f"{b} is not in tables"):
+                return True
+        m = re.match(r"(.+) is not in the schema of table ", msg)
+        if m:
+            name = m.group(1)
+            return any(
+                name in env for env in self.resolver.by_binding.values()
+            )
+        return False
 
     _IN_SUB_MAX = 1024
 

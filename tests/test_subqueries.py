@@ -142,6 +142,26 @@ class TestSubqueryErrors:
         with pytest.raises(Exception, match="is not in tables"):
             c.sql_df("select k from t where v > (select x from nope)")
 
+    def test_correlated_named_clearly_qualified(self, qctx):
+        # A correlated reference used to surface as "t is not in tables"
+        # (the sub-plan resolving against its own bindings) — misleading.
+        c, _df = qctx
+        with pytest.raises(PlanError, match="correlated subqueries"):
+            c.sql_df(
+                "select k from t where v > "
+                "(select key from hot where hot.key = t.k)"
+            )
+
+    def test_correlated_named_clearly_bare(self, qctx):
+        # Bare outer-column reference: "v" resolves in the outer scope but
+        # not in the subquery's — also a correlated reference.
+        c, _df = qctx
+        with pytest.raises(PlanError, match="correlated subqueries"):
+            c.sql_df(
+                "select k from t where v > (select key from hot "
+                "where key = v)"
+            )
+
     def test_string_numeric_mismatch(self, rng):
         c = Context()
         c.create_table("s", pd.DataFrame({"city": ["a", "b"], "v": [1, 2]}))
