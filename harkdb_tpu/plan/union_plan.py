@@ -1,0 +1,229 @@
+"""UNION / UNION ALL planning and execution (engine extension; the
+reference grammar is single-SELECT only, ``parse.py:27-33``) — split out of
+``plan/planner.py`` in round 4 for maintainability; behavior unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from harkdb_tpu.columnar.batch import ColumnBatch
+from harkdb_tpu.columnar.table import Table
+from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
+from harkdb_tpu.plan.errors import PlanError
+from harkdb_tpu.plan.planner import QueryPlan
+from harkdb_tpu.prims.compaction import compact_batch
+from harkdb_tpu.sql.ast_nodes import Col, Lit
+
+
+class UnionPlan:
+    """UNION / UNION ALL of SELECT arms (no reference analog — its grammar
+    is single-SELECT only, ``parse.py:27-33``).
+
+    Each arm plans independently (sharing the full planner: pushdown, MXU
+    gate, string lowering); the union itself is a small eager tail over the
+    arms' packed results — concatenate live rows, dedupe at every non-ALL
+    junction (left-associative, standard SQL), then the trailing
+    ORDER BY / LIMIT / OFFSET over the combined rows. String outputs merge
+    their dictionaries position-wise (codes remap through host LUTs so the
+    merged column stays lexicographically ordered)."""
+
+    def __init__(self, stmt, tables: Dict[str, Table],
+                 config: EngineConfig = DEFAULT_CONFIG):
+        self.stmt = stmt
+        self.config = config
+        self.arms = [QueryPlan(arm, tables, config) for arm in stmt.arms]
+        n_out = len(self.arms[0].output_names)
+        for p in self.arms[1:]:
+            if len(p.output_names) != n_out:
+                raise PlanError(
+                    "UNION arms must select the same number of columns"
+                )
+        self.output_names = list(self.arms[0].output_names)
+        self.alls = list(stmt.alls)
+        self.limit = stmt.limit
+        self.offset = stmt.offset
+
+        # Position-wise string dictionary merge across arms.
+        self.output_dicts = []
+        self._code_remaps = []       # per position: per-arm LUT or None
+        for j in range(n_out):
+            ds = [p.output_dicts[j] for p in self.arms]
+            if all(d is None for d in ds):
+                self.output_dicts.append(None)
+                self._code_remaps.append(None)
+                continue
+            if any(d is None for d in ds):
+                raise PlanError(
+                    f"UNION arms mix string and numeric values in column "
+                    f"{j + 1}"
+                )
+            merged = ds[0]
+            for d in ds[1:]:
+                merged = np.union1d(merged, d)
+            self.output_dicts.append(merged)
+            self._code_remaps.append([
+                None if np.array_equal(d, merged)
+                else np.searchsorted(merged, d).astype(np.int32)
+                for d in ds
+            ])
+
+        # Trailing ORDER BY resolves against output names or 1-based
+        # ordinals (the arms' internal columns are out of scope by then).
+        self.order_pos: List[Tuple[int, bool]] = []
+        for o in stmt.order_by:
+            e = o.expr
+            if (isinstance(e, Col) and e.table is None
+                    and e.name in self.output_names):
+                self.order_pos.append(
+                    (self.output_names.index(e.name), o.descending)
+                )
+            elif (isinstance(e, Lit) and isinstance(e.value, int)
+                    and 1 <= e.value <= n_out):
+                self.order_pos.append((e.value - 1, o.descending))
+            else:
+                raise PlanError(
+                    "UNION ORDER BY must reference an output column name "
+                    "or a 1-based column position"
+                )
+
+    def _arm_cols(self, ai: int, batch: ColumnBatch) -> List[jax.Array]:
+        """Live-row column slices of one arm's result, codes remapped into
+        the merged dictionaries. Hidden NULL-indicator columns are dropped —
+        the union tail treats the 0-fill as the value (documented: UNION
+        does not propagate LEFT-JOIN NULLs)."""
+        n = int(batch.n_valid)
+        cols = []
+        outs = [nm for nm in batch.names if not nm.startswith("#nullflag")]
+        for j, internal in enumerate(outs):
+            col = batch.columns[internal][:n]
+            remaps = self._code_remaps[j]
+            if remaps is not None and remaps[ai] is not None:
+                col = jnp.asarray(remaps[ai])[col]
+            cols.append(col)
+        return cols
+
+    def _dedupe(self, cols: List[jax.Array]) -> List[jax.Array]:
+        """Distinct rows of a packed (no padding) column tuple."""
+        n = cols[0].shape[0]
+        if n == 0:
+            return cols
+        sorted_cols = jax.lax.sort(cols, num_keys=len(cols), is_stable=False)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        changed = jnp.zeros((n,), jnp.bool_)
+        for c in sorted_cols:
+            prev = jnp.concatenate([c[:1], c[:-1]])
+            changed = changed | (c != prev)
+        keep = (idx == 0) | changed
+        b = compact_batch(
+            ColumnBatch(
+                {f"#u{j}": c for j, c in enumerate(sorted_cols)},
+                jnp.int32(n),
+            ),
+            keep,
+            self.config.use_pallas,
+        )
+        k = int(b.n_valid)
+        return [b.columns[f"#u{j}"][:k] for j in range(len(cols))]
+
+    def execute(self, tables: Dict[str, Table], mesh=None,
+                shard_cache=None) -> ColumnBatch:
+        cfg = self.config
+
+        def run_arm(p: QueryPlan) -> ColumnBatch:
+            if mesh is not None and mesh.devices.size > 1:
+                from harkdb_tpu.parallel.executor import DistExecutor
+
+                return DistExecutor(
+                    p, mesh, cfg, shard_cache=shard_cache
+                ).execute(tables)
+            return p.execute(tables)
+
+        acc: List[jax.Array] = []
+        for ai, p in enumerate(self.arms):
+            cols = self._arm_cols(ai, run_arm(p))
+            if ai == 0:
+                acc = cols
+                continue
+            merged = []
+            for a, c in zip(acc, cols):
+                if (jnp.issubdtype(a.dtype, jnp.floating)
+                        != jnp.issubdtype(c.dtype, jnp.floating)):
+                    tgt = jnp.dtype(cfg.float_dtype)
+                    # Integers beyond the float target's exact-integer span
+                    # would silently lose precision in the cast — corrupting
+                    # values AND making distinct-dedupe merge unequal rows.
+                    # The union tail is eager, so a range readback is cheap.
+                    span = 1 << (jnp.finfo(tgt).nmant + 1)
+                    for x in (a, c):
+                        if (not jnp.issubdtype(x.dtype, jnp.floating)
+                                and x.shape[0]
+                                and max(abs(int(jnp.min(x))),
+                                        abs(int(jnp.max(x)))) > span):
+                            raise PlanError(
+                                f"UNION mixes int and float values in a "
+                                f"column and an integer exceeds "
+                                f"{tgt.name}'s exact-integer span "
+                                f"(±{span}); the cast would corrupt it"
+                            )
+                    a, c = a.astype(tgt), c.astype(tgt)
+                merged.append(jnp.concatenate([a, c]))
+            acc = merged
+            if not self.alls[ai - 1]:
+                acc = self._dedupe(acc)
+
+        from harkdb_tpu.columnar.batch import align_capacity
+
+        total = int(acc[0].shape[0]) if acc else 0
+        cap = align_capacity(total, cfg.row_align)
+        out_cols = {}
+        for j, c in enumerate(acc):
+            pad = cap - c.shape[0]
+            if pad:
+                c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
+            out_cols[f"#out{j}"] = c
+        out = ColumnBatch(out_cols, jnp.int32(total))
+
+        if self.order_pos:
+            from harkdb_tpu.ops.sort import sort_batch
+
+            out = sort_batch(
+                out, [],
+                [d for _j, d in self.order_pos],
+                key_arrays=[out.columns[f"#out{j}"]
+                            for j, _d in self.order_pos],
+            )
+        if self.offset:
+            idx = jnp.arange(out.capacity, dtype=jnp.int32)
+            out = compact_batch(
+                out, idx >= jnp.int32(self.offset), cfg.use_pallas
+            )
+        if self.limit is not None:
+            out = ColumnBatch(
+                out.columns, jnp.minimum(out.n_valid, jnp.int32(self.limit))
+            )
+        return out
+
+    def explain(self) -> str:
+        lines = []
+        for i, p in enumerate(self.arms):
+            if i:
+                lines.append(
+                    "Union All" if self.alls[i - 1] else "Union (distinct)"
+                )
+            lines.extend("  " + ln for ln in p.explain().splitlines())
+        if self.order_pos:
+            lines.append("Sort " + ", ".join(
+                ("DESC" if d else "ASC") for _j, d in self.order_pos
+            ))
+        if self.offset:
+            lines.append(f"Offset {self.offset}")
+        if self.limit is not None:
+            lines.append(f"Limit {self.limit}")
+        return "\n".join(lines)
+
+

@@ -1,0 +1,274 @@
+"""Window-function computation (engine extension; no reference analog —
+the reference grammar is single-SELECT projections/aggregates only,
+``parse.py:42-90``).
+
+TPU-style evaluation (traced; jit-safe), one stable payload sort per
+distinct (PARTITION BY, ORDER BY) shape plus ONE shared restore sort:
+
+  * every shape's partition/order key arrays and argument columns are
+    evaluated up front in original row order and ride the chain of sorts as
+    payload (extra sort operands cost ~5 ms each at 17M rows on v5e, vs
+    ~70 ms for a whole extra sort — BASELINE.md);
+  * shape k sorts from whatever order shape k-1 left the data in (its keys
+    were carried), computes its outputs with position arithmetic and
+    segmented scans in its own sorted order, and passes the outputs along
+    as payload;
+  * one final sort by the carried original position restores batch order
+    for ALL shapes at once.
+
+W shapes therefore cost W+1 sorts, not 2W (round-3 verdict item 4 — the
+per-shape sort-back was the only avoidable sort in the window path).
+Per-function logic: row_number/rank/dense_rank via cummax-filled starts;
+running aggregates as inclusive segmented scans (the groupby's streaming
+Pallas segscan on TPU, the doubling scan elsewhere); the SQL default RANGE
+frame (peers included) via a reversed take-first segmented scan that
+broadcasts each tie-run's last scanned value; lag/lead as ROWS-based
+shifts with a validity-isolated partition-id guard. No scatters or
+gathers anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from harkdb_tpu.columnar.batch import ColumnBatch
+from harkdb_tpu.plan.expr import eval_expr
+from harkdb_tpu.sql.ast_nodes import Col
+
+_SCAN = {"sum": jnp.add, "prod": jnp.multiply,
+         "max": jnp.maximum, "min": jnp.minimum}
+
+
+def compute_windows(plan, batch: ColumnBatch,
+                    specs: Sequence[Tuple] = None) -> ColumnBatch:
+    """Compute window outputs for ``plan.window_specs`` (or the given
+    subset) over ``batch``; returns the batch plus one column per spec."""
+    from harkdb_tpu.ops.sort import _descending_transform
+    from harkdb_tpu.ops.groupby import (
+        _SEGSCAN_NAME, _neutral_py, _use_segscan,
+    )
+    from harkdb_tpu.prims.segmented import doubling_segmented_scan
+
+    cap = batch.capacity
+    cols = dict(batch.columns)
+    pos0 = jnp.arange(cap, dtype=jnp.int32)
+    live = pos0 < batch.n_valid
+    dropped = jnp.logical_not(live).astype(jnp.int32)
+    count = jnp.sum(live.astype(jnp.int32))
+
+    groups: Dict[tuple, List[tuple]] = {}
+    for spec in (plan.window_specs if specs is None else specs):
+        _out, _f, _arg, parts, oexprs, descs, _pp = spec
+        groups.setdefault((parts, oexprs, descs), []).append(spec)
+
+    # Tie-break on the GLOBAL row id (falls back to original position
+    # single-chip, where they coincide): makes row_number over peers
+    # deterministic and bit-identical between the single-chip path and the
+    # distributed shuffle (which changes arrival order).
+    rid_names = [n for n in batch.names if n.startswith("#rid.")]
+
+    # ---- evaluate every shape's keys/args once, in original order --------
+    # ``state`` holds every array that must survive the sort chain, keyed
+    # symbolically. Plain columns share one slot across shapes (payload
+    # width is the per-operand sort cost); derived expressions get a
+    # per-shape slot.
+    state: Dict[object, jax.Array] = {
+        "#dropped": dropped,
+        "#origpos": pos0,
+    }
+    for n in rid_names:
+        state[f"col:{n}"] = cols[n]
+    if not rid_names:
+        state["#tie"] = pos0
+
+    def _slot(gi: int, tag: str, j: int, expr):
+        """Register an array for (group gi, role tag, position j); share
+        slots for plain column references."""
+        if isinstance(expr, str):                      # partition column name
+            key = f"col:{expr}"
+            if key not in state:
+                state[key] = cols[expr]
+            return key
+        if isinstance(expr, Col):
+            key = f"col:{expr.name}"
+            if key not in state:
+                state[key] = cols[expr.name]
+            return key
+        key = (gi, tag, j)
+        state[key] = eval_expr(expr, cols, cap, plan.config)
+        return key
+
+    plans = []        # (gspecs, part_keys, order_keys, descs, arg_keys)
+    for gi, ((parts, oexprs, descs), gspecs) in enumerate(groups.items()):
+        part_keys = [_slot(gi, "p", j, p) for j, p in enumerate(parts)]
+        order_keys = []
+        for j, (oe, d) in enumerate(zip(oexprs, descs)):
+            if d:
+                # The descending transform is order-reversing but not
+                # value-preserving; keep a dedicated slot.
+                a = eval_expr(oe, cols, cap, plan.config)
+                key = (gi, "od", j)
+                state[key] = _descending_transform(a)
+                order_keys.append(key)
+            else:
+                order_keys.append(_slot(gi, "o", j, oe))
+        arg_slot: Dict[int, object] = {}
+        for si, (_o, func, arg, *_r) in enumerate(gspecs):
+            if func in ("row_number", "rank", "dense_rank", "count"):
+                continue
+            arg_slot[si] = _slot(gi, "a", si, arg)
+        plans.append((gspecs, part_keys, order_keys, arg_slot))
+
+    tie_keys = ([f"col:{n}" for n in rid_names] if rid_names else ["#tie"])
+
+    def resort(key_names: List[object]):
+        """Sort the whole state by the named keys (stable); every other
+        array rides as payload."""
+        others = [k for k in state if k not in key_names]
+        operands = [state[k] for k in key_names] + [state[k] for k in others]
+        sorted_ = jax.lax.sort(
+            operands, num_keys=len(key_names), is_stable=True
+        )
+        for k, a in zip(key_names + others, sorted_):
+            state[k] = a
+
+    idx = pos0                              # positions in current order
+    valid = idx < count
+
+    out_keys: List[Tuple[str, object]] = []     # (out_name, state key)
+    for gi, (gspecs, part_keys, order_keys, arg_slot) in enumerate(plans):
+        sort_keys = ["#dropped"] + part_keys + order_keys + tie_keys
+        # Dedupe (a partition column may also be a tie rid) keeping order.
+        sort_keys = list(dict.fromkeys(sort_keys))
+        resort(sort_keys)
+        s_part = [state[k] for k in part_keys]
+        s_order = [state[k] for k in order_keys]
+
+        p_changed = jnp.zeros((cap,), jnp.bool_)
+        for k in s_part:
+            prev = jnp.concatenate([k[:1], k[:-1]])
+            p_changed = p_changed | (k != prev)
+        o_changed = p_changed
+        for k in s_order:
+            prev = jnp.concatenate([k[:1], k[:-1]])
+            o_changed = o_changed | (k != prev)
+        is_pstart = valid & ((idx == 0) | p_changed)
+        is_tstart = valid & ((idx == 0) | o_changed)
+
+        start = jax.lax.cummax(jnp.where(is_pstart, idx, 0))
+        pos = idx - start                       # 0-based in partition
+        sid_p = jnp.cumsum(is_pstart.astype(jnp.int32)) - 1
+        run_id = jnp.cumsum(is_tstart.astype(jnp.int32)) - 1
+
+        # Padding rows would otherwise extend the last live tie-run and
+        # leak garbage backward through the peer broadcast — isolate them
+        # in their own run.
+        safe_run = jnp.where(valid, run_id, jnp.int32(1 << 30))
+
+        def peers_last(S):
+            """Broadcast each tie-run's LAST value to the whole run (the
+            SQL default RANGE frame includes peers): reverse, take-first
+            segmented scan over reversed run ids, reverse back."""
+            rev_sid = jnp.flip(jnp.int32(1 << 30) - safe_run)
+            first = doubling_segmented_scan(
+                lambda cur, prev: prev, rev_sid, jnp.flip(S)
+            )
+            return jnp.flip(first)
+
+        def pscan(opname, x):
+            if _use_segscan(plan.config.use_pallas):
+                from harkdb_tpu.kernels.segscan import (
+                    flat_segscan, segscan_supported,
+                )
+
+                if segscan_supported(_SEGSCAN_NAME[opname], x.dtype):
+                    return flat_segscan(
+                        _SEGSCAN_NAME[opname], sid_p, [x],
+                        _neutral_py(opname, x.dtype),
+                        interpret=jax.default_backend() != "tpu",
+                    )[0]
+            return doubling_segmented_scan(_SCAN[opname], sid_p, x)
+
+        for si, (out_name, func, _arg, *_rest) in enumerate(gspecs):
+            params = gspecs[si][6]
+            if func == "row_number":
+                o = pos + 1
+            elif func == "rank":
+                tstart_idx = jax.lax.cummax(jnp.where(is_tstart, idx, 0))
+                o = tstart_idx - start + 1
+            elif func == "dense_rank":
+                g = jnp.cumsum(is_tstart.astype(jnp.int32))
+                gp = jax.lax.cummax(jnp.where(is_pstart, g, 0))
+                o = g - gp + 1
+            elif func in ("lag", "lead"):
+                # ROWS-based (position, not peers) per the standard;
+                # partition edges fill with the default (0 when omitted —
+                # the engine's numeric model has no NULL).
+                x = state[arg_slot[si]]
+                off = min(int(params[0]) if params else 1, cap)
+                dflt = jnp.asarray(
+                    params[1] if len(params) > 1 else 0, x.dtype
+                )
+                fill = jnp.full((off,), dflt, x.dtype)
+                # Validity-isolated sid (mirrors safe_run): padding rows
+                # inherit the last live partition's sid_p, so a raw sid_p
+                # comparison would let lead() on the last live row match a
+                # padding neighbor and return its (unspecified) value.
+                ssid = jnp.where(valid, sid_p, jnp.int32(-7))
+                sfill = jnp.full((off,), -8, sid_p.dtype)
+                if func == "lag":
+                    shifted = jnp.concatenate([fill, x[:cap - off]])
+                    nbr_sid = jnp.concatenate([sfill, ssid[:cap - off]])
+                else:
+                    shifted = jnp.concatenate([x[off:], fill])
+                    nbr_sid = jnp.concatenate([ssid[off:], sfill])
+                o = jnp.where(nbr_sid == ssid, shifted, dflt)
+            elif func == "first_value":
+                # take-first segmented scan propagates each partition's
+                # first value forward
+                o = doubling_segmented_scan(
+                    lambda cur, prev: prev, sid_p, state[arg_slot[si]],
+                )
+            elif func == "last_value":
+                # SQL default frame: the LAST PEER's value (the famous
+                # last_value-with-default-frame behavior)
+                o = peers_last(state[arg_slot[si]])
+            elif func == "count":
+                o = peers_last(pos + 1)        # rows up to last peer
+            elif func == "avg":
+                x = state[arg_slot[si]]
+                s = peers_last(pscan("sum", x.astype(jnp.float32)))
+                c = peers_last(pos + 1).astype(jnp.float32)
+                o = s / jnp.maximum(c, 1.0)
+            else:                               # sum / prod / min / max
+                x = state[arg_slot[si]]
+                o = peers_last(pscan(func, x))
+            key = ("out", out_name)
+            state[key] = o
+            out_keys.append((out_name, key))
+
+        # This shape's private keys/args are dead weight for later sorts.
+        for k in list(state):
+            if isinstance(k, tuple) and len(k) == 3 and k[0] == gi:
+                del state[k]
+        # Shared column slots stay only while a later shape still needs
+        # them (or they are tie keys).
+        needed = set(tie_keys)
+        for _g2, pk2, ok2, as2 in plans[gi + 1:]:
+            needed |= set(pk2) | set(ok2) | set(as2.values())
+        for k in list(state):
+            if (isinstance(k, str) and k.startswith("col:")
+                    and k not in needed):
+                del state[k]
+
+    # ---- ONE restore sort for every shape's outputs ----------------------
+    restore = ["#origpos"] + [k for _n, k in out_keys]
+    restored = jax.lax.sort(
+        [state[k] for k in restore], num_keys=1, is_stable=False,
+    )[1:]
+    for (out_name, _k), col in zip(out_keys, restored):
+        cols[out_name] = col
+    return ColumnBatch(cols, batch.n_valid)
