@@ -84,7 +84,7 @@ class Context:
         m.distributed = distributed
 
         def _run():
-            from harkdb_tpu.plan.planner import UnionPlan
+            from harkdb_tpu.plan.union_plan import UnionPlan
 
             if isinstance(plan, UnionPlan):
                 # UnionPlan drives its own arms (distributed or not) and
@@ -137,16 +137,21 @@ class Context:
 
     def sql(self, sql_statement: str) -> np.ndarray:
         """Run a query, returning a dense row-major numpy matrix (reference
-        output shape, ``FutharkContext.py:66,71``)."""
+        output shape, ``FutharkContext.py:66,71``). Hidden NULL-indicator
+        columns (LEFT-JOIN matched flags) are dropped — the raw matrix shows
+        the 0-fill; use :meth:`sql_df` for None/NaN decoding."""
         batch, _names = self.sql_batch(sql_statement)
-        return batch.to_numpy()[0]
+        keep = [n for n in batch.names if not n.startswith("#nullflag")]
+        return batch.select(keep).to_numpy()[0]
 
     def sql_df(self, sql_statement: str):
         """Run a query, returning a pandas DataFrame with output headers.
 
         String outputs (dictionary-encoded columns, or MIN/MAX over them)
         decode host-side here — the device result holds int32 codes; ``sql``
-        returns the raw code matrix."""
+        returns the raw code matrix. Outputs over LEFT-JOIN nullable columns
+        decode unmatched rows to None (strings) / NaN (numeric) through the
+        hidden per-output NULL-indicator columns."""
         import pandas as pd
 
         batch, names = self.sql_batch(sql_statement)
@@ -154,13 +159,28 @@ class Context:
             names
         )
         n = int(batch.n_valid)
+        out_internal = [
+            nm for nm in batch.names if not nm.startswith("#nullflag")
+        ]
         data = {}
-        for (display, internal), d in zip(
-            zip(names, batch.names), dicts
-        ):
+        for j, ((display, internal), d) in enumerate(zip(
+            zip(names, out_internal), dicts
+        )):
             col = np.asarray(batch.columns[internal])[:n]
+            flag = batch.columns.get(f"#nullflag{j}")
+            nulls = None
+            if flag is not None:
+                nulls = np.asarray(flag)[:n] == 0
+                if not nulls.any():
+                    nulls = None
             if d is not None:
                 col = d[np.clip(col, 0, len(d) - 1)]
+                if nulls is not None:
+                    col = col.astype(object)
+                    col[nulls] = None
+            elif nulls is not None:
+                col = col.astype(np.float64)
+                col[nulls] = np.nan
             # duplicate display names get pandas-style disambiguation
             key = display
             i = 1

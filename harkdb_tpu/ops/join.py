@@ -354,6 +354,7 @@ def join_batches(
     kind: str = "inner",
     ranges: JoinRanges | None = None,
     use_pallas: bool | None = None,
+    matched_out: str | None = None,
 ) -> ColumnBatch:
     """Equi-join of two batches (inner or left).
 
@@ -369,6 +370,11 @@ def join_batches(
     per join, not twice; ``left``/``right`` may then be None (everything
     needed already rides the ranges) but ``l_out``/``r_out`` must be given
     explicitly — they define the ranges' payload column order.
+
+    ``matched_out`` optionally names an extra int32 0/1 output column
+    carrying the per-row match flag (1 on matched rows; 0 on LEFT-JOIN
+    no-match rows and padding). The planner uses it as the hidden NULL
+    indicator for right-side columns of a LEFT JOIN.
     """
     if ranges is None:
         l_out = l_out if l_out is not None else {n: n for n in left.names}
@@ -400,4 +406,6 @@ def join_batches(
     zero_right = kind == "left"
     for dst, col in zip(r_out.values(), r_gathered):
         cols[dst] = jnp.where(matched if zero_right else live, col, 0)
+    if matched_out is not None:
+        cols[matched_out] = matched.astype(jnp.int32)
     return ColumnBatch(cols, total)

@@ -481,9 +481,12 @@ def dist_join(
     mesh: Mesh,
     config: EngineConfig = DEFAULT_CONFIG,
     kind: str = "inner",
+    matched_out: str | None = None,
 ) -> ShardedBatch:
     """Distributed inner equi-join: co-partition both sides by key hash
     (2 all_to_all), then a local sorted-probe join per shard.
+    ``matched_out`` optionally emits the per-row match-flag column (the
+    LEFT-JOIN NULL indicator — see ``ops.join.join_batches``).
 
     Output columns: [left | right] (reference ``join.fut:74-75``); global
     ordering is restored by the executor's gather (hidden row-id columns let
@@ -580,6 +583,8 @@ def dist_join(
     # ---- stage 2: local join at uniform static capacity ---------------------
     l_names, r_names = l_part.names, r_part.names
     out_names = l_names + [n for n in r_names if n not in l_names]
+    if matched_out is not None:
+        out_names = out_names + [matched_out]
 
     def body2(l_cols, l_cnt, r_cols, r_cnt):
         lb = ColumnBatch(l_cols, l_cnt[0])
@@ -589,6 +594,7 @@ def dist_join(
             {n: n for n in l_names},
             {n: n for n in r_names if n not in l_names},
             kind=kind, use_pallas=config.use_pallas,
+            matched_out=matched_out,
         )
         return dict(out.columns), out.n_valid.reshape(1)
 

@@ -110,7 +110,8 @@ class DistExecutor:
                 self._shard_table(tables, 1 + step_idx), rb
             )
             work = dist_join(work, right, lk, rk, self.mesh, self.config,
-                             kind=kind)
+                             kind=kind,
+                             matched_out=plan.null_flags.get(rb))
             join_keys_newest_first.insert(0, lk)
 
         if plan.where_residual is not None:
@@ -140,7 +141,9 @@ class DistExecutor:
                 )
 
         if plan.grouped:
-            keys = list(plan.group_keys) or ["#const"]
+            # exec keys include the hidden matched flag of any nullable
+            # group key (NULL as its own group, same as single-chip)
+            keys = list(plan.group_exec_keys) or ["#const"]
             agg_specs = list(plan.agg_specs)
             arg_cols = list(plan.agg_arg_cols)
             need_ones = any(src == "#ones" for src, _, _ in agg_specs)
@@ -272,12 +275,26 @@ class DistExecutor:
         plan, cfg = self.plan, self.config
         final_items = list(plan.final_items)
         out_names = [f"#out{i}" for i in range(len(final_items))]
+        # Hidden NULL indicators (LEFT-JOIN matched flags) per nullable
+        # output — same trailing columns run_tail emits single-chip.
+        nf_specs = [
+            (i, flags)
+            for i, flags in enumerate(plan.output_null_flags)
+            if flags and all(f in work.names for f in flags)
+        ]
+        out_names = out_names + [f"#nullflag{i}" for i, _f in nf_specs]
 
         def project(cols, cap):
-            return {
+            out = {
                 f"#out{i}": eval_expr(e, cols, cap, cfg)
                 for i, (e, _n) in enumerate(final_items)
             }
+            for i, flags in nf_specs:
+                m = cols[flags[0]]
+                for f in flags[1:]:
+                    m = m * cols[f]
+                out[f"#nullflag{i}"] = m.astype(jnp.int32)
+            return out
 
         if plan.distinct:
             # DISTINCT = group-by over the full output tuple with no

@@ -42,7 +42,9 @@ from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
 from harkdb_tpu.kernels.matmul_agg import KEY_TILE, MAX_KEY_SPAN
 from harkdb_tpu.ops.groupby import groupby_batch
 from harkdb_tpu.ops.join import compute_join_ranges, join_batches
+from harkdb_tpu.plan.errors import PlanError
 from harkdb_tpu.plan.expr import eval_expr
+from harkdb_tpu.plan.strings import StringLowering
 from harkdb_tpu.prims.compaction import compact_batch
 from harkdb_tpu.sql.ast_nodes import (
     Agg, BinOp, Case, Col, InSub, Lit, LutMember, SelectStmt, Star, SubQuery,
@@ -51,9 +53,6 @@ from harkdb_tpu.sql.ast_nodes import (
 from harkdb_tpu.sql.parser import parse_sql
 
 
-class PlanError(Exception):
-    """Semantic (resolution/validation) error. Subclasses Exception to stay
-    compatible with the reference's bare ``raise Exception`` contract."""
 
 
 def _next_pow2(n: int) -> int:
@@ -263,16 +262,17 @@ def _jit_ranges(l_key: str, r_key: str, l_names: tuple, r_names: tuple,
 @functools.lru_cache(maxsize=256)
 def _jit_join(l_key: str, r_key: str, capacity: int,
               l_out: tuple, r_out: tuple, kind: str = "inner",
-              use_pallas: bool = True):
+              use_pallas: bool = True, matched_out: str | None = None):
     def f(ranges) -> ColumnBatch:
         return join_batches(
             None, None, l_key, r_key, capacity, dict(l_out), dict(r_out),
             kind=kind, ranges=ranges, use_pallas=use_pallas,
+            matched_out=matched_out,
         )
     return jax.jit(f)
 
 
-class QueryPlan:
+class QueryPlan(StringLowering):
     """A planned query: phase-A join steps + a compiled phase-B pipeline."""
 
     def __init__(self, stmt: SelectStmt, tables: Dict[str, Table],
@@ -321,6 +321,18 @@ class QueryPlan:
                 )
             self.join_steps.append((rb, lk, rk, j.kind))
             avail.add(rb)
+
+        # ---- LEFT-JOIN NULL model --------------------------------------------
+        # Each LEFT join emits a hidden 0/1 matched-flag column for its right
+        # binding (ops/join.py matched_out); 0 marks the rows SQL would fill
+        # with NULL. The flag drives IS [NOT] NULL, NULL-skipping aggregates,
+        # NULL-as-its-own-group grouping, and sql_df's None/NaN decode.
+        # Plain predicates/arithmetic still see the 0-fill (three-valued
+        # logic is out of scope — README "SQL surface").
+        self.null_flags: Dict[str, str] = {
+            rb: f"#matched.{rb}"
+            for rb, _lk, _rk, k in self.join_steps if k == "left"
+        }
 
         # ---- string columns (dictionary-encoded at ingest) -------------------
         # str_dicts: internal column → its current sorted dictionary. Codes are
@@ -410,6 +422,18 @@ class QueryPlan:
         order_items = [(self._lower_strings(e), d) for e, d in order_items]
         if having is not None:
             having = self._lower_strings(having)
+
+        # ---- IS [NOT] NULL lowering ------------------------------------------
+        # isnull(e) → OR over the matched flags of the nullable (LEFT-JOIN
+        # right side) columns e references, == 0; false when e references
+        # none (nothing else is ever NULL in this model).
+        items = [(self._lower_isnull(e), name) for e, name in items]
+        self.select_items = items
+        if self.where is not None:
+            self.where = self._lower_isnull(self.where)
+        order_items = [(self._lower_isnull(e), d) for e, d in order_items]
+        if having is not None:
+            having = self._lower_isnull(having)
         # A string literal surviving lowering was used outside a comparison
         # (e.g. selected bare, or added to a number) — reject at plan time
         # rather than failing inside a traced evaluator.
@@ -498,13 +522,23 @@ class QueryPlan:
         grouped = bool(group_keys) or bool(agg_nodes)
         self.grouped = grouped
         self.group_keys = group_keys
+        # NULL is its own group: a nullable (LEFT-JOIN right side) group key
+        # adds its hidden matched flag as a secondary grouping key, so the
+        # no-match group separates from the real value-0 group (the flag
+        # then survives grouping and drives sql_df's None decode).
+        extra_keys: List[str] = []
+        for k in group_keys:
+            f = self.null_flags.get(k.split(".", 1)[0]) if "." in k else None
+            if f is not None and f not in extra_keys:
+                extra_keys.append(f)
+        self.group_exec_keys = group_keys + extra_keys
 
         # Validation (reference contract parse.py:73-78): in a grouped query a
         # bare column outside an aggregate must be a group key.
         if grouped:
             def check(e, inside_agg=False):
                 if isinstance(e, Col):
-                    if not inside_agg and e.name not in group_keys:
+                    if not inside_agg and e.name not in self.group_exec_keys:
                         bare = e.name.split(".", 1)[-1]
                         raise PlanError(
                             f"{bare} is not an aggregation function or the "
@@ -538,14 +572,99 @@ class QueryPlan:
         # MIN/MAX over a string column preserve dictionary codes — their
         # output columns decode through the argument's dictionary.
         self.agg_out_dicts: Dict[str, np.ndarray] = {}
+        def expr_is_float(e) -> bool:
+            """Best-effort dtype probe for masked-aggregate neutrals."""
+            for nd in walk(e):
+                if isinstance(nd, Col) and "." in nd.name:
+                    bb, cc = nd.name.split(".", 1)
+                    tn = next((t for b2, t, _ in bindings if b2 == bb), None)
+                    if tn is not None:
+                        a = tables[tn].host_columns.get(cc)
+                        if a is not None and np.issubdtype(
+                            a.dtype, np.floating
+                        ):
+                            return True
+                if isinstance(nd, Lit) and isinstance(nd.value, float):
+                    return True
+                if isinstance(nd, UnOp) and nd.op == "sqrt":
+                    return True
+            return False
+
+        _I32_MAX, _I32_MIN = (1 << 31) - 1, -(1 << 31)
         for i, node in enumerate(agg_nodes):
             out = f"#agg{i}"
             if node.func in ("min", "max") and not isinstance(node.arg, Star):
                 d = self._expr_str_dict(node.arg)
                 if d is not None:
                     self.agg_out_dicts[out] = d
-            if isinstance(node.arg, Star):        # count(*)
+            if isinstance(node.arg, Star):        # count(*) counts ALL rows
                 self.agg_specs.append(("#ones", "count", out))
+                agg_map[node] = out
+                continue
+            # NULL-skipping: aggregates over LEFT-JOIN nullable columns
+            # ignore unmatched rows (SQL skips NULLs; the 0-fill is not a
+            # value). The mask folds into the argument as a CASE on the
+            # matched flag — it rides the groupby sort like everything else.
+            nflags = self._nullable_flags_in(node.arg)
+            if nflags:
+                cond = self._matched_cond(nflags)
+
+                def masked(val, neutral, _c=cond):
+                    return Case(((_c, val),), neutral)
+
+                arg_internal = f"#aggarg{i}"
+                if node.func == "sum":
+                    self.agg_arg_cols.append(
+                        (arg_internal, masked(node.arg, Lit(0)))
+                    )
+                    self.agg_specs.append((arg_internal, "sum", out))
+                elif node.func == "count" and not node.distinct:
+                    self.agg_arg_cols.append(
+                        (arg_internal, masked(Lit(1), Lit(0)))
+                    )
+                    self.agg_specs.append((arg_internal, "sum", out))
+                elif node.func == "avg":
+                    s, c = f"#avg_s{i}", f"#avg_c{i}"
+                    ci = f"#aggargc{i}"
+                    self.agg_arg_cols.append(
+                        (arg_internal, masked(node.arg, Lit(0)))
+                    )
+                    self.agg_arg_cols.append((ci, masked(Lit(1), Lit(0))))
+                    self.agg_specs.append((arg_internal, "sum", s))
+                    self.agg_specs.append((ci, "sum", c))
+                    self.post_computes.append((out, ("avg", s, c)))
+                elif node.func == "count" and node.distinct:
+                    # Unmatched rows collapse onto one sentinel value,
+                    # subtracted back out per group when present. (Caveat: a
+                    # real INT32_MIN value would collide — documented.)
+                    hraw, hs = f"#cdraw{i}", f"#hasu{i}"
+                    hi = f"#aggargh{i}"
+                    self.agg_arg_cols.append(
+                        (arg_internal, masked(node.arg, Lit(_I32_MIN)))
+                    )
+                    self.agg_arg_cols.append((hi, masked(Lit(0), Lit(1))))
+                    self.agg_specs.append((arg_internal, "countd", hraw))
+                    self.agg_specs.append((hi, "max", hs))
+                    self.post_computes.append((out, ("subd", hraw, hs)))
+                else:                         # min / max / prod
+                    if node.func == "prod":
+                        neutral = Lit(1)
+                    elif expr_is_float(node.arg):
+                        neutral = Lit(float("inf") if node.func == "min"
+                                      else float("-inf"))
+                    else:
+                        neutral = Lit(_I32_MAX if node.func == "min"
+                                      else _I32_MIN)
+                    raw, hm = f"#mraw{i}", f"#hasm{i}"
+                    hmi = f"#aggargm{i}"
+                    self.agg_arg_cols.append(
+                        (arg_internal, masked(node.arg, neutral))
+                    )
+                    self.agg_arg_cols.append((hmi, masked(Lit(1), Lit(0))))
+                    self.agg_specs.append((arg_internal, node.func, raw))
+                    self.agg_specs.append((hmi, "max", hm))
+                    # all-unmatched groups yield 0 (no NULL aggregates)
+                    self.post_computes.append((out, ("mask0", raw, hm)))
                 agg_map[node] = out
                 continue
             arg_internal = f"#aggarg{i}"
@@ -681,6 +800,15 @@ class QueryPlan:
                     d = self.win_out_dicts.get(e.name)
             self.output_dicts.append(d)
 
+        # Per-output nullable flags: an output whose expression references a
+        # nullable (LEFT-JOIN right side) column is NULL — None/NaN in
+        # sql_df — on rows where any referenced flag is 0. run_tail
+        # materializes a hidden trailing #nullflag{i} column per such
+        # output; api.sql drops them, api.sql_df decodes through them.
+        self.output_null_flags: List[List[str]] = [
+            self._nullable_flags_in(e) for e, _n in self.final_items
+        ]
+
         # MXU fast path (kernels/matmul_agg.py): single int key with a small
         # span, aggregates all sum/count over direct int columns. Eligibility
         # is STRUCTURAL at plan time (fast_candidate); the key range comes
@@ -696,6 +824,10 @@ class QueryPlan:
             self.config.use_pallas
             and self.grouped
             and len(self.group_keys) == 1
+            # a nullable key grows exec keys with its matched flag — the
+            # one-hot kernel is single-key, and NULL-as-its-own-group needs
+            # the general path
+            and len(self.group_exec_keys) == 1
             and self.agg_specs
             and not self.agg_arg_cols
             and all(op in ("sum", "count") for _s, op, _o in self.agg_specs)
@@ -778,243 +910,68 @@ class QueryPlan:
         self._phase_b_cache: Dict[object, object] = {}
         self._probe_jit = None
 
-    # -- string dictionary machinery ------------------------------------------
-    # Strings are dictionary-encoded at ingest (columnar/ingest.py): the
-    # device holds int32 codes assigned in lexicographic order, the host
-    # holds the sorted dictionary. All string semantics lower to integer
-    # operations at PLAN time: literal comparisons become code comparisons
-    # (binary search in the dictionary), LIKE becomes a code-range OR-chain
-    # or a boolean LUT gather, and cross-dictionary joins/comparisons merge
-    # dictionaries host-side with per-column code-remap LUTs applied at load.
+    # -- LEFT-JOIN NULL lowering ----------------------------------------------
+    def _nullable_flags_in(self, e) -> List[str]:
+        """Matched-flag columns guarding the nullable (LEFT-JOIN right side)
+        columns referenced by ``e``, in first-reference order."""
+        flags: List[str] = []
+        for node in walk(e):
+            if isinstance(node, Col) and "." in node.name:
+                f = self.null_flags.get(node.name.split(".", 1)[0])
+                if f is not None and f not in flags:
+                    flags.append(f)
+        return flags
 
-    _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
-    _MIRROR = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
-               "=": "=", "!=": "!="}
+    def _matched_cond(self, flags: Sequence[str]):
+        """Boolean expression: every referenced flag is 1 (row matched)."""
+        cond = BinOp("=", Col(flags[0]), Lit(1))
+        for f in flags[1:]:
+            cond = BinOp("and", cond, BinOp("=", Col(f), Lit(1)))
+        return cond
 
-    def _str_internal(self, e):
-        """Representative string-typed column internal of an expression
-        (through MIN/MAX, which preserve dictionary codes), else None."""
-        if isinstance(e, Col) and e.name in self.str_dicts:
-            return e.name
-        if (isinstance(e, Agg) and e.func in ("min", "max")
-                and not isinstance(e.arg, Star)):
-            return self._str_internal(e.arg)
-        return None
-
-    def _expr_str_dict(self, e):
-        internal = self._str_internal(e)
-        return None if internal is None else self.str_dicts[internal]
-
-    def _is_string_typed(self, e) -> bool:
-        if isinstance(e, Lit) and isinstance(e.value, str):
-            return True
-        return self._expr_str_dict(e) is not None
-
-    def _compose_remap(self, internal: str, step_lut: np.ndarray):
-        prev = self._remap.get(internal)
-        self._remap[internal] = (
-            step_lut if prev is None else step_lut[prev]
-        )
-
-    def _merge_dicts(self, a_internal: str, b_internal: str):
-        """Unify the dictionaries of two string columns: every column whose
-        current dictionary matches either side gets a composed remap LUT into
-        the union dictionary (codes stay lexicographic ranks)."""
-        da = self.str_dicts[a_internal]
-        db = self.str_dicts[b_internal]
-        if np.array_equal(da, db):
-            for k, d in self.str_dicts.items():
-                if d is db:
-                    self.str_dicts[k] = da
-            return
-        merged = np.union1d(da, db)
-        map_a = np.searchsorted(merged, da).astype(np.int32)
-        map_b = np.searchsorted(merged, db).astype(np.int32)
-        for k, d in list(self.str_dicts.items()):
-            if d is da or np.array_equal(d, da):
-                self._compose_remap(k, map_a)
-                self.str_dicts[k] = merged
-            elif d is db or np.array_equal(d, db):
-                self._compose_remap(k, map_b)
-                self.str_dicts[k] = merged
-
-    def _collect_merges(self, e):
-        """Pass 1: find string col-vs-col comparisons across different
-        dictionaries and merge, so pass 2 translates literals against final
-        dictionaries."""
-        if isinstance(e, BinOp):
-            if e.op in self._CMP_OPS:
-                a = self._str_internal(e.left)
-                b = self._str_internal(e.right)
-                if (a is not None and b is not None
-                        and not np.array_equal(self.str_dicts[a],
-                                               self.str_dicts[b])):
-                    self._merge_dicts(a, b)
-            self._collect_merges(e.left)
-            self._collect_merges(e.right)
-        elif isinstance(e, UnOp):
-            self._collect_merges(e.operand)
-        elif isinstance(e, Agg) and not isinstance(e.arg, Star):
-            self._collect_merges(e.arg)
-        elif isinstance(e, Case):
-            for c, r in e.whens:
-                self._collect_merges(c)
-                self._collect_merges(r)
-            if e.else_ is not None:
-                self._collect_merges(e.else_)
-        elif isinstance(e, WindowFn):
-            if e.arg is not None and not isinstance(e.arg, Star):
-                self._collect_merges(e.arg)
-            for o in e.order_by:
-                self._collect_merges(o.expr)
-
-    def _lower_str_cmp(self, op: str, col_expr, d: np.ndarray, v: str):
-        """col <op> 'literal' → integer code comparison. Codes are
-        lexicographic ranks, so range ops are one binary search; equality
-        against an absent value folds to constant false (codes are ≥ 0)."""
-        if op in ("=", "!="):
-            i = int(np.searchsorted(d, v))
-            present = i < len(d) and d[i] == v
-            if op == "=":
-                return (BinOp("=", col_expr, Lit(i)) if present
-                        else BinOp("<", col_expr, Lit(0)))      # always false
-            return (BinOp("!=", col_expr, Lit(i)) if present
-                    else BinOp(">=", col_expr, Lit(0)))          # always true
-        side = {"<": "left", "<=": "right", ">": "right", ">=": "left"}[op]
-        i = int(np.searchsorted(d, v, side=side))
-        out_op = "<" if op in ("<", "<=") else ">="
-        return BinOp(out_op, col_expr, Lit(i))
-
-    def _lower_like(self, col_expr, d: np.ndarray, pattern: str):
-        """LIKE against the dictionary, host-side: % → .*, _ → . (fullmatch).
-        Contiguous matching-code runs lower to a fused compare OR-chain; a
-        scattered match set lowers to one boolean-LUT gather (LutMember)."""
-        rx = re.compile(
-            "".join(".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
-                    for ch in pattern),
-            re.DOTALL,
-        )
-        m = np.array([rx.fullmatch(s) is not None for s in d.tolist()],
-                     dtype=bool)
-        if not m.any():
-            return BinOp("<", col_expr, Lit(0))                  # always false
-        if m.all():
-            return BinOp(">=", col_expr, Lit(0))                 # always true
-        idx = np.flatnonzero(m)
-        runs = np.split(idx, np.flatnonzero(np.diff(idx) > 1) + 1)
-        if len(runs) <= 32:
-            out = None
-            for r in runs:
-                a, b = int(r[0]), int(r[-1])
-                t = (BinOp("=", col_expr, Lit(a)) if a == b
-                     else BinOp("and", BinOp(">=", col_expr, Lit(a)),
-                                BinOp("<=", col_expr, Lit(b))))
-                out = t if out is None else BinOp("or", out, t)
-            return out
-        return LutMember(col_expr, m)
-
-    def _lower_strings(self, e):
-        """Pass 2: translate string comparisons/LIKE to code operations and
-        validate typing (no string arithmetic, no SUM/PROD/AVG on strings,
-        no string-valued CASE)."""
-        if isinstance(e, (Lit, Col)):
-            return e
+    def _lower_isnull(self, e):
+        """Replace isnull(x) with a matched-flag test (NULL semantics are
+        strict: an expression is NULL iff any nullable column it references
+        is on an unmatched LEFT-JOIN row)."""
         if isinstance(e, UnOp):
-            v = self._lower_strings(e.operand)
-            if (e.op in ("-", "abs", "floor", "ceil", "round", "sqrt")
-                    and self._is_string_typed(v)):
-                raise PlanError(f"Cannot apply {e.op} to a string column")
-            return UnOp(e.op, v)
-        if isinstance(e, Agg):
-            if isinstance(e.arg, Star):
-                return e
-            arg = self._lower_strings(e.arg)
-            if e.func in ("sum", "prod", "avg") and self._is_string_typed(arg):
-                raise PlanError(
-                    f"{e.func.upper()} over a string column is not supported"
-                )
-            return Agg(e.func, arg, e.distinct)
+            inner = self._lower_isnull(e.operand)
+            if e.op != "isnull":
+                return UnOp(e.op, inner)
+            flags = self._nullable_flags_in(inner)
+            if not flags:
+                return Lit(0)               # never NULL
+            out = BinOp("=", Col(flags[0]), Lit(0))
+            for f in flags[1:]:
+                out = BinOp("or", out, BinOp("=", Col(f), Lit(0)))
+            return out
+        if isinstance(e, BinOp):
+            return BinOp(
+                e.op, self._lower_isnull(e.left), self._lower_isnull(e.right)
+            )
+        if isinstance(e, Agg) and not isinstance(e.arg, Star):
+            return Agg(e.func, self._lower_isnull(e.arg), e.distinct)
+        if isinstance(e, LutMember):
+            return LutMember(self._lower_isnull(e.col), e.lut)
+        if isinstance(e, InSub):
+            return InSub(self._lower_isnull(e.expr), e.sub, e.negate)
+        if isinstance(e, Case):
+            return Case(
+                tuple((self._lower_isnull(c), self._lower_isnull(r))
+                      for c, r in e.whens),
+                self._lower_isnull(e.else_) if e.else_ is not None else None,
+            )
         if isinstance(e, WindowFn):
             from harkdb_tpu.sql.ast_nodes import OrderItem
 
             arg = e.arg
             if arg is not None and not isinstance(arg, Star):
-                arg = self._lower_strings(arg)
-                if (e.func in ("sum", "prod", "avg")
-                        and self._is_string_typed(arg)):
-                    raise PlanError(
-                        f"{e.func.upper()} over a string column is not "
-                        f"supported"
-                    )
+                arg = self._lower_isnull(arg)
             return WindowFn(
                 e.func, arg, e.partition_by,
-                tuple(OrderItem(self._lower_strings(o.expr), o.descending)
+                tuple(OrderItem(self._lower_isnull(o.expr), o.descending)
                       for o in e.order_by),
                 e.params,
             )
-        if isinstance(e, Case):
-            whens = tuple(
-                (self._lower_strings(c), self._lower_strings(r))
-                for c, r in e.whens
-            )
-            else_ = (self._lower_strings(e.else_)
-                     if e.else_ is not None else None)
-            for _c, r in whens:
-                if self._is_string_typed(r):
-                    raise PlanError("CASE cannot produce string values")
-            if else_ is not None and self._is_string_typed(else_):
-                raise PlanError("CASE cannot produce string values")
-            return Case(whens, else_)
-        if isinstance(e, BinOp):
-            if e.op == "like":
-                left = self._lower_strings(e.left)
-                d = self._expr_str_dict(left)
-                if d is None:
-                    raise PlanError("LIKE requires a string column")
-                return self._lower_like(left, d, e.right.value)
-            left = self._lower_strings(e.left)
-            right = self._lower_strings(e.right)
-            if isinstance(left, (SubQuery, InSub)) or isinstance(
-                right, (SubQuery, InSub)
-            ):
-                # Defer: the subquery substitutes a literal at first
-                # execution, and lowering re-runs then.
-                return BinOp(e.op, left, right)
-            if e.op in self._CMP_OPS:
-                ld = self._expr_str_dict(left)
-                rd = self._expr_str_dict(right)
-                llit = isinstance(left, Lit) and isinstance(left.value, str)
-                rlit = isinstance(right, Lit) and isinstance(right.value, str)
-                l_str = ld is not None or llit
-                r_str = rd is not None or rlit
-                if l_str != r_str:
-                    raise PlanError(
-                        "Cannot compare string and numeric values"
-                    )
-                if ld is not None and rlit:
-                    return self._lower_str_cmp(e.op, left, ld, right.value)
-                if rd is not None and llit:
-                    return self._lower_str_cmp(
-                        self._MIRROR[e.op], right, rd, left.value
-                    )
-                if llit and rlit:
-                    res = {
-                        "=": left.value == right.value,
-                        "!=": left.value != right.value,
-                        "<": left.value < right.value,
-                        "<=": left.value <= right.value,
-                        ">": left.value > right.value,
-                        ">=": left.value >= right.value,
-                    }[e.op]
-                    return Lit(1 if res else 0)
-                # both dictionary-typed: dictionaries were merged in pass 1,
-                # codes compare directly.
-            elif e.op in ("+", "-", "*", "/", "%"):
-                if self._is_string_typed(left) or self._is_string_typed(right):
-                    raise PlanError(
-                        "String columns do not support arithmetic"
-                    )
-            return BinOp(e.op, left, right)
         return e
 
     # -- subqueries ------------------------------------------------------------
@@ -1289,7 +1246,8 @@ class QueryPlan:
             l_out = tuple((n, n) for n in l_names)
             r_out = tuple((n, n) for n in r_names)
             batch = _jit_join(
-                lk, rk, cap, l_out, r_out, kind, self.config.use_pallas
+                lk, rk, cap, l_out, r_out, kind, self.config.use_pallas,
+                self.null_flags.get(rb),
             )(ranges)
         # Phase B: compiled pipeline (jit keyed by MXU fast-path span).
         fast_span, key_min = self._resolve_fast(batch)
@@ -1411,7 +1369,7 @@ class QueryPlan:
                 cols["#ones"] = jnp.ones((cap,), jnp.int32)
             work = ColumnBatch(cols, batch.n_valid)
             if self.group_keys:
-                keys = list(self.group_keys)
+                keys = list(self.group_exec_keys)
             else:
                 # implicit single group (select max(x) from t)
                 cols["#const"] = jnp.zeros((cap,), jnp.int32)
@@ -1432,191 +1390,13 @@ class QueryPlan:
 
     def _compute_windows(self, batch: ColumnBatch,
                          specs: Sequence[Tuple] = None) -> ColumnBatch:
-        """Window functions, TPU-style (traced; jit-safe).
+        """Window functions — moved to ``plan/windows.py`` (round-4 split);
+        one payload sort per distinct (PARTITION BY, ORDER BY) shape plus a
+        single shared restore sort (W+1 sorts for W shapes)."""
+        from harkdb_tpu.plan.windows import compute_windows
 
-        For each distinct (PARTITION BY, ORDER BY) shape: ONE stable payload
-        sort by (dropped, partition keys, order keys) carrying the argument
-        columns and the original row id; partition/tie boundaries from
-        adjacent-key changes; per-function values as position arithmetic
-        (row_number/rank/dense_rank via cummax-filled starts) or inclusive
-        segmented scans (the groupby's own streaming-segscan/doubling-scan
-        machinery); the SQL default RANGE frame (peers included) via a
-        reversed take-first segmented scan that broadcasts each tie-run's
-        last scanned value; finally ONE sort back by original row id aligns
-        outputs with the batch. No scatters or gathers anywhere.
-        """
-        from harkdb_tpu.ops.sort import _descending_transform
-        from harkdb_tpu.ops.groupby import (
-            _SEGSCAN_NAME, _neutral_py, _use_segscan,
-        )
-        from harkdb_tpu.prims.segmented import doubling_segmented_scan
+        return compute_windows(self, batch, specs)
 
-        cap = batch.capacity
-        cols = dict(batch.columns)
-        idx = jnp.arange(cap, dtype=jnp.int32)
-        live = idx < batch.n_valid
-        dropped = jnp.logical_not(live).astype(jnp.int32)
-
-        groups: Dict[tuple, List[tuple]] = {}
-        for spec in (self.window_specs if specs is None else specs):
-            _out, _f, _arg, parts, oexprs, descs, _pp = spec
-            groups.setdefault((parts, oexprs, descs), []).append(spec)
-
-        _SCAN = {"sum": jnp.add, "prod": jnp.multiply,
-                 "max": jnp.maximum, "min": jnp.minimum}
-
-        for (parts, oexprs, descs), specs in groups.items():
-            part_arrays = [cols[p] for p in parts]
-            order_arrays = []
-            for oe, d in zip(oexprs, descs):
-                a = eval_expr(oe, cols, cap, self.config)
-                order_arrays.append(_descending_transform(a) if d else a)
-            # Deduplicated argument columns ride the sort as payload.
-            arg_payload: List[jax.Array] = []
-            arg_slot: Dict[int, int] = {}
-            for si, (_o, func, arg, *_r) in enumerate(specs):
-                if func in ("row_number", "rank", "dense_rank", "count"):
-                    continue
-                a = eval_expr(arg, cols, cap, self.config)
-                arg_slot[si] = len(arg_payload)
-                arg_payload.append(a)
-
-            # Tie-break on the GLOBAL row id (falls back to local position
-            # single-chip, where they coincide): makes row_number over peers
-            # deterministic and bit-identical between the single-chip path
-            # and the distributed shuffle (which changes arrival order).
-            rid_cols = [cols[n] for n in batch.names
-                        if n.startswith("#rid.")]
-            tie_cols = rid_cols if rid_cols else [idx]
-            nk = 1 + len(part_arrays) + len(order_arrays) + len(tie_cols)
-            sorted_ = jax.lax.sort(
-                [dropped] + part_arrays + order_arrays + tie_cols + [idx]
-                + arg_payload,
-                num_keys=nk, is_stable=True,
-            )
-            s_part = sorted_[1:1 + len(part_arrays)]
-            s_order = sorted_[
-                1 + len(part_arrays):1 + len(part_arrays) + len(order_arrays)
-            ]
-            s_idx = sorted_[nk]
-            s_args = sorted_[nk + 1:]
-
-            count = jnp.sum(live.astype(jnp.int32))
-            valid = idx < count
-            p_changed = jnp.zeros((cap,), jnp.bool_)
-            for k in s_part:
-                prev = jnp.concatenate([k[:1], k[:-1]])
-                p_changed = p_changed | (k != prev)
-            o_changed = p_changed
-            for k in s_order:
-                prev = jnp.concatenate([k[:1], k[:-1]])
-                o_changed = o_changed | (k != prev)
-            is_pstart = valid & ((idx == 0) | p_changed)
-            is_tstart = valid & ((idx == 0) | o_changed)
-
-            start = jax.lax.cummax(jnp.where(is_pstart, idx, 0))
-            pos = idx - start                       # 0-based in partition
-            sid_p = jnp.cumsum(is_pstart.astype(jnp.int32)) - 1
-            run_id = jnp.cumsum(is_tstart.astype(jnp.int32)) - 1
-
-            # Padding rows would otherwise extend the last live tie-run and
-            # leak garbage backward through the peer broadcast — isolate
-            # them in their own run.
-            safe_run = jnp.where(valid, run_id, jnp.int32(1 << 30))
-
-            def peers_last(S):
-                """Broadcast each tie-run's LAST value to the whole run (the
-                SQL default RANGE frame includes peers): reverse, take-first
-                segmented scan over reversed run ids, reverse back."""
-                rev_sid = jnp.flip(jnp.int32(1 << 30) - safe_run)
-                first = doubling_segmented_scan(
-                    lambda cur, prev: prev, rev_sid, jnp.flip(S)
-                )
-                return jnp.flip(first)
-
-            def pscan(opname, x):
-                if _use_segscan(self.config.use_pallas):
-                    from harkdb_tpu.kernels.segscan import (
-                        flat_segscan, segscan_supported,
-                    )
-
-                    if segscan_supported(_SEGSCAN_NAME[opname], x.dtype):
-                        return flat_segscan(
-                            _SEGSCAN_NAME[opname], sid_p, [x],
-                            _neutral_py(opname, x.dtype),
-                            interpret=jax.default_backend() != "tpu",
-                        )[0]
-                return doubling_segmented_scan(_SCAN[opname], sid_p, x)
-
-            outs = []
-            for si, (out_name, func, _arg, *_rest) in enumerate(specs):
-                params = specs[si][6]
-                if func == "row_number":
-                    o = pos + 1
-                elif func == "rank":
-                    tstart_idx = jax.lax.cummax(jnp.where(is_tstart, idx, 0))
-                    o = tstart_idx - start + 1
-                elif func == "dense_rank":
-                    g = jnp.cumsum(is_tstart.astype(jnp.int32))
-                    gp = jax.lax.cummax(jnp.where(is_pstart, g, 0))
-                    o = g - gp + 1
-                elif func in ("lag", "lead"):
-                    # ROWS-based (position, not peers) per the standard;
-                    # partition edges fill with the default (0 when omitted
-                    # — the engine's numeric model has no NULL).
-                    x = s_args[arg_slot[si]]
-                    off = min(int(params[0]) if params else 1, cap)
-                    dflt = jnp.asarray(
-                        params[1] if len(params) > 1 else 0, x.dtype
-                    )
-                    fill = jnp.full((off,), dflt, x.dtype)
-                    # Validity-isolated sid (mirrors safe_run): padding rows
-                    # inherit the last live partition's sid_p (is_pstart is
-                    # masked by valid), so a raw sid_p comparison lets
-                    # lead() on the last live row of the last partition
-                    # match a padding neighbor and return its value —
-                    # arbitrary garbage on the Pallas compaction path.
-                    ssid = jnp.where(valid, sid_p, jnp.int32(-7))
-                    sfill = jnp.full((off,), -8, sid_p.dtype)
-                    if func == "lag":
-                        shifted = jnp.concatenate([fill, x[:cap - off]])
-                        nbr_sid = jnp.concatenate(
-                            [sfill, ssid[:cap - off]]
-                        )
-                    else:
-                        shifted = jnp.concatenate([x[off:], fill])
-                        nbr_sid = jnp.concatenate([ssid[off:], sfill])
-                    o = jnp.where(nbr_sid == ssid, shifted, dflt)
-                elif func == "first_value":
-                    # take-first segmented scan propagates each partition's
-                    # first value forward
-                    o = doubling_segmented_scan(
-                        lambda cur, prev: prev, sid_p,
-                        s_args[arg_slot[si]],
-                    )
-                elif func == "last_value":
-                    # SQL default frame: the LAST PEER's value (the famous
-                    # last_value-with-default-frame behavior)
-                    o = peers_last(s_args[arg_slot[si]])
-                elif func == "count":
-                    o = peers_last(pos + 1)        # rows up to last peer
-                elif func == "avg":
-                    x = s_args[arg_slot[si]]
-                    s = peers_last(pscan("sum", x.astype(jnp.float32)))
-                    c = peers_last(pos + 1).astype(jnp.float32)
-                    o = s / jnp.maximum(c, 1.0)
-                else:                               # sum / prod / min / max
-                    x = s_args[arg_slot[si]]
-                    o = peers_last(pscan(func, x))
-                outs.append((out_name, o))
-
-            restored = jax.lax.sort(
-                [s_idx] + [o for _n, o in outs], num_keys=1, is_stable=False,
-            )[1:]
-            for (out_name, _o), col in zip(outs, restored):
-                cols[out_name] = col
-
-        return ColumnBatch(cols, batch.n_valid)
 
     def run_tail(self, batch: ColumnBatch, filter_mask=None) -> ColumnBatch:
         """Post-aggregation tail: avg computes → HAVING → projection →
@@ -1635,6 +1415,18 @@ class QueryPlan:
                     gcols[out] = gcols[s].astype(jnp.float32) / jnp.maximum(
                         gcols[c], 1
                     ).astype(jnp.float32)
+                elif kind == "mask0":
+                    # NULL-skipping min/max/prod: groups with no matched
+                    # rows yield 0 (the engine's no-NULL stand-in),
+                    # masking off the sentinel neutral.
+                    gcols[out] = jnp.where(
+                        gcols[c] > 0, gcols[s],
+                        jnp.zeros((), gcols[s].dtype),
+                    )
+                elif kind == "subd":
+                    # NULL-skipping COUNT(DISTINCT): subtract the sentinel
+                    # value's contribution where any unmatched row exists.
+                    gcols[out] = gcols[s] - gcols[c]
             batch = ColumnBatch(gcols, batch.n_valid)
 
         # HAVING — fused into the DISTINCT / ORDER BY sort when one follows.
@@ -1654,6 +1446,15 @@ class QueryPlan:
             out_cols[f"#out{i}"] = eval_expr(
                 expr, cols, batch.capacity, self.config
             )
+        # Trailing hidden NULL indicators for nullable outputs (flags may be
+        # absent post-grouping when the output is not a group key — then the
+        # output is never NULL and no flag is needed).
+        for i, flags in enumerate(getattr(self, "output_null_flags", [])):
+            if flags and all(f in cols for f in flags):
+                m = cols[flags[0]]
+                for f in flags[1:]:
+                    m = m * cols[f]
+                out_cols[f"#nullflag{i}"] = m.astype(jnp.int32)
         out = ColumnBatch(out_cols, batch.n_valid)
 
         # DISTINCT: lexicographic sort of the output tuple (pads last), then
@@ -1753,215 +1554,13 @@ class QueryPlan:
         return "\n".join(lines)
 
 
-class UnionPlan:
-    """UNION / UNION ALL of SELECT arms (no reference analog — its grammar
-    is single-SELECT only, ``parse.py:27-33``).
-
-    Each arm plans independently (sharing the full planner: pushdown, MXU
-    gate, string lowering); the union itself is a small eager tail over the
-    arms' packed results — concatenate live rows, dedupe at every non-ALL
-    junction (left-associative, standard SQL), then the trailing
-    ORDER BY / LIMIT / OFFSET over the combined rows. String outputs merge
-    their dictionaries position-wise (codes remap through host LUTs so the
-    merged column stays lexicographically ordered)."""
-
-    def __init__(self, stmt, tables: Dict[str, Table],
-                 config: EngineConfig = DEFAULT_CONFIG):
-        self.stmt = stmt
-        self.config = config
-        self.arms = [QueryPlan(arm, tables, config) for arm in stmt.arms]
-        n_out = len(self.arms[0].output_names)
-        for p in self.arms[1:]:
-            if len(p.output_names) != n_out:
-                raise PlanError(
-                    "UNION arms must select the same number of columns"
-                )
-        self.output_names = list(self.arms[0].output_names)
-        self.alls = list(stmt.alls)
-        self.limit = stmt.limit
-        self.offset = stmt.offset
-
-        # Position-wise string dictionary merge across arms.
-        self.output_dicts = []
-        self._code_remaps = []       # per position: per-arm LUT or None
-        for j in range(n_out):
-            ds = [p.output_dicts[j] for p in self.arms]
-            if all(d is None for d in ds):
-                self.output_dicts.append(None)
-                self._code_remaps.append(None)
-                continue
-            if any(d is None for d in ds):
-                raise PlanError(
-                    f"UNION arms mix string and numeric values in column "
-                    f"{j + 1}"
-                )
-            merged = ds[0]
-            for d in ds[1:]:
-                merged = np.union1d(merged, d)
-            self.output_dicts.append(merged)
-            self._code_remaps.append([
-                None if np.array_equal(d, merged)
-                else np.searchsorted(merged, d).astype(np.int32)
-                for d in ds
-            ])
-
-        # Trailing ORDER BY resolves against output names or 1-based
-        # ordinals (the arms' internal columns are out of scope by then).
-        self.order_pos: List[Tuple[int, bool]] = []
-        for o in stmt.order_by:
-            e = o.expr
-            if (isinstance(e, Col) and e.table is None
-                    and e.name in self.output_names):
-                self.order_pos.append(
-                    (self.output_names.index(e.name), o.descending)
-                )
-            elif (isinstance(e, Lit) and isinstance(e.value, int)
-                    and 1 <= e.value <= n_out):
-                self.order_pos.append((e.value - 1, o.descending))
-            else:
-                raise PlanError(
-                    "UNION ORDER BY must reference an output column name "
-                    "or a 1-based column position"
-                )
-
-    def _arm_cols(self, ai: int, batch: ColumnBatch) -> List[jax.Array]:
-        """Live-row column slices of one arm's result, codes remapped into
-        the merged dictionaries."""
-        n = int(batch.n_valid)
-        cols = []
-        for j, internal in enumerate(batch.names):
-            col = batch.columns[internal][:n]
-            remaps = self._code_remaps[j]
-            if remaps is not None and remaps[ai] is not None:
-                col = jnp.asarray(remaps[ai])[col]
-            cols.append(col)
-        return cols
-
-    def _dedupe(self, cols: List[jax.Array]) -> List[jax.Array]:
-        """Distinct rows of a packed (no padding) column tuple."""
-        n = cols[0].shape[0]
-        if n == 0:
-            return cols
-        sorted_cols = jax.lax.sort(cols, num_keys=len(cols), is_stable=False)
-        idx = jnp.arange(n, dtype=jnp.int32)
-        changed = jnp.zeros((n,), jnp.bool_)
-        for c in sorted_cols:
-            prev = jnp.concatenate([c[:1], c[:-1]])
-            changed = changed | (c != prev)
-        keep = (idx == 0) | changed
-        b = compact_batch(
-            ColumnBatch(
-                {f"#u{j}": c for j, c in enumerate(sorted_cols)},
-                jnp.int32(n),
-            ),
-            keep,
-            self.config.use_pallas,
-        )
-        k = int(b.n_valid)
-        return [b.columns[f"#u{j}"][:k] for j in range(len(cols))]
-
-    def execute(self, tables: Dict[str, Table], mesh=None,
-                shard_cache=None) -> ColumnBatch:
-        cfg = self.config
-
-        def run_arm(p: QueryPlan) -> ColumnBatch:
-            if mesh is not None and mesh.devices.size > 1:
-                from harkdb_tpu.parallel.executor import DistExecutor
-
-                return DistExecutor(
-                    p, mesh, cfg, shard_cache=shard_cache
-                ).execute(tables)
-            return p.execute(tables)
-
-        acc: List[jax.Array] = []
-        for ai, p in enumerate(self.arms):
-            cols = self._arm_cols(ai, run_arm(p))
-            if ai == 0:
-                acc = cols
-                continue
-            merged = []
-            for a, c in zip(acc, cols):
-                if (jnp.issubdtype(a.dtype, jnp.floating)
-                        != jnp.issubdtype(c.dtype, jnp.floating)):
-                    tgt = jnp.dtype(cfg.float_dtype)
-                    # Integers beyond the float target's exact-integer span
-                    # would silently lose precision in the cast — corrupting
-                    # values AND making distinct-dedupe merge unequal rows.
-                    # The union tail is eager, so a range readback is cheap.
-                    span = 1 << (jnp.finfo(tgt).nmant + 1)
-                    for x in (a, c):
-                        if (not jnp.issubdtype(x.dtype, jnp.floating)
-                                and x.shape[0]
-                                and max(abs(int(jnp.min(x))),
-                                        abs(int(jnp.max(x)))) > span):
-                            raise PlanError(
-                                f"UNION mixes int and float values in a "
-                                f"column and an integer exceeds "
-                                f"{tgt.name}'s exact-integer span "
-                                f"(±{span}); the cast would corrupt it"
-                            )
-                    a, c = a.astype(tgt), c.astype(tgt)
-                merged.append(jnp.concatenate([a, c]))
-            acc = merged
-            if not self.alls[ai - 1]:
-                acc = self._dedupe(acc)
-
-        from harkdb_tpu.columnar.batch import align_capacity
-
-        total = int(acc[0].shape[0]) if acc else 0
-        cap = align_capacity(total, cfg.row_align)
-        out_cols = {}
-        for j, c in enumerate(acc):
-            pad = cap - c.shape[0]
-            if pad:
-                c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
-            out_cols[f"#out{j}"] = c
-        out = ColumnBatch(out_cols, jnp.int32(total))
-
-        if self.order_pos:
-            from harkdb_tpu.ops.sort import sort_batch
-
-            out = sort_batch(
-                out, [],
-                [d for _j, d in self.order_pos],
-                key_arrays=[out.columns[f"#out{j}"]
-                            for j, _d in self.order_pos],
-            )
-        if self.offset:
-            idx = jnp.arange(out.capacity, dtype=jnp.int32)
-            out = compact_batch(
-                out, idx >= jnp.int32(self.offset), cfg.use_pallas
-            )
-        if self.limit is not None:
-            out = ColumnBatch(
-                out.columns, jnp.minimum(out.n_valid, jnp.int32(self.limit))
-            )
-        return out
-
-    def explain(self) -> str:
-        lines = []
-        for i, p in enumerate(self.arms):
-            if i:
-                lines.append(
-                    "Union All" if self.alls[i - 1] else "Union (distinct)"
-                )
-            lines.extend("  " + ln for ln in p.explain().splitlines())
-        if self.order_pos:
-            lines.append("Sort " + ", ".join(
-                ("DESC" if d else "ASC") for _j, d in self.order_pos
-            ))
-        if self.offset:
-            lines.append(f"Offset {self.offset}")
-        if self.limit is not None:
-            lines.append(f"Limit {self.limit}")
-        return "\n".join(lines)
-
-
 def plan_query(tables: Dict[str, Table], sql: str,
                config: EngineConfig = DEFAULT_CONFIG):
     from harkdb_tpu.sql.ast_nodes import UnionStmt
 
     stmt = parse_sql(sql)
     if isinstance(stmt, UnionStmt):
+        from harkdb_tpu.plan.union_plan import UnionPlan
+
         return UnionPlan(stmt, tables, config)
     return QueryPlan(stmt, tables, config)

@@ -40,7 +40,7 @@ KEYWORDS = {
     "limit", "offset", "join", "inner", "left", "right", "outer", "on", "as", "and",
     "or", "not", "asc", "desc", "distinct", "in", "between", "like",
     "case", "when", "then", "else", "end", "union", "all",
-    "over", "partition",
+    "over", "partition", "is", "null",
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
@@ -317,6 +317,14 @@ class Parser:
 
     def parse_cmp(self):
         left = self.parse_add()
+        # x IS [NOT] NULL — the planner lowers to the LEFT-JOIN matched
+        # flag (false/true everywhere else: only unmatched LEFT-JOIN rows
+        # are NULL in this engine's model).
+        if self.eat_kw("is"):
+            neg_null = self.eat_kw("not")
+            self.expect_kw("null")
+            e = UnOp("isnull", left)
+            return UnOp("not", e) if neg_null else e
         # x [NOT] IN (v, ...)  — desugared to an OR-chain of equalities.
         negate = False
         if self.at_kw("not"):
