@@ -55,6 +55,55 @@ class ShuffleOverflow(RuntimeError):
     pass
 
 
+def _max_live(sb: ShardedBatch) -> int | None:
+    """Largest per-shard live count (host int), or None when shard counts
+    are not addressable from this process (multi-process runs)."""
+    if jax.process_count() > 1:
+        return None
+    import numpy as _np
+
+    c = _np.asarray(sb.shard_counts)
+    return int(c.max()) if c.size else 0
+
+
+def _start_bucket(sb: ShardedBatch, D: int) -> int:
+    """Initial shuffle bucket capacity, sized from LIVE rows when known.
+
+    Sizing from the block capacity instead ratchets chained shuffles: each
+    shuffle's output capacity is D*bucket_cap regardless of liveness, so a
+    groupby→orderby chain would grow 2-4x per stage even as live rows
+    shrink. The overflow-retry loop still covers underestimates."""
+    ml = _max_live(sb)
+    base = -(-sb.local_capacity // D) if ml is None else -(-max(ml, 1) // D)
+    return max(128, _next_pow2(base) * 2)
+
+
+def shrink_sharded(
+    sb: ShardedBatch, mesh: Mesh, config: EngineConfig = DEFAULT_CONFIG
+) -> ShardedBatch:
+    """Slice every shard's block down to the live high-water mark (power of
+    two, min 128) — undoes the D*bucket_cap padding a shuffle leaves behind
+    so chained stages keep per-device memory at ~live/D, not ~capacity.
+    No-op (and free) when counts are not host-addressable (multi-process)."""
+    ml = _max_live(sb)
+    if ml is None:
+        return sb
+    C = sb.local_capacity
+    C2 = max(128, _next_pow2(max(ml, 1)))
+    if C2 >= C:
+        return sb
+    axis = config.mesh_axis
+
+    def body(cols, cnt):
+        return {n: c[:C2] for n, c in cols.items()}, cnt
+
+    specs = ({n: P(axis) for n in sb.names}, P(axis))
+    f = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs,
+                              out_specs=specs))
+    cols, cnt = f(sb.columns, sb.shard_counts)
+    return ShardedBatch(cols, cnt)
+
+
 def dist_filter(
     sb: ShardedBatch,
     mask_fn: Callable[[Dict[str, Array], int], Array],
@@ -211,12 +260,14 @@ def dist_groupby(
                                      out_specs=specs_out,
                                      check_vma=not use_fast))
 
-    bucket_cap = max(128, _next_pow2(-(-C // D)) * 2)
+    bucket_cap = _start_bucket(sb, D)
     while True:
         f = make(bucket_cap)
         out_cols, out_counts, overflow = f(sb.columns, sb.shard_counts)
         if int(overflow) == 0:
-            return ShardedBatch(out_cols, out_counts)
+            return shrink_sharded(
+                ShardedBatch(out_cols, out_counts), mesh, config
+            )
         if bucket_cap >= C * 2:
             raise ShuffleOverflow("groupby shuffle bucket overflow")
         bucket_cap *= 2
@@ -275,14 +326,19 @@ def dist_window(
         return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
                                      out_specs=specs_out, check_vma=False))
 
-    bucket_cap = max(128, _next_pow2(-(-C // D)) * 2)
+    bucket_cap = _start_bucket(sb, D)
     while True:
         f = make(bucket_cap)
         out_cols, out_counts, overflow = f(sb.columns, sb.shard_counts)
         if int(overflow) == 0:
-            return ShardedBatch(out_cols, out_counts)
+            return shrink_sharded(
+                ShardedBatch(out_cols, out_counts), mesh, config
+            )
         if bucket_cap >= C * 2:
-            raise ShuffleOverflow("window shuffle bucket overflow")
+            # a global window routes EVERYTHING to shard 0: its bucket must
+            # hold all rows, which can exceed the input local capacity
+            if bucket_cap >= C * D:
+                raise ShuffleOverflow("window shuffle bucket overflow")
         bucket_cap *= 2
 
 
@@ -394,12 +450,14 @@ def dist_orderby(
         return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
                                      out_specs=specs_out))
 
-    bucket_cap = max(128, _next_pow2(-(-C // D)) * 2)
+    bucket_cap = _start_bucket(sb, D)
     while True:
         f = make(bucket_cap)
         out_cols, out_counts, overflow = f(sb.columns, sb.shard_counts)
         if int(overflow) == 0:
-            return ShardedBatch(out_cols, out_counts)
+            return shrink_sharded(
+                ShardedBatch(out_cols, out_counts), mesh, config
+            )
         if bucket_cap >= C * 2:
             raise ShuffleOverflow("orderby range-partition overflow")
         bucket_cap *= 2

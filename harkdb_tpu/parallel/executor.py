@@ -133,6 +133,30 @@ class DistExecutor:
             for spec in plan.window_specs:
                 by_parts.setdefault(spec[3], []).append(spec)
             for parts, specs in by_parts.items():
+                if not parts:
+                    # Global window (round-4 item 3): per-shard local scans
+                    # + a small carry exchange instead of funneling the
+                    # whole table through shard 0. Grouped by full
+                    # (ORDER BY) shape; lag/lead fall back to the shard-0
+                    # route.
+                    from harkdb_tpu.parallel.global_window import (
+                        dist_global_window, supports_global,
+                    )
+
+                    by_shape: Dict[tuple, list] = {}
+                    for s in specs:
+                        by_shape.setdefault((s[4], s[5]), []).append(s)
+                    rest = []
+                    for _shape, shp_specs in by_shape.items():
+                        if supports_global(shp_specs):
+                            work = dist_global_window(
+                                work, shp_specs, self.mesh, self.config
+                            )
+                        else:
+                            rest.extend(shp_specs)
+                    if not rest:
+                        continue
+                    specs = rest
                 win_names = [s[0] for s in specs]
                 work = dist_window(
                     work, parts,
@@ -179,6 +203,11 @@ class DistExecutor:
                 work, keys, agg_specs, self.mesh, self.config, pre_fn,
                 fast=fast,
             )
+            if self.config.dist_tail:
+                # Round-4: the grouped tail stays SHARDED through HAVING /
+                # ORDER BY / LIMIT (shards hold disjoint key sets) — no
+                # device ever materializes the full group set.
+                return self._dist_tail(work, [], grouped=True)
             gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
             # Disjoint key sets per shard → one global sort restores the
             # ascending-key output contract (u32 bit order under the
@@ -195,7 +224,8 @@ class DistExecutor:
                 gathered = sort_batch(gathered, keys)
         else:
             if self.config.dist_tail:
-                return self._ungrouped_tail(work, join_keys_newest_first)
+                return self._dist_tail(work, join_keys_newest_first,
+                                       grouped=False)
             gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
             # Window shuffles scatter rows off their original shards, so the
             # gathered result must re-sort by row id even without joins.
@@ -257,23 +287,64 @@ class DistExecutor:
         plan._probed_fast_dist = fast if fast is not None else ()
         return fast
 
-    def _ungrouped_tail(self, work, join_keys_newest_first) -> ColumnBatch:
-        """Sharded tail for ungrouped queries (round-2 verdict item 4: stop
-        replicating full ungrouped results on every device).
+    def _dist_tail(self, work, join_keys_newest_first,
+                   grouped: bool = False) -> ColumnBatch:
+        """Sharded post-pipeline tail (round-2 item 4 ungrouped; round-4
+        item 1 grouped): HAVING / ORDER BY / OFFSET / LIMIT / projection all
+        run per shard — no device ever materializes the full row/group set.
 
-        ORDER BY runs as a distributed range-partitioned sort
+        Ungrouped: ORDER BY runs as a distributed range-partitioned sort
         (``dist_orderby``) whose tie chain — order keys, then join keys +
         hidden row ids, then pre-shuffle global position — makes the output
-        bit-identical to the single-chip stable sort; OFFSET/LIMIT take each
-        shard's slice of the global window (``dist_head``); projection is a
-        per-shard map. Every stage keeps per-device memory at ~1/D of the
-        global rows. Final delivery: single-process runs STREAM shard blocks
-        to the host (no device replication); multi-process runs all_gather —
-        every process must hand the full result to its caller (documented
-        trade-off, tests/test_multihost.py).
+        bit-identical to the single-chip stable sort.
+
+        Grouped: shards hold DISJOINT key sets after ``dist_groupby``, so
+        HAVING is shard-local (``dist_filter``), avg/null-fix derivations
+        are per-shard maps, and the ascending-key output contract (or the
+        user ORDER BY, tie-broken by the exec group keys exactly like the
+        single-chip stable sort over key-ordered groups) is one
+        ``dist_orderby``. OFFSET/LIMIT take each shard's slice of the
+        global window (``dist_head``). Final delivery: single-process runs
+        STREAM shard blocks to the host (no device replication);
+        multi-process runs all_gather — every process must hand the full
+        result to its caller (documented trade-off, tests/test_multihost.py).
+        ``last_tail_capacities`` records (stage, per-device capacity) for
+        the 1/D-memory invariant tests.
         """
         plan, cfg = self.plan, self.config
         final_items = list(plan.final_items)
+        caps = [("in", work.local_capacity)]
+        post = list(plan.post_computes) if grouped else []
+
+        def aug(cols, cap):
+            """Post-aggregation derived columns (avg / null-fixes) for
+            HAVING / ORDER BY / projection expressions — same math as
+            run_tail's post_computes block."""
+            if not post:
+                return cols
+            g = dict(cols)
+            for out, (kind, s, c) in post:
+                if kind == "avg":
+                    g[out] = g[s].astype(jnp.float32) / jnp.maximum(
+                        g[c], 1
+                    ).astype(jnp.float32)
+                elif kind == "mask0":
+                    g[out] = jnp.where(
+                        g[c] > 0, g[s], jnp.zeros((), g[s].dtype)
+                    )
+                elif kind == "subd":
+                    g[out] = g[s] - g[c]
+            return g
+
+        if grouped and plan.having is not None:
+            hv = plan.having
+            work = dist_filter(
+                work,
+                lambda cols, cap: eval_expr(hv, aug(cols, cap), cap, cfg),
+                self.mesh, cfg,
+            )
+            caps.append(("having", work.local_capacity))
+
         out_names = [f"#out{i}" for i in range(len(final_items))]
         # Hidden NULL indicators (LEFT-JOIN matched flags) per nullable
         # output — same trailing columns run_tail emits single-chip.
@@ -285,8 +356,9 @@ class DistExecutor:
         out_names = out_names + [f"#nullflag{i}" for i, _f in nf_specs]
 
         def project(cols, cap):
+            g = aug(cols, cap)
             out = {
-                f"#out{i}": eval_expr(e, cols, cap, cfg)
+                f"#out{i}": eval_expr(e, g, cap, cfg)
                 for i, (e, _n) in enumerate(final_items)
             }
             for i, flags in nf_specs:
@@ -315,9 +387,21 @@ class DistExecutor:
                 return [cols[k] for k in keys]
 
             work = dist_orderby(work, dkeys_fn, descs, self.mesh, cfg)
+            caps.append(("distinct", work.local_capacity))
         else:
             tie_names: List[str] = []
-            if join_keys_newest_first or plan.window_specs:
+            u32_ties = False
+            if grouped:
+                # Shards hold disjoint key sets in hash order; one range
+                # partition restores the global ascending-key contract —
+                # the sharded analog of the gather-side sort. A user ORDER
+                # BY leads the chain; the exec keys tie-break exactly like
+                # the single-chip stable sort over key-ordered groups.
+                tie_names = [
+                    k for k in plan.group_exec_keys if k in work.columns
+                ]
+                u32_ties = cfg.compat_u32_key_order
+            elif join_keys_newest_first or plan.window_specs:
                 # Windows shuffled rows off their original shards — row ids
                 # (and join keys, when joined) restore single-chip order.
                 tie_names = [
@@ -330,20 +414,29 @@ class DistExecutor:
                 descs += [False] * len(tie_names)
 
                 def keys_fn(cols, cap):
+                    g = aug(cols, cap)
                     ks = [
-                        eval_expr(e, cols, cap, cfg)
+                        eval_expr(e, g, cap, cfg)
                         for e, _d in order_exprs
                     ]
-                    ks += [cols[k] for k in tie_names]
+                    if u32_ties:
+                        from harkdb_tpu.ops.groupby import u32_order_key
+
+                        ks += [u32_order_key(cols[k]) for k in tie_names]
+                    else:
+                        ks += [cols[k] for k in tie_names]
                     return ks
 
                 work = dist_orderby(work, keys_fn, descs, self.mesh, cfg)
+                caps.append(("orderby", work.local_capacity))
             work = dist_map(work, project, out_names, self.mesh, cfg)
 
         if plan.offset or plan.limit is not None:
             work = dist_head(
                 work, plan.offset or 0, plan.limit, self.mesh, cfg
             )
+            caps.append(("head", work.local_capacity))
+        self.last_tail_capacities = caps
 
         import jax
 

@@ -143,6 +143,51 @@ class TestMemoryProperty:
         got = np.concatenate([blocks[i, :counts[i]] for i in range(D)])
         np.testing.assert_array_equal(got, np.sort(v))
 
+    def test_grouped_tail_stays_sharded(self, mesh, rng):
+        """Round-4 verdict item 1: a high-cardinality grouped query keeps
+        per-device capacities ~1/D of the group count through the ENTIRE
+        tail (HAVING / ORDER BY / LIMIT) and stays bit-equal to the
+        single-chip result."""
+        from harkdb_tpu.parallel.executor import DistExecutor
+
+        n = 1 << 17
+        n_groups = 1 << 16                 # >= 64K distinct keys
+        df = pd.DataFrame({
+            "k": rng.permutation(
+                np.tile(np.arange(n_groups, dtype=np.int32), n // n_groups)
+            ),
+            "v": rng.integers(-50, 50, n).astype(np.int32),
+        })
+        dc = Context(CFG, mesh=mesh)
+        sc = Context(CFG)
+        for c in (dc, sc):
+            c.create_table("t", df)
+        q = ("select k, sum(v) as s, count(*) as c from t group by k "
+             "having count(*) >= 1 order by k limit 200000")
+        got = dc.sql(q)
+        np.testing.assert_array_equal(got, sc.sql(q))
+        # per-device capacity bound: every recorded tail stage holds
+        # O(groups/D) rows (4x slack: power-of-two buckets + row_align)
+        plan = dc._plan(q)
+        ex = DistExecutor(plan, mesh, CFG, shard_cache=dc._shard_cache)
+        ex.execute(dc.tables)
+        D = mesh.devices.size
+        for stage, cap in ex.last_tail_capacities:
+            assert cap <= (n_groups // D) * 4, (stage, cap, n_groups // D)
+
+    def test_grouped_avg_having_on_avg(self, pair):
+        assert_same(
+            *pair,
+            "select k, avg(v) as a from t group by k "
+            "having avg(v) > -5 order by a desc, k limit 7",
+        )
+
+    def test_grouped_distinct_tail(self, pair):
+        assert_same(
+            *pair,
+            "select distinct w, count(*) from t group by w order by w",
+        )
+
     def test_dist_head_window(self, mesh, rng):
         n = 4096
         v = np.arange(n, dtype=np.int32)
