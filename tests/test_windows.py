@@ -285,6 +285,25 @@ class TestWindowsDistributed:
         "select dept, pay, lead(pay, 1, -999) over "
         "(partition by dept order by pay) as nx from emp "
         "order by dept, pay",
+        # GLOBAL windows (round-4 item 3): per-shard scans + carry exchange
+        # (parallel/global_window.py), not the shard-0 funnel
+        "select pay, row_number() over (order by pay desc, yr) as rn, "
+        "rank() over (order by pay desc) as rk, "
+        "dense_rank() over (order by pay desc) as dr from emp "
+        "order by rn",
+        "select pay, sum(pay) over (order by pay, yr) as rs, "
+        "count(pay) over (order by pay, yr) as rc, "
+        "min(pay) over (order by pay desc) as mn from emp "
+        "order by pay, yr",
+        "select pay, first_value(pay) over (order by pay desc) as fv, "
+        "last_value(pay) over (order by pay) as lv from emp "
+        "order by pay, yr limit 20",
+        # global window with no ORDER BY after a WHERE: totals broadcast
+        "select pay, sum(pay) over () as t, count(pay) over () as c, "
+        "max(pay) over () as mx from emp where pay > 70 order by pay, yr",
+        # lag over () takes the shard-0 fallback (needs a row halo)
+        "select pay, lag(pay, 1, -3) over (order by pay, yr) as lg "
+        "from emp order by pay, yr",
     ]
 
     @pytest.mark.parametrize("qi", range(len(QUERIES)))
@@ -304,6 +323,43 @@ class TestWindowsDistributed:
         pd.testing.assert_frame_equal(
             cs.sql_df(q), cm.sql_df(q), check_dtype=False
         )
+
+
+class TestGlobalWindowSharded:
+    def test_no_shard_funnel(self, rng):
+        """Round-4 item 3: an empty-PARTITION BY running sum keeps every
+        device at ~1/D of the rows (the old path routed everything to
+        shard 0) and matches the numpy oracle exactly (int sums)."""
+        from harkdb_tpu.config import EngineConfig
+        from harkdb_tpu.parallel import make_engine_mesh, shard_batch
+        from harkdb_tpu.parallel.global_window import dist_global_window
+        from harkdb_tpu.sql.ast_nodes import Col
+
+        cfg = EngineConfig()
+        mesh = make_engine_mesh(8)
+        D = 8
+        n = 1 << 14
+        v = rng.integers(-100, 100, n).astype(np.int32)
+        sb = shard_batch(
+            {"t.v": v, "#rid.t": np.arange(n, dtype=np.int32)}, n, mesh, cfg
+        )
+        spec = ("#win0", "sum", Col("t.v"), (), (Col("t.v"),), (False,), ())
+        out = dist_global_window(sb, [spec], mesh, cfg)
+        assert out.local_capacity <= (n // D) * 4, out.local_capacity
+        C = out.local_capacity
+        counts = np.asarray(out.shard_counts)
+        sv = np.asarray(out.columns["t.v"]).reshape(D, C)
+        wv = np.asarray(out.columns["#win0"]).reshape(D, C)
+        svc = np.concatenate([sv[i, :counts[i]] for i in range(D)])
+        wvc = np.concatenate([wv[i, :counts[i]] for i in range(D)])
+        vs = np.sort(v)
+        np.testing.assert_array_equal(svc, vs)
+        # SQL default frame includes peers: each tie run carries the run's
+        # last running-sum value
+        cs = np.cumsum(vs.astype(np.int64)).astype(np.int32)
+        exp = pd.DataFrame({"v": vs, "cs": cs}).groupby("v")["cs"] \
+            .transform("last").to_numpy()
+        np.testing.assert_array_equal(wvc, exp)
 
 
 class TestPositionalWindowFuncs:
