@@ -96,8 +96,13 @@ class DistExecutor:
             self.mesh, self.config,
         )
 
-    def execute(self, tables: Dict[str, Table]) -> ColumnBatch:
+    def execute(self, tables: Dict[str, Table], deliver: bool = True):
+        """Run the planned query over the mesh. ``deliver=False`` returns
+        the tail's SHARDED result (projected #out/#nullflag columns, no
+        gather) for composition — the UNION tail unions arms shard-wise.
+        Falls back to a delivered ColumnBatch on the non-dist-tail path."""
         plan = self.plan
+        self._deliver = deliver
         # Subqueries evaluate once, single-chip (their results are small
         # scalars / value sets), before the sharded pipeline reads the
         # plan's expression containers.
@@ -437,6 +442,9 @@ class DistExecutor:
             )
             caps.append(("head", work.local_capacity))
         self.last_tail_capacities = caps
+
+        if not getattr(self, "_deliver", True):
+            return work
 
         import jax
 

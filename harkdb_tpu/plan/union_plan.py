@@ -134,6 +134,10 @@ class UnionPlan:
                 shard_cache=None) -> ColumnBatch:
         cfg = self.config
 
+        if (mesh is not None and mesh.devices.size > 1 and cfg.dist_tail
+                and jax.process_count() == 1):
+            return self._execute_sharded(tables, mesh, shard_cache)
+
         def run_arm(p: QueryPlan) -> ColumnBatch:
             if mesh is not None and mesh.devices.size > 1:
                 from harkdb_tpu.parallel.executor import DistExecutor
@@ -207,6 +211,188 @@ class UnionPlan:
                 out.columns, jnp.minimum(out.n_valid, jnp.int32(self.limit))
             )
         return out
+
+    def _execute_sharded(self, tables: Dict[str, Table], mesh,
+                         shard_cache) -> ColumnBatch:
+        """Round-4 item 5: the union tail runs SHARDED — arms execute to
+        sharded projected results (``DistExecutor.execute(deliver=False)``),
+        concatenate shard-wise, dedupe at non-ALL junctions via the
+        tuple-hash ``dist_groupby``, and the trailing ORDER BY / OFFSET /
+        LIMIT run as ``dist_orderby``/``dist_head``. Per-device memory
+        stays at ~1/D of the combined rows; only the final (post-LIMIT)
+        result is delivered, streamed shard-block-wise.
+
+        Order parity with the single-chip tail: a hidden ``#upos`` column
+        carries each row's arm-concatenation position (regenerated as the
+        tuple rank after a dedupe, which leaves single-chip rows
+        tuple-sorted); the final sort's key chain is (ORDER BY outputs,
+        #upos) — bit-identical output. Single-process only (the gather
+        path remains for multi-process runs)."""
+        from jax.sharding import PartitionSpec as P
+
+        from harkdb_tpu.parallel.dist_ops import (
+            dist_groupby, dist_head, dist_map, dist_orderby, shrink_sharded,
+        )
+        from harkdb_tpu.parallel.executor import DistExecutor
+        from harkdb_tpu.parallel.sharded import ShardedBatch
+
+        cfg = self.config
+        axis = cfg.mesh_axis
+        D = mesh.devices.size
+        n_out = len(self.output_names)
+        out_names = [f"#out{j}" for j in range(n_out)]
+
+        def positions(sb: ShardedBatch, base: int) -> ShardedBatch:
+            """Append #upos = base + global live-row position (shard-block
+            order)."""
+            C = sb.local_capacity
+            names_in = sb.names
+            names2 = names_in + (
+                [] if "#upos" in names_in else ["#upos"]
+            )
+
+            def body(cols, cnt):
+                gc = jax.lax.all_gather(cnt, axis, axis=0, tiled=True)
+                i = jax.lax.axis_index(axis).astype(jnp.int32)
+                prefix = jnp.sum(jnp.where(
+                    jnp.arange(D, dtype=jnp.int32) < i, gc, 0
+                )).astype(jnp.int32)
+                out = dict(cols)
+                out["#upos"] = (jnp.int32(base) + prefix
+                                + jnp.arange(C, dtype=jnp.int32))
+                return out, cnt
+
+            f = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=({n: P(axis) for n in names_in}, P(axis)),
+                out_specs=({n: P(axis) for n in names2}, P(axis)),
+            ))
+            cols, cnt = f(sb.columns, sb.shard_counts)
+            return ShardedBatch(cols, cnt)
+
+        def concat(a: ShardedBatch, b: ShardedBatch) -> ShardedBatch:
+            """Shard-wise concatenation, repacked live-first (stable sort
+            on the dropped flag — same trick as shuffle.compact_received)."""
+            Ca, Cb = a.local_capacity, b.local_capacity
+            names2 = a.names
+
+            def body(ca, cnta, cb, cntb):
+                na, nb = cnta[0], cntb[0]
+                ia = jnp.arange(Ca, dtype=jnp.int32)
+                ib = jnp.arange(Cb, dtype=jnp.int32)
+                live = jnp.concatenate([ia < na, ib < nb])
+                dropped = jnp.logical_not(live).astype(jnp.int32)
+                ops = jax.lax.sort(
+                    [dropped] + [jnp.concatenate([ca[n], cb[n]])
+                                 for n in names2],
+                    num_keys=1, is_stable=True,
+                )
+                return (dict(zip(names2, ops[1:])),
+                        (na + nb).reshape(1))
+
+            f = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=({n: P(axis) for n in names2}, P(axis),
+                          {n: P(axis) for n in names2}, P(axis)),
+                out_specs=({n: P(axis) for n in names2}, P(axis)),
+            ))
+            cols, cnt = f(a.columns, a.shard_counts,
+                          b.columns, b.shard_counts)
+            return ShardedBatch(cols, cnt)
+
+        def dedupe(sb: ShardedBatch) -> ShardedBatch:
+            """Distinct tuples in global tuple order with fresh positions
+            (single-chip dedupe leaves rows tuple-sorted)."""
+            sb = dist_groupby(
+                ShardedBatch({n: sb.columns[n] for n in out_names},
+                             sb.shard_counts),
+                out_names, [], mesh, cfg,
+            )
+            sb = dist_orderby(
+                sb, lambda cols, cap: [cols[n] for n in out_names],
+                [False] * n_out, mesh, cfg,
+            )
+            return positions(sb, 0)
+
+        acc = None
+        base = 0
+        for ai, p in enumerate(self.arms):
+            sb = DistExecutor(
+                p, mesh, cfg, shard_cache=shard_cache
+            ).execute(tables, deliver=False)
+            # Drop hidden NULL flags (documented: UNION does not propagate
+            # LEFT-JOIN NULLs) and apply merged-dictionary code remaps.
+            sb = ShardedBatch(
+                {n: sb.columns[n] for n in out_names}, sb.shard_counts
+            )
+            remaps = [
+                (j, self._code_remaps[j][ai]) for j in range(n_out)
+                if self._code_remaps[j] is not None
+                and self._code_remaps[j][ai] is not None
+            ]
+            if remaps:
+                def remap_fn(cols, cap, _r=remaps):
+                    out = dict(cols)
+                    for j, lut in _r:
+                        out[f"#out{j}"] = jnp.asarray(lut)[jnp.clip(
+                            cols[f"#out{j}"], 0, len(lut) - 1
+                        )]
+                    return out
+
+                sb = dist_map(sb, remap_fn, out_names, mesh, cfg)
+            sb = positions(sb, base)
+            base += int(np.asarray(sb.shard_counts).sum())
+            if acc is None:
+                acc = sb
+                continue
+            # dtype promotion (+ the exact-integer-span guard — padding
+            # rows are zero and never trip it)
+            casts = []
+            for j in range(n_out):
+                a_ = acc.columns[f"#out{j}"]
+                c_ = sb.columns[f"#out{j}"]
+                if (jnp.issubdtype(a_.dtype, jnp.floating)
+                        != jnp.issubdtype(c_.dtype, jnp.floating)):
+                    tgt = jnp.dtype(cfg.float_dtype)
+                    span = 1 << (jnp.finfo(tgt).nmant + 1)
+                    for x in (a_, c_):
+                        if (not jnp.issubdtype(x.dtype, jnp.floating)
+                                and max(abs(int(jnp.min(x))),
+                                        abs(int(jnp.max(x)))) > span):
+                            raise PlanError(
+                                f"UNION mixes int and float values in a "
+                                f"column and an integer exceeds "
+                                f"{tgt.name}'s exact-integer span "
+                                f"(±{span}); the cast would corrupt it"
+                            )
+                    casts.append((j, tgt))
+            if casts:
+                def cast_fn(cols, cap, _c=casts):
+                    out = dict(cols)
+                    for j, tgt in _c:
+                        out[f"#out{j}"] = cols[f"#out{j}"].astype(tgt)
+                    return out
+
+                acc = dist_map(acc, cast_fn, acc.names, mesh, cfg)
+                sb = dist_map(sb, cast_fn, sb.names, mesh, cfg)
+            acc = shrink_sharded(concat(acc, sb), mesh, cfg)
+            if not self.alls[ai - 1]:
+                acc = dedupe(acc)
+                base = int(np.asarray(acc.shard_counts).sum())
+
+        # Final global order: trailing ORDER BY outputs, tie #upos —
+        # reproduces the single-chip stable sort over concat/dedupe order.
+        keys = [f"#out{j}" for j, _d in self.order_pos] + ["#upos"]
+        descs = [d for _j, d in self.order_pos] + [False]
+        acc = dist_orderby(
+            acc, lambda cols, cap, _k=keys: [cols[k] for k in _k],
+            descs, mesh, cfg,
+        )
+        if self.offset or self.limit is not None:
+            acc = dist_head(acc, self.offset or 0, self.limit, mesh, cfg)
+        return ShardedBatch(
+            {n: acc.columns[n] for n in out_names}, acc.shard_counts
+        ).to_batch()
 
     def explain(self) -> str:
         lines = []

@@ -205,3 +205,86 @@ class TestUnionDistributed:
         pd.testing.assert_frame_equal(
             cm.sql_df(q), cs.sql_df(q), check_dtype=False
         )
+
+    QUERIES = [
+        # plain UNION ALL, no ORDER BY: output must reproduce the
+        # single-chip arm-concatenation order (#upos tie)
+        "select k, v from a union all select k, v from b",
+        "select k, v from a union select k, v from b order by k, v",
+        "select k, v from a where v > 40 union all select k, v from b "
+        "order by v desc, k limit 17",
+        # mixed ALL / distinct junctions, offset window
+        "select k from a union select k from b union all select k from a "
+        "order by k limit 10 offset 3",
+        # int/float promotion through the sharded tail
+        "select k, avg(v) as x from a group by k "
+        "union all select k, v from b order by x, k limit 25",
+    ]
+
+    @pytest.mark.parametrize("qi", range(len(QUERIES)))
+    def test_sharded_tail_matches_single(self, rng, qi):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        a = pd.DataFrame({
+            "k": rng.integers(0, 9, 400).astype(np.int32),
+            "v": rng.integers(0, 100, 400).astype(np.int32),
+        })
+        b = pd.DataFrame({
+            "k": rng.integers(4, 12, 250).astype(np.int32),
+            "v": rng.integers(0, 100, 250).astype(np.int32),
+        })
+        cs = Context()
+        cm = Context(mesh=make_engine_mesh(8))
+        for c in (cs, cm):
+            c.create_table("a", a)
+            c.create_table("b", b)
+        q = self.QUERIES[qi]
+        pd.testing.assert_frame_equal(
+            cm.sql_df(q), cs.sql_df(q), check_dtype=False
+        )
+
+    def test_string_union_distributed(self, rng):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        s1 = pd.DataFrame({"s": rng.choice(["ant", "bee", "cat"], 200),
+                           "n": rng.integers(0, 50, 200).astype(np.int32)})
+        s2 = pd.DataFrame({"s": rng.choice(["bee", "dog", "elk"], 150),
+                           "n": rng.integers(0, 50, 150).astype(np.int32)})
+        cs = Context()
+        cm = Context(mesh=make_engine_mesh(8))
+        for c in (cs, cm):
+            c.create_table("s1", s1)
+            c.create_table("s2", s2)
+        q = ("select s, n from s1 union select s, n from s2 "
+             "order by s, n limit 30")
+        pd.testing.assert_frame_equal(cm.sql_df(q), cs.sql_df(q))
+
+    def test_union_all_memory_stays_sharded(self, rng):
+        """Round-4 item 5: an 8-device UNION ALL of two large tables keeps
+        per-device capacity at ~1/D of the combined rows through the tail."""
+        from harkdb_tpu.parallel import make_engine_mesh
+        from harkdb_tpu.parallel import sharded as _sh
+
+        mesh = make_engine_mesh(8)
+        n = 1 << 15
+        a = pd.DataFrame({"v": rng.integers(0, 1 << 20, n).astype(np.int32)})
+        b = pd.DataFrame({"v": rng.integers(0, 1 << 20, n).astype(np.int32)})
+        cm = Context(mesh=mesh)
+        cm.create_table("a", a)
+        cm.create_table("b", b)
+        seen = []
+        orig = _sh.ShardedBatch.to_batch
+
+        def spy(self):
+            seen.append(self.local_capacity)
+            return orig(self)
+
+        _sh.ShardedBatch.to_batch = spy
+        try:
+            got = cm.sql_df(
+                "select v from a union all select v from b order by v"
+            )
+        finally:
+            _sh.ShardedBatch.to_batch = orig
+        assert len(got) == 2 * n
+        assert seen and seen[-1] <= (2 * n // 8) * 4, seen
