@@ -53,7 +53,12 @@ _SCAN = {"sum": jnp.add, "prod": jnp.multiply,
 
 
 def supports_global(specs: Sequence[Tuple]) -> bool:
-    return all(s[1] in GLOBAL_FUNCS for s in specs)
+    """Carry-path eligibility: explicit ROWS frames fall back to the
+    shard-0 route (a bounded frame spans shard boundaries)."""
+    return all(
+        s[1] in GLOBAL_FUNCS and (len(s) <= 7 or s[7] is None)
+        for s in specs
+    )
 
 
 def dist_global_window(
@@ -74,7 +79,7 @@ def dist_global_window(
     axis = config.mesh_axis
     D = mesh.devices.size
     cfg = config
-    _out0, _f0, _a0, _p0, oexprs, descs, _pp0 = specs[0]
+    _out0, _f0, _a0, _p0, oexprs, descs, *_rest0 = specs[0]
     oexprs, descs = list(oexprs), list(descs)
 
     # ---- stage 1: global order (ORDER BY keys + rid tie) -----------------
@@ -171,7 +176,7 @@ def dist_global_window(
         total_rows = jnp.sum(rows_g).astype(jnp.int32)
         out = dict(cols)
         pos = idx                                   # local 0-based position
-        for (out_name, func, arg, _p, _oe, _ds, params) in specs:
+        for (out_name, func, arg, _p, _oe, _ds, params, *_r) in specs:
             x = None
             if arg is not None:
                 x = eval_expr(arg, cols, C, cfg)

@@ -155,7 +155,7 @@ class _Resolver:
                 tuple(Col(self.resolve_col(p)) for p in expr.partition_by),
                 tuple(OrderItem(self.rewrite(o.expr), o.descending)
                       for o in expr.order_by),
-                expr.params,
+                expr.params, expr.frame,
             )
         if isinstance(expr, BinOp):
             return BinOp(expr.op, self.rewrite(expr.left), self.rewrite(expr.right))
@@ -750,6 +750,14 @@ class QueryPlan(StringLowering):
                         f"{node.func} over a string column does not "
                         f"support an explicit default"
                     )
+            if node.frame is not None:
+                if node.func == "prod" and node.frame[1] is not None:
+                    raise PlanError(
+                        "PROD does not support a bounded ROWS frame "
+                        "(no inverse for the sliding combine)"
+                    )
+                if node.frame[1] is not None and node.frame[1] < 0:
+                    raise PlanError("Frame bound must be non-negative")
             self.window_specs.append((
                 out, node.func,
                 None if (node.arg is None or isinstance(node.arg, Star))
@@ -758,6 +766,7 @@ class QueryPlan(StringLowering):
                 tuple(o.expr for o in node.order_by),
                 tuple(o.descending for o in node.order_by),
                 tuple(node.params),
+                node.frame,
             ))
             win_map[node] = out
         if win_nodes:
@@ -885,7 +894,7 @@ class QueryPlan(StringLowering):
         used |= set(self.group_keys)
         for _rb, lk, rk, _k in self.join_steps:
             used |= {lk, rk}
-        for _out, _f, arg, parts, oexprs, _ds, _pp in self.window_specs:
+        for _out, _f, arg, parts, oexprs, _ds, *_rest in self.window_specs:
             used |= set(parts)
             if arg is not None:
                 used |= {n.name for n in walk(arg) if isinstance(n, Col)}
@@ -970,7 +979,7 @@ class QueryPlan(StringLowering):
                 e.func, arg, e.partition_by,
                 tuple(OrderItem(self._lower_isnull(o.expr), o.descending)
                       for o in e.order_by),
-                e.params,
+                e.params, e.frame,
             )
         return e
 
@@ -992,7 +1001,7 @@ class QueryPlan(StringLowering):
             yield e
         for _i, e in self.agg_arg_cols:
             yield e
-        for _out, _f, arg, _p, oexprs, _d, _pp in self.window_specs:
+        for _out, _f, arg, _p, oexprs, _d, *_rest in self.window_specs:
             if arg is not None:
                 yield arg
             for oe in oexprs:
@@ -1133,8 +1142,9 @@ class QueryPlan(StringLowering):
         self.window_specs = [
             (out, f,
              lower(arg) if arg is not None else None,
-             parts, tuple(lower(oe) for oe in oexprs), descs, pp)
-            for out, f, arg, parts, oexprs, descs, pp in self.window_specs
+             parts, tuple(lower(oe) for oe in oexprs), descs, pp, frame)
+            for out, f, arg, parts, oexprs, descs, pp, frame
+            in self.window_specs
         ]
         # Deferred string-literal misuse (e.g. a str literal compared only
         # against a numeric subquery result) surfaces here, post-lowering.

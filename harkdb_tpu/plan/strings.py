@@ -200,7 +200,7 @@ class StringLowering:
                 e.func, arg, e.partition_by,
                 tuple(OrderItem(self._lower_strings(o.expr), o.descending)
                       for o in e.order_by),
-                e.params,
+                e.params, e.frame,
             )
         if isinstance(e, Case):
             whens = tuple(

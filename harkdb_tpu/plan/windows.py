@@ -61,7 +61,7 @@ def compute_windows(plan, batch: ColumnBatch,
 
     groups: Dict[tuple, List[tuple]] = {}
     for spec in (plan.window_specs if specs is None else specs):
-        _out, _f, _arg, parts, oexprs, descs, _pp = spec
+        _out, _f, _arg, parts, oexprs, descs, *_rest = spec
         groups.setdefault((parts, oexprs, descs), []).append(spec)
 
     # Tie-break on the GLOBAL row id (falls back to original position
@@ -192,8 +192,76 @@ def compute_windows(plan, batch: ColumnBatch,
                     )[0]
             return doubling_segmented_scan(_SCAN[opname], sid_p, x)
 
+        # ---- explicit ROWS frames ----------------------------------------
+        ssid_w = jnp.where(valid, sid_p, jnp.int32(-7))
+
+        def shift_prev(a, s, fill):
+            if s <= 0:
+                return a
+            s = min(s, cap)
+            return jnp.concatenate(
+                [jnp.full((s,), fill, a.dtype), a[:cap - s]]
+            )
+
+        def frame_sum_diff(S, L):
+            """Sliding-window sum of width L from the partition-local
+            inclusive scan: S[i] - S[i-L], 0 when i-L crosses the
+            partition start (exact under two's-complement for ints)."""
+            prev_s = shift_prev(S, L, jnp.zeros((), S.dtype))
+            prev_sid = shift_prev(ssid_w, L, jnp.int32(-9))
+            return S - jnp.where(prev_sid == ssid_w, prev_s,
+                                 jnp.zeros((), S.dtype))
+
+        def sliding_minmax(opname, x, L):
+            """min/max over the last L rows within the partition: log2(L)
+            doubling passes build partition-clamped pow2 windows, then two
+            overlapping windows cover L (idempotent ops)."""
+            ne = jnp.asarray(_neutral_py(opname, x.dtype), x.dtype)
+            op = _SCAN[opname]
+            m = jnp.where(valid, x, ne)
+            w = 1
+            while w * 2 <= L:
+                sh = shift_prev(m, w, ne)
+                sid_sh = shift_prev(ssid_w, w, jnp.int32(-9))
+                m = op(m, jnp.where(sid_sh == ssid_w, sh, ne))
+                w *= 2
+            rem = L - w
+            if rem:
+                sh = shift_prev(m, rem, ne)
+                sid_sh = shift_prev(ssid_w, rem, jnp.int32(-9))
+                m = op(m, jnp.where(sid_sh == ssid_w, sh, ne))
+            return m
+
         for si, (out_name, func, _arg, *_rest) in enumerate(gspecs):
             params = gspecs[si][6]
+            frame = gspecs[si][7] if len(gspecs[si]) > 7 else None
+            if frame is not None:
+                # ROWS frame: positional, peers excluded. frame[1] is None
+                # (UNBOUNDED PRECEDING) or k (k PRECEDING); the high bound
+                # is always CURRENT ROW (parser-enforced).
+                k = frame[1]
+                L = None if k is None else min(k + 1, cap)
+                if func == "count":
+                    o = pos + 1 if L is None else jnp.minimum(pos + 1, L)
+                elif func == "avg":
+                    x = state[arg_slot[si]].astype(jnp.float32)
+                    s = (pscan("sum", x) if L is None
+                         else frame_sum_diff(pscan("sum", x), L))
+                    c = (pos + 1 if L is None
+                         else jnp.minimum(pos + 1, L)).astype(jnp.float32)
+                    o = s / jnp.maximum(c, 1.0)
+                elif func in ("sum", "prod") or (
+                    func in ("min", "max") and L is None
+                ):
+                    x = state[arg_slot[si]]
+                    S = pscan(func, x)
+                    o = S if L is None else frame_sum_diff(S, L)
+                else:                       # bounded min / max
+                    o = sliding_minmax(func, state[arg_slot[si]], L)
+                key = ("out", out_name)
+                state[key] = o
+                out_keys.append((out_name, key))
+                continue
             if func == "row_number":
                 o = pos + 1
             elif func == "rank":

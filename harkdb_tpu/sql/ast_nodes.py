@@ -74,14 +74,17 @@ class WindowFn:
     Funcs: row_number / rank / dense_rank (no argument), the aggregates
     sum/count/min/max/avg/prod, and the positional functions
     lag/lead (``params`` = (offset, default), ROWS-based per the standard)
-    and first_value/last_value. Frame semantics are the SQL defaults: with
-    ORDER BY, RANGE UNBOUNDED PRECEDING..CURRENT ROW (running aggregate,
-    peers included); without, the whole partition."""
+    and first_value/last_value. Default frame semantics (``frame=None``):
+    with ORDER BY, RANGE UNBOUNDED PRECEDING..CURRENT ROW (running
+    aggregate, peers included); without, the whole partition. An explicit
+    ``ROWS BETWEEN {UNBOUNDED | k} PRECEDING AND CURRENT ROW`` sets
+    ``frame=("rows", None | k)`` — positional, peers excluded."""
     func: str
     arg: object                          # Expr | Star | None
     partition_by: Tuple[Col, ...] = ()
     order_by: Tuple["OrderItem", ...] = ()
     params: Tuple = ()                   # lag/lead: (offset, default)
+    frame: Optional[Tuple] = None        # ("rows", None | k) | None
 
 
 @dataclass(frozen=True)

@@ -41,6 +41,7 @@ KEYWORDS = {
     "or", "not", "asc", "desc", "distinct", "in", "between", "like",
     "case", "when", "then", "else", "end", "union", "all",
     "over", "partition", "is", "null",
+    "rows", "range", "unbounded", "preceding", "following", "current", "row",
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
@@ -447,15 +448,19 @@ class Parser:
                         raise SqlError(
                             "DISTINCT is not supported in window functions"
                         )
-                    part, order = self.parse_over()
-                    return WindowFn(low, arg, part, order)
+                    part, order, frame = self.parse_over()
+                    return WindowFn(low, arg, part, order, frame=frame)
                 return agg
             if low in WINDOW_ONLY_FUNCS and nxt.kind == "op" and nxt.text == "(":
                 self.next()          # func name
                 self.next()          # "("
                 self.expect_op(")")
                 self.expect_kw("over")
-                part, order = self.parse_over()
+                part, order, frame = self.parse_over()
+                if frame is not None:
+                    raise SqlError(
+                        f"{low} does not accept a frame clause"
+                    )
                 return WindowFn(low, None, part, order)
             if low in WINDOW_ARG_FUNCS and nxt.kind == "op" and nxt.text == "(":
                 self.next()          # func name
@@ -481,7 +486,11 @@ class Parser:
                     raise SqlError(f"{low} takes at most 3 arguments")
                 self.expect_op(")")
                 self.expect_kw("over")
-                part, order = self.parse_over()
+                part, order, frame = self.parse_over()
+                if frame is not None:
+                    raise SqlError(
+                        f"{low} does not accept a frame clause"
+                    )
                 return WindowFn(low, arg, part, order, tuple(params))
             if low in SCALAR_FUNCS and nxt.kind == "op" and nxt.text == "(":
                 self.next()          # func name
@@ -507,9 +516,12 @@ class Parser:
         )
 
     def parse_over(self):
-        """OVER ( [PARTITION BY col, ...] [ORDER BY expr [ASC|DESC], ...] ).
-        Explicit frame clauses (ROWS/RANGE BETWEEN ...) are not supported —
-        the SQL default frame applies."""
+        """OVER ( [PARTITION BY col, ...] [ORDER BY expr [ASC|DESC], ...]
+        [ROWS BETWEEN {UNBOUNDED | k} PRECEDING AND CURRENT ROW] ).
+
+        ``RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` is also
+        accepted (it IS the SQL default frame → ``frame=None``); any other
+        RANGE frame or a FOLLOWING bound raises."""
         self.expect_op("(")
         part = []
         if self.eat_kw("partition"):
@@ -524,8 +536,38 @@ class Parser:
             order.append(self.parse_order_item())
             while self.eat_op(","):
                 order.append(self.parse_order_item())
+        frame = None
+        if self.at_kw("rows", "range"):
+            is_rows = self.next().text.lower() == "rows"
+            self.expect_kw("between")
+            if self.eat_kw("unbounded"):
+                self.expect_kw("preceding")
+                lo = None
+            elif self.eat_kw("current"):
+                self.expect_kw("row")
+                lo = 0
+            else:
+                t = self.peek()
+                if t.kind != "num" or "." in t.text:
+                    raise SqlError(
+                        f"Frame bound expects an integer, UNBOUNDED or "
+                        f"CURRENT, got {t.text!r}"
+                    )
+                lo = int(self.next().text)
+                self.expect_kw("preceding")
+            self.expect_kw("and")
+            self.expect_kw("current")
+            self.expect_kw("row")
+            if is_rows:
+                frame = ("rows", lo)
+            elif lo is not None:
+                raise SqlError(
+                    "Only RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+                    "ROW (the default frame) is supported; use ROWS for "
+                    "bounded frames"
+                )
         self.expect_op(")")
-        return tuple(part), tuple(order)
+        return tuple(part), tuple(order), frame
 
     def parse_case(self) -> Case:
         """Searched CASE: CASE WHEN cond THEN val ... [ELSE val] END."""

@@ -325,6 +325,115 @@ class TestWindowsDistributed:
         )
 
 
+class TestFrameSpecs:
+    """Explicit ROWS BETWEEN ... frames (round-4 item 9) vs pandas
+    rolling/expanding. ROWS frames are positional — peers excluded —
+    unlike the default RANGE frame."""
+
+    def test_bounded_sum_avg_count_vs_rolling(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, pay, "
+            "sum(pay) over (partition by dept order by pay, yr "
+            "rows between 2 preceding and current row) as s, "
+            "avg(pay) over (partition by dept order by pay, yr "
+            "rows between 2 preceding and current row) as a, "
+            "count(pay) over (partition by dept order by pay, yr "
+            "rows between 2 preceding and current row) as n "
+            "from emp order by dept, pay, yr"
+        )
+        w = df.sort_values(["dept", "pay", "yr"], kind="stable")
+        g = w.groupby("dept")["pay"]
+        assert got["s"].tolist() == g.rolling(3, min_periods=1).sum() \
+            .reset_index(drop=True).astype(int).tolist()
+        np.testing.assert_allclose(
+            got["a"],
+            g.rolling(3, min_periods=1).mean().reset_index(drop=True),
+            rtol=1e-6,
+        )
+        assert got["n"].tolist() == g.rolling(3, min_periods=1).count() \
+            .reset_index(drop=True).astype(int).tolist()
+
+    def test_bounded_min_max_vs_rolling(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, pay, "
+            "min(pay) over (partition by dept order by yr, pay "
+            "rows between 4 preceding and current row) as mn, "
+            "max(f) over (partition by dept order by yr, pay "
+            "rows between 4 preceding and current row) as mx "
+            "from emp order by dept, yr, pay"
+        )
+        w = df.sort_values(["dept", "yr", "pay"], kind="stable")
+        g = w.groupby("dept")
+        assert got["mn"].tolist() == g["pay"].rolling(5, min_periods=1) \
+            .min().reset_index(drop=True).astype(int).tolist()
+        np.testing.assert_allclose(
+            got["mx"],
+            g["f"].rolling(5, min_periods=1).max().reset_index(drop=True),
+            rtol=1e-6,
+        )
+
+    def test_unbounded_rows_excludes_peers(self):
+        # ROWS UNBOUNDED..CURRENT differs from the default RANGE frame on
+        # ties: the running sum advances per ROW, not per peer group.
+        c = Context()
+        c.create_table("t", pd.DataFrame(
+            {"v": np.array([5, 5, 5], np.int32)}
+        ))
+        rows = c.sql_df(
+            "select sum(v) over (order by v rows between unbounded "
+            "preceding and current row) as s from t"
+        )
+        rng_ = c.sql_df("select sum(v) over (order by v) as s from t")
+        assert rows["s"].tolist() == [5, 10, 15]
+        assert rng_["s"].tolist() == [15, 15, 15]
+
+    def test_frame_distributed_parity(self, rng):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        df = pd.DataFrame({
+            "dept": rng.choice(["a", "b", "c"], 300),
+            "pay": rng.integers(0, 200, 300).astype(np.int32),
+        })
+        cs = Context()
+        cm = Context(mesh=make_engine_mesh(8))
+        for c in (cs, cm):
+            c.create_table("emp", df)
+        for q in [
+            "select dept, pay, sum(pay) over (partition by dept "
+            "order by pay rows between 3 preceding and current row) as s "
+            "from emp order by dept, pay",
+            # global bounded frame → shard-0 fallback route
+            "select pay, max(pay) over (order by pay "
+            "rows between 2 preceding and current row) as m "
+            "from emp order by pay",
+        ]:
+            pd.testing.assert_frame_equal(
+                cs.sql_df(q), cm.sql_df(q), check_dtype=False
+            )
+
+    def test_frame_on_ranking_func_rejected(self, wctx):
+        c, _df = wctx
+        from harkdb_tpu.sql.parser import SqlError
+
+        with pytest.raises(SqlError):
+            c.sql_df(
+                "select row_number() over (order by pay rows between "
+                "2 preceding and current row) from emp"
+            )
+
+    def test_range_bounded_rejected(self, wctx):
+        c, _df = wctx
+        from harkdb_tpu.sql.parser import SqlError
+
+        with pytest.raises(SqlError):
+            c.sql_df(
+                "select sum(pay) over (order by pay range between "
+                "2 preceding and current row) as s from emp"
+            )
+
+
 class TestGlobalWindowSharded:
     def test_no_shard_funnel(self, rng):
         """Round-4 item 3: an empty-PARTITION BY running sum keeps every
