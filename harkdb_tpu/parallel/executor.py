@@ -54,6 +54,18 @@ class DistExecutor:
     # -- table sharding -------------------------------------------------------
     def _shard_table(self, tables: Dict[str, Table], binding_idx: int) -> ShardedBatch:
         b, tname, cols = self.plan.bindings[binding_idx]
+        # Derived tables (FROM (SELECT ...) alias): the inner query runs
+        # through the distributed path, materializes once, and reshard-
+        # caches on its own source (the Context shard cache is keyed by
+        # table NAME, which an alias could collide on).
+        src = self.plan._source(tables, tname)
+        from harkdb_tpu.plan.derived import DerivedSource
+
+        if isinstance(src, DerivedSource):
+            return src.sharded(
+                tables, self.mesh, self.config, self._shard_cache, b,
+                self.plan.load_remaps.get(b, {}),
+            )
         # Merged-dictionary code remaps (string-key joins / cross-table
         # string comparisons) apply host-side before sharding; the cache key
         # carries the remap fingerprint so plans with different merges don't

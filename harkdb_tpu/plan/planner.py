@@ -287,13 +287,26 @@ class QueryPlan(StringLowering):
         refs = [stmt.table] + [j.table for j in stmt.joins]
         bindings = []
         seen = set()
+        # Derived tables (FROM (SELECT ...) alias): the inner SELECT plans
+        # now (resolution errors surface at plan time) and materializes
+        # lazily at first execution — plan/derived.py.
+        self._derived: Dict[str, object] = {}
+        from harkdb_tpu.sql.ast_nodes import DerivedRef
+
         for ref in refs:
-            if ref.name not in tables:
-                raise PlanError(f"{ref.name} is not in tables")
             b = ref.binding
             if b in seen:
                 raise PlanError(f"Duplicate table binding {b!r}; use aliases")
             seen.add(b)
+            if isinstance(ref, DerivedRef):
+                from harkdb_tpu.plan.derived import DerivedSource
+
+                src = DerivedSource(QueryPlan(ref.stmt, tables, self.config))
+                self._derived[ref.name] = src
+                bindings.append((b, ref.name, src.get_schema()))
+                continue
+            if ref.name not in tables:
+                raise PlanError(f"{ref.name} is not in tables")
             bindings.append((b, ref.name, tables[ref.name].get_schema()))
         self.bindings = bindings
         res = _Resolver(bindings)
@@ -344,7 +357,7 @@ class QueryPlan(StringLowering):
         self.str_dicts: Dict[str, np.ndarray] = {}
         self._remap: Dict[str, np.ndarray] = {}   # internal → orig→current LUT
         for b, tname, cols_ in bindings:
-            t = tables[tname]
+            t = self._source(tables, tname)
             for c in cols_:
                 d = t.column_dict(c)
                 if d is not None:
@@ -579,7 +592,7 @@ class QueryPlan(StringLowering):
                     bb, cc = nd.name.split(".", 1)
                     tn = next((t for b2, t, _ in bindings if b2 == bb), None)
                     if tn is not None:
-                        a = tables[tn].host_columns.get(cc)
+                        a = self._source(tables, tn).host_columns.get(cc)
                         if a is not None and np.issubdtype(
                             a.dtype, np.floating
                         ):
@@ -846,7 +859,7 @@ class QueryPlan(StringLowering):
                     return False
                 bb, col = internal.split(".", 1)
                 tname2 = next(t for b2, t, _ in bindings if b2 == bb)
-                a = tables[tname2].host_columns.get(col)
+                a = self._source(tables, tname2).host_columns.get(col)
                 return a is not None and np.issubdtype(a.dtype, np.integer)
 
             key_internal = self.group_keys[0]
@@ -862,7 +875,7 @@ class QueryPlan(StringLowering):
                 if not self.join_steps and key_internal not in self._remap:
                     b, col = key_internal.split(".", 1)
                     tname = next(t for bb, t, _ in bindings if bb == b)
-                    rng = tables[tname].column_range(col)
+                    rng = self._source(tables, tname).column_range(col)
                     # u32-compat key order with negative keys must take the
                     # sort path (keys_axis is emitted signed-ascending).
                     compat_blocks = (
@@ -1277,10 +1290,17 @@ class QueryPlan(StringLowering):
             return self._shrink_tail_for(cap2)(g)
         return self._phase_b_for(fast_span)(batch, jnp.int32(key_min))
 
+    def _source(self, tables: Dict[str, Table], tname: str):
+        """Table or DerivedSource behind a binding's table name."""
+        d = self._derived.get(tname)
+        return d if d is not None else tables[tname]
+
     def _load(self, tables: Dict[str, Table], binding_idx: int) -> ColumnBatch:
+        from harkdb_tpu.plan.derived import DerivedSource
+
         b, tname, cols = self.bindings[binding_idx]
-        t = tables[tname]
-        src = t.batch()
+        t = self._source(tables, tname)
+        src = t.batch(tables) if isinstance(t, DerivedSource) else t.batch()
         remaps = self.load_remaps.get(b, {})
         out = {}
         # A query touching no columns at all (``select count(*) from t``)

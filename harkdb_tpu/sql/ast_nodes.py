@@ -138,6 +138,22 @@ class TableRef:
 
 
 @dataclass(frozen=True)
+class DerivedRef:
+    """``FROM (SELECT ...) alias`` — a derived table. The alias is
+    mandatory (there is no base name to fall back to)."""
+    stmt: "SelectStmt"
+    alias: str
+
+    @property
+    def name(self) -> str:
+        return f"#derived:{self.alias}"
+
+    @property
+    def binding(self) -> str:
+        return self.alias
+
+
+@dataclass(frozen=True)
 class JoinClause:
     table: TableRef
     left_on: Col

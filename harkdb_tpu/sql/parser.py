@@ -250,7 +250,21 @@ class Parser:
             alias = self.next().text
         return SelectItem(expr, alias)
 
-    def parse_table_ref(self) -> TableRef:
+    def parse_table_ref(self):
+        # FROM (SELECT ...) alias — a derived table (alias mandatory).
+        if self.eat_op("("):
+            stmt = self.parse_subquery_stmt()
+            self.expect_op(")")
+            alias = None
+            if self.eat_kw("as"):
+                alias = self.expect_ident()
+            elif self.peek().kind == "ident":
+                alias = self.next().text
+            if alias is None:
+                raise SqlError("A derived table requires an alias")
+            from harkdb_tpu.sql.ast_nodes import DerivedRef
+
+            return DerivedRef(stmt, alias)
         name = self.expect_ident()
         alias = None
         if self.eat_kw("as"):
