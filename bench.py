@@ -128,7 +128,11 @@ def _emit(n_rows: int):
     mix = _PARTIAL.get("mix", _PARTIAL.get("sql"))
     proxy = mix is None
     if proxy:
-        ops = [v for k, v in _PARTIAL.items() if k not in ("rtt", "join")]
+        # join measures output PAIRS/s on a different probe size; window is
+        # an extension operator with its own (multi-sort) floor — neither
+        # belongs in the conservative mix proxy.
+        ops = [v for k, v in _PARTIAL.items()
+               if k not in ("rtt", "join", "window")]
         mix = min(ops) if ops else 0.0
     floor_rate = n_rows / _floor_mix_s(n_rows)
     out = {
@@ -357,6 +361,28 @@ def _main():
         _ = int(run_sql(0))
         log(f"sql pipeline warmed in {time.monotonic() - t0:.1f}s")
 
+    # Window functions through Context.sql: two shapes (a partitioned
+    # running sum + a global row_number) over the same resident table —
+    # the round-4 fused path runs W+1 = 3 payload sorts instead of 4
+    # (plan/windows.py). BASELINE.md tracks this number (337 ms in r3).
+    def _win_setup():
+        _sql_setup_if_needed()
+        sql_state["qw"] = (
+            "select k, sum(v) over (partition by k order by v) as rs, "
+            "row_number() over (order by v desc, k) as rn from t"
+        )
+
+    def run_window(i, *_args):
+        ctx = sql_state["ctx"]
+        batch, _names = ctx.sql_batch(sql_state["qw"])
+        return sql_state["cs"](batch)
+
+    def stage_window_warm():
+        _win_setup()
+        t0 = time.monotonic()
+        _ = int(run_window(0))
+        log(f"window pipeline warmed in {time.monotonic() - t0:.1f}s")
+
     rtt_holder = [0.0]
 
     def sync_time(fn, *args, n_syncs=1, inner=1):
@@ -422,6 +448,9 @@ def _main():
         ("sql", op_stage("sql", run_sql, key, val, nv, n_syncs=3,
                          setup=_sql_setup_if_needed)),
         ("sort", op_stage("sort", run_sort, key, val, nv)),
+        ("winwarm", stage_window_warm),
+        ("window", op_stage("window", run_window, key, val, nv, n_syncs=2,
+                            setup=_win_setup)),
         ("groupby_dense",
          op_stage("groupby_dense", run_groupby_dense, key, val, nv)),
         ("join", op_stage("join", run_join, key, rkey, nv, nm)),
