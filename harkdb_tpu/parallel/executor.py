@@ -220,6 +220,35 @@ class DistExecutor:
                 work, keys, agg_specs, self.mesh, self.config, pre_fn,
                 fast=fast,
             )
+            if not plan.group_keys:
+                # SQL: an ungrouped aggregate over EMPTY input is one row
+                # (count 0, sums 0), not zero rows — shard 0 fabricates it
+                # when the global group count is zero (same fix as the
+                # single-chip path; min/max padding is op-neutral, so slot
+                # 0 zeroes explicitly).
+                axis = self.config.mesh_axis
+                from jax.sharding import PartitionSpec as P
+                import jax as _jax
+
+                def fix_body(cols, cnt):
+                    total = _jax.lax.psum(cnt[0], axis)
+                    i = _jax.lax.axis_index(axis)
+                    mk = (total == 0) & (i == 0)
+                    out = {}
+                    for nme, cc in cols.items():
+                        v0 = jnp.where(mk, jnp.zeros((), cc.dtype), cc[0])
+                        out[nme] = cc.at[0].set(v0)
+                    return out, jnp.where(mk, 1, cnt[0]).reshape(1)
+
+                specs = ({n: P(axis) for n in work.names}, P(axis))
+                fx = _jax.jit(_jax.shard_map(
+                    fix_body, mesh=self.mesh, in_specs=specs,
+                    out_specs=specs,
+                ))
+                cols, cnt = fx(work.columns, work.shard_counts)
+                from harkdb_tpu.parallel.sharded import ShardedBatch
+
+                work = ShardedBatch(cols, cnt)
             if self.config.dist_tail:
                 # Round-4: the grouped tail stays SHARDED through HAVING /
                 # ORDER BY / LIMIT (shards hold disjoint key sets) — no

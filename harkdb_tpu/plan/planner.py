@@ -142,6 +142,14 @@ class _Resolver:
             return Col(self.resolve_col(expr))
         if isinstance(expr, SubQuery):
             return expr
+        from harkdb_tpu.sql.ast_nodes import ExistsSub
+
+        if isinstance(expr, ExistsSub):
+            # the planner lowers EXISTS in WHERE/HAVING before resolution;
+            # one reaching the resolver sits somewhere unsupported
+            raise PlanError(
+                "EXISTS is only supported in WHERE and HAVING"
+            )
         if isinstance(expr, InSub):
             return InSub(self.rewrite(expr.expr), expr.sub, expr.negate)
         if isinstance(expr, WindowFn):
@@ -388,7 +396,16 @@ class QueryPlan(StringLowering):
                 items.append((e, it.alias or _expr_name(it.expr)))
         self.select_items = items
 
-        self.where = res.rewrite(stmt.where) if stmt.where is not None else None
+        # EXISTS lowers pre-resolution: a single correlated column equality
+        # becomes the semi-join form `outer_col IN (SELECT inner_col ...)`;
+        # uncorrelated becomes `(SELECT count(*) ...) > offset`.
+        where_ast = stmt.where
+        having_ast = stmt.having
+        if where_ast is not None:
+            where_ast = self._lower_exists(where_ast, tables)
+        if having_ast is not None:
+            having_ast = self._lower_exists(having_ast, tables)
+        self.where = res.rewrite(where_ast) if where_ast is not None else None
         group_keys = [res.rewrite(c).name for c in stmt.group_by]
 
         # ORDER BY may reference select-list aliases (standard SQL output-name
@@ -411,7 +428,7 @@ class QueryPlan(StringLowering):
         order_items = [
             (_order_expr(o.expr), o.descending) for o in stmt.order_by
         ]
-        having = res.rewrite(stmt.having) if stmt.having is not None else None
+        having = res.rewrite(having_ast) if having_ast is not None else None
 
         # ---- string lowering -------------------------------------------------
         # Two passes over every resolved expression: (1) merge dictionaries
@@ -932,6 +949,120 @@ class QueryPlan(StringLowering):
         self._phase_b_cache: Dict[object, object] = {}
         self._probe_jit = None
 
+    # -- EXISTS lowering -------------------------------------------------------
+    def _lower_exists(self, e, tables):
+        """Replace ExistsSub nodes (WHERE/HAVING only) with their semi-join
+        or scalar-count forms — see ``_rewrite_exists``."""
+        from harkdb_tpu.sql.ast_nodes import ExistsSub
+
+        if isinstance(e, ExistsSub):
+            return self._rewrite_exists(e.stmt, tables)
+        if isinstance(e, BinOp):
+            return BinOp(e.op, self._lower_exists(e.left, tables),
+                         self._lower_exists(e.right, tables))
+        if isinstance(e, UnOp):
+            return UnOp(e.op, self._lower_exists(e.operand, tables))
+        if isinstance(e, Case):
+            return Case(
+                tuple((self._lower_exists(c, tables),
+                       self._lower_exists(r, tables)) for c, r in e.whens),
+                self._lower_exists(e.else_, tables)
+                if e.else_ is not None else None,
+            )
+        return e
+
+    def _rewrite_exists(self, sub, tables):
+        """EXISTS (SELECT ...):
+
+        * exactly one correlated COLUMN equality in the inner WHERE
+          (``... r.k = t.k``) → ``t.k IN (SELECT r.k FROM ... WHERE rest)``
+          — exact semi-join semantics (membership of the outer key in the
+          filtered inner key set); inner ORDER BY/LIMIT are irrelevant to
+          emptiness and drop;
+        * no correlation → ``(SELECT count(*) ...) > offset`` (LIMIT ≥ 1
+          cannot change emptiness; LIMIT 0 folds to false);
+        * anything more correlated raises the standard message.
+        """
+        from harkdb_tpu.sql.ast_nodes import DerivedRef, SelectItem, SelectStmt
+
+        if sub.group_by or sub.having is not None or sub.distinct:
+            raise PlanError(
+                "EXISTS subqueries with GROUP BY/HAVING/DISTINCT are not "
+                "supported"
+            )
+        if sub.limit == 0:
+            return BinOp("<", Lit(1), Lit(0))          # always false
+        inner_bind: Dict[str, set] = {}
+        for ref in [sub.table] + [j.table for j in sub.joins]:
+            if isinstance(ref, DerivedRef):
+                inner_bind[ref.binding] = {
+                    it.alias or _expr_name(it.expr) for it in ref.stmt.items
+                }
+            elif ref.name in tables:
+                inner_bind[ref.binding] = set(tables[ref.name].get_schema())
+            else:
+                raise PlanError(f"{ref.name} is not in tables")
+        outer_bind = {b: set(cols) for b, _t, cols in self.bindings}
+
+        def scope(col: Col) -> str:
+            if col.table is not None:
+                if col.table in inner_bind:
+                    return "inner"
+                if col.table in outer_bind:
+                    return "outer"
+                return "unknown"
+            # bare name: inner scope shadows outer (standard SQL)
+            if any(col.name in cs for cs in inner_bind.values()):
+                return "inner"
+            if any(col.name in cs for cs in outer_bind.values()):
+                return "outer"
+            return "unknown"
+
+        def conjuncts(x):
+            if isinstance(x, BinOp) and x.op == "and":
+                return conjuncts(x.left) + conjuncts(x.right)
+            return [x]
+
+        corr = None
+        rest = []
+        for c in (conjuncts(sub.where) if sub.where is not None else []):
+            if (corr is None and isinstance(c, BinOp) and c.op == "="
+                    and isinstance(c.left, Col) and isinstance(c.right, Col)):
+                sl, sr = scope(c.left), scope(c.right)
+                if {sl, sr} == {"inner", "outer"}:
+                    inner_col = c.left if sl == "inner" else c.right
+                    outer_col = c.right if sl == "inner" else c.left
+                    corr = (inner_col, outer_col)
+                    continue
+            for nd in walk(c):
+                if isinstance(nd, Col) and scope(nd) == "outer":
+                    raise PlanError(
+                        "correlated subqueries are not supported beyond a "
+                        "single EXISTS column equality"
+                    )
+            rest.append(c)
+        w = None
+        for c in rest:
+            w = c if w is None else BinOp("and", w, c)
+        if corr is None:
+            cnt_stmt = SelectStmt(
+                items=(SelectItem(Agg("count", Star())),),
+                table=sub.table, joins=sub.joins, where=w,
+                group_by=(), having=None, order_by=(), limit=None,
+                offset=None, distinct=False,
+            )
+            return BinOp(">", SubQuery(cnt_stmt), Lit(sub.offset or 0))
+        if sub.offset:
+            raise PlanError(
+                "EXISTS with both OFFSET and a correlation is not supported"
+            )
+        in_stmt = SelectStmt(
+            items=(SelectItem(corr[0]),), table=sub.table, joins=sub.joins,
+            where=w, group_by=(), having=None, order_by=(), limit=None,
+            offset=None, distinct=False,
+        )
+        return InSub(corr[1], SubQuery(in_stmt), False)
+
     # -- LEFT-JOIN NULL lowering ----------------------------------------------
     def _nullable_flags_in(self, e) -> List[str]:
         """Matched-flag columns guarding the nullable (LEFT-JOIN right side)
@@ -1067,6 +1198,9 @@ class QueryPlan(StringLowering):
         return False
 
     _IN_SUB_MAX = 1024
+    # > _IN_SUB_MAX distinct int values lower to a boolean-LUT gather
+    # instead of an OR-chain; span cap bounds the LUT at 4 MB of bool.
+    _IN_LUT_SPAN = 1 << 22
 
     def _resolve_subqueries(self, tables):
         """First-execution pass: run each subquery plan, then substitute
@@ -1092,24 +1226,71 @@ class QueryPlan(StringLowering):
             v = col[0]
             return str(d[int(v)]) if d is not None else v.item()
 
-        def set_of(s) -> list:
+        def set_of(s):
+            """("list", values) for small sets (OR-chain lowering), else a
+            LUT form: ("slut", unique strings) for string columns (bits
+            built over the OUTER column's dictionary at subst time) or
+            ("ilut", min, bool bits) for bounded-span int columns."""
             col, d = values[s]
             vals = np.unique(col)
-            if vals.shape[0] > self._IN_SUB_MAX:
+            if vals.shape[0] <= self._IN_SUB_MAX:
+                if d is not None:
+                    return ("list", [str(x) for x in d[vals]])
+                return ("list", [v.item() for v in vals])
+            if d is not None:
+                return ("slut", d[vals])
+            if not np.issubdtype(vals.dtype, np.integer):
                 raise PlanError(
                     f"IN (SELECT ...) with more than {self._IN_SUB_MAX} "
-                    f"distinct values is not supported"
+                    f"distinct float values is not supported"
                 )
-            if d is not None:
-                return [str(x) for x in d[vals]]
-            return [v.item() for v in vals]
+            mn, mx = int(vals[0]), int(vals[-1])
+            span = mx - mn + 1
+            if span > self._IN_LUT_SPAN:
+                raise PlanError(
+                    f"IN (SELECT ...) with more than {self._IN_SUB_MAX} "
+                    f"distinct values spanning more than "
+                    f"{self._IN_LUT_SPAN} is not supported"
+                )
+            bits = np.zeros(span, bool)
+            bits[vals - mn] = True
+            return ("ilut", (mn, bits))
 
         def subst(e):
             if isinstance(e, SubQuery):
                 return Lit(scalar_of(e))
             if isinstance(e, InSub):
                 left = subst(e.expr)
-                vals = set_of(e.sub)
+                kind, payload = set_of(e.sub)
+                if kind == "slut":
+                    # membership bits over the OUTER column's dictionary —
+                    # exactly how LIKE lowers (codes are always valid
+                    # dictionary indices on live rows)
+                    d = self._expr_str_dict(left)
+                    if d is None:
+                        raise PlanError(
+                            "Cannot compare string and numeric values"
+                        )
+                    bits = np.zeros(len(d), bool)
+                    idx = np.searchsorted(d, payload)
+                    ok = idx < len(d)
+                    ok &= d[np.minimum(idx, len(d) - 1)] == payload
+                    bits[idx[ok]] = True
+                    chain = LutMember(left, bits)
+                    return UnOp("not", chain) if e.negate else chain
+                if kind == "ilut":
+                    mn, bits = payload
+                    # False guard bits at both ends + a 1-shift so the
+                    # evaluator's clip maps every out-of-range value onto
+                    # a guard (clip would otherwise alias the boundary
+                    # entries' real membership bits)
+                    bits2 = np.zeros(len(bits) + 2, bool)
+                    bits2[1:-1] = bits
+                    chain = LutMember(
+                        BinOp("-", left, Lit(int(mn) - 1)), bits2
+                    )
+                    return UnOp("not", chain) if e.negate else chain
+                vals = payload
                 if not vals:
                     chain = BinOp("<", Lit(1), Lit(0))      # empty set: false
                 else:
@@ -1411,6 +1592,18 @@ class QueryPlan(StringLowering):
                 use_pallas=self.config.use_pallas,
             )
             where_mask = None
+            if not self.group_keys:
+                # SQL: an ungrouped aggregate over EMPTY input is one row
+                # (count 0, sums 0 — this model has no NULL), not zero
+                # rows. Fabricate the row: padding slot 0 holds 0 for
+                # sum/count outputs but the op-neutral extreme for min/max,
+                # so zero it explicitly.
+                empty = batch.n_valid == 0
+                fixed = {}
+                for nme, cc in batch.columns.items():
+                    v0 = jnp.where(empty, jnp.zeros((), cc.dtype), cc[0])
+                    fixed[nme] = cc.at[0].set(v0)
+                batch = ColumnBatch(fixed, jnp.maximum(batch.n_valid, 1))
             if stop_after_group:
                 return batch
 

@@ -97,10 +97,21 @@ class SubQuery:
 
 
 @dataclass(frozen=True)
+class ExistsSub:
+    """``EXISTS (SELECT ...)`` — a boolean predicate. The planner lowers a
+    single correlated column equality (``... WHERE r.k = t.k``) to the
+    semi-join form ``t.k IN (SELECT r.k ...)``; an uncorrelated EXISTS
+    becomes ``(SELECT count(*) ...) > 0``. ``NOT EXISTS`` arrives as
+    ``UnOp("not", ExistsSub(...))``."""
+    stmt: "SelectStmt"
+
+
+@dataclass(frozen=True)
 class InSub:
     """``expr [NOT] IN (SELECT ...)`` — one output column, non-correlated.
     Lowered at first execution to an OR-chain of equality comparisons over
-    the subquery's distinct values."""
+    the subquery's distinct values (≤1024), or a boolean-LUT membership
+    gather for larger sets (ints within a bounded span; string codes)."""
     expr: "Expr"
     sub: SubQuery
     negate: bool = False

@@ -26,8 +26,9 @@ import re
 from typing import List, Tuple
 
 from harkdb_tpu.sql.ast_nodes import (
-    Agg, BinOp, Case, Col, InSub, JoinClause, Lit, OrderItem, SelectItem,
-    SelectStmt, Star, SubQuery, TableRef, UnionStmt, UnOp, WindowFn,
+    Agg, BinOp, Case, Col, ExistsSub, InSub, JoinClause, Lit, OrderItem,
+    SelectItem, SelectStmt, Star, SubQuery, TableRef, UnionStmt, UnOp,
+    WindowFn,
 )
 
 
@@ -42,6 +43,7 @@ KEYWORDS = {
     "case", "when", "then", "else", "end", "union", "all",
     "over", "partition", "is", "null",
     "rows", "range", "unbounded", "preceding", "following", "current", "row",
+    "exists",
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
@@ -433,6 +435,11 @@ class Parser:
             return e
         if self.at_kw("case"):
             return self.parse_case()
+        if self.eat_kw("exists"):       # EXISTS (SELECT ...); NOT EXISTS
+            self.expect_op("(")         # arrives as UnOp("not", ExistsSub)
+            stmt = self.parse_subquery_stmt()
+            self.expect_op(")")
+            return ExistsSub(stmt)
         if t.kind == "ident":
             low = t.text.lower()
             nxt = self.tokens[self.i + 1]
