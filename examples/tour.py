@@ -77,6 +77,43 @@ print(ctx.sql_df(
     "order by units desc, region limit 6"
 ))
 
+print("\n— LEFT JOIN with real NULLs (IS NULL, NaN decode, agg skip) —")
+ctx.create_table("promos", pd.DataFrame({
+    "prod": ["widget", "gizmo"], "discount": np.array([5, 9], np.int32),
+}))
+print(ctx.sql_df(
+    "select sales.product, count(promos.discount) as promoted, "
+    "count(*) as n from sales "
+    "left join promos on sales.product = promos.prod "
+    "group by sales.product order by sales.product"
+))
+print(ctx.sql_df(
+    "select product, count(*) as no_promo from sales "
+    "left join promos on sales.product = promos.prod "
+    "where promos.discount is null group by product order by product"
+))
+
+print("\n— sliding-window frames (ROWS BETWEEN k PRECEDING ...) —")
+print(ctx.sql_df(
+    "select region, units, sum(units) over (partition by region "
+    "order by units rows between 2 preceding and current row) as last3 "
+    "from sales order by region, units limit 6"
+))
+
+print("\n— derived tables: aggregate of an aggregate —")
+print(ctx.sql_df(
+    "select count(*) as hot_products, max(d.u) as top from "
+    "(select product, region, sum(units) as u from sales "
+    "group by product, region) d where d.u > 2000"
+))
+
+print("\n— EXISTS as a semi-join —")
+print(ctx.sql_df(
+    "select region, count(*) as n from sales where exists "
+    "(select 1 from regions where regions.name = sales.region "
+    "and regions.manager != 'bob') group by region order by region"
+))
+
 print("\n— the same engine, distributed over an 8-device mesh —")
 dctx = Context(mesh=make_engine_mesh(8))
 dctx.create_table("sales", sales)
