@@ -139,47 +139,8 @@ class DistExecutor:
                 self.mesh, self.config,
             )
 
-        if plan.window_specs:
-            # One hash-shuffle pass per distinct PARTITION BY shape: each
-            # partition lands wholly on one shard, the single-chip window
-            # computation runs locally, and already-computed window columns
-            # ride later passes as payload (dist_ops.dist_window).
-            from harkdb_tpu.parallel.dist_ops import dist_window
-
-            by_parts: Dict[tuple, list] = {}
-            for spec in plan.window_specs:
-                by_parts.setdefault(spec[3], []).append(spec)
-            for parts, specs in by_parts.items():
-                if not parts:
-                    # Global window (round-4 item 3): per-shard local scans
-                    # + a small carry exchange instead of funneling the
-                    # whole table through shard 0. Grouped by full
-                    # (ORDER BY) shape; lag/lead fall back to the shard-0
-                    # route.
-                    from harkdb_tpu.parallel.global_window import (
-                        dist_global_window, supports_global,
-                    )
-
-                    by_shape: Dict[tuple, list] = {}
-                    for s in specs:
-                        by_shape.setdefault((s[4], s[5]), []).append(s)
-                    rest = []
-                    for _shape, shp_specs in by_shape.items():
-                        if supports_global(shp_specs):
-                            work = dist_global_window(
-                                work, shp_specs, self.mesh, self.config
-                            )
-                        else:
-                            rest.extend(shp_specs)
-                    if not rest:
-                        continue
-                    specs = rest
-                win_names = [s[0] for s in specs]
-                work = dist_window(
-                    work, parts,
-                    lambda b, _s=specs: plan._compute_windows(b, _s),
-                    win_names, self.mesh, self.config,
-                )
+        if plan.window_specs and not plan.grouped:
+            work = self._dist_windows(work)
 
         if plan.grouped:
             # exec keys include the hidden matched flag of any nullable
@@ -286,6 +247,51 @@ class DistExecutor:
 
         return plan.run_tail(gathered)
 
+    def _dist_windows(self, work, tie_names=None):
+        """One hash-shuffle pass per distinct PARTITION BY shape: each
+        partition lands wholly on one shard, the single-chip window
+        computation runs locally, and already-computed window columns ride
+        later passes as payload (dist_ops.dist_window). Global windows
+        (empty PARTITION BY) take the carry-exchange path
+        (parallel/global_window.py); lag/lead and bounded frames fall back
+        to the shard-0 route. ``tie_names`` overrides the row-id tie chain
+        (grouped queries pass the exec group keys — their rows ARE
+        groups)."""
+        from harkdb_tpu.parallel.dist_ops import dist_window
+
+        plan = self.plan
+        by_parts: Dict[tuple, list] = {}
+        for spec in plan.window_specs:
+            by_parts.setdefault(spec[3], []).append(spec)
+        for parts, specs in by_parts.items():
+            if not parts:
+                from harkdb_tpu.parallel.global_window import (
+                    dist_global_window, supports_global,
+                )
+
+                by_shape: Dict[tuple, list] = {}
+                for s in specs:
+                    by_shape.setdefault((s[4], s[5]), []).append(s)
+                rest = []
+                for _shape, shp_specs in by_shape.items():
+                    if supports_global(shp_specs):
+                        work = dist_global_window(
+                            work, shp_specs, self.mesh, self.config,
+                            tie_names=tie_names,
+                        )
+                    else:
+                        rest.extend(shp_specs)
+                if not rest:
+                    continue
+                specs = rest
+            win_names = [s[0] for s in specs]
+            work = dist_window(
+                work, parts,
+                lambda b, _s=specs: plan._compute_windows(b, _s),
+                win_names, self.mesh, self.config,
+            )
+        return work
+
     def _probe_fast_dist(self, work) -> tuple | None:
         """Distributed analog of QueryPlan._resolve_fast's on-device probe:
         global (min, max, any) of the group key over live rows, one small
@@ -390,6 +396,25 @@ class DistExecutor:
                 self.mesh, cfg,
             )
             caps.append(("having", work.local_capacity))
+
+        if grouped and plan.window_specs:
+            # Windows over the GROUPED output (post-HAVING, standard SQL
+            # order). Their arguments may reference avg/null-fix derived
+            # columns — materialize those once, then the ordinary window
+            # dispatch runs over the sharded groups, tie-broken by the
+            # exec group keys (unique per row) like the single-chip path.
+            if post:
+                names2 = list(work.names) + [
+                    o for o, _s in post if o not in work.names
+                ]
+                work = dist_map(work, aug, names2, self.mesh, cfg)
+                post.clear()              # aug becomes a no-op
+            work = self._dist_windows(
+                work,
+                tie_names=[k for k in plan.group_exec_keys
+                           if k in work.names],
+            )
+            caps.append(("windows", work.local_capacity))
 
         out_names = [f"#out{i}" for i in range(len(final_items))]
         # Hidden NULL indicators (LEFT-JOIN matched flags) per nullable

@@ -66,6 +66,7 @@ def dist_global_window(
     specs: Sequence[Tuple],
     mesh: Mesh,
     config: EngineConfig = DEFAULT_CONFIG,
+    tie_names: Sequence[str] | None = None,
 ) -> ShardedBatch:
     """Compute one empty-PARTITION BY window shape's outputs, sharded.
 
@@ -82,8 +83,11 @@ def dist_global_window(
     _out0, _f0, _a0, _p0, oexprs, descs, *_rest0 = specs[0]
     oexprs, descs = list(oexprs), list(descs)
 
-    # ---- stage 1: global order (ORDER BY keys + rid tie) -----------------
-    rid_names = [n for n in work.names if n.startswith("#rid.")]
+    # ---- stage 1: global order (ORDER BY keys + deterministic tie) -------
+    # default tie = hidden row ids; grouped callers pass the exec group
+    # keys instead (their rows ARE groups — ids were consumed by grouping)
+    rid_names = (list(tie_names) if tie_names is not None
+                 else [n for n in work.names if n.startswith("#rid.")])
 
     if oexprs or rid_names:
         def keys_fn(cols, cap):

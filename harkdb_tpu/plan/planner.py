@@ -228,6 +228,20 @@ def _substitute_aggs(expr, agg_map):
     """Replace Agg nodes with their computed output columns."""
     if isinstance(expr, Agg):
         return Col(agg_map[expr])
+    if isinstance(expr, WindowFn):
+        # windows over grouped output: their argument / ORDER BY may
+        # reference aggregates (rank() over (order by sum(v) desc))
+        from harkdb_tpu.sql.ast_nodes import OrderItem
+
+        arg = expr.arg
+        if arg is not None and not isinstance(arg, Star):
+            arg = _substitute_aggs(arg, agg_map)
+        return WindowFn(
+            expr.func, arg, expr.partition_by,
+            tuple(OrderItem(_substitute_aggs(o.expr, agg_map),
+                            o.descending) for o in expr.order_by),
+            expr.params, expr.frame,
+        )
     if isinstance(expr, BinOp):
         return BinOp(
             expr.op, _substitute_aggs(expr.left, agg_map),
@@ -585,6 +599,16 @@ class QueryPlan(StringLowering):
                     check(e.col, inside_agg)
                 elif isinstance(e, InSub):
                     check(e.expr, inside_agg)
+                elif isinstance(e, WindowFn):
+                    # windows evaluate over the GROUPED output: their
+                    # argument / partition / order expressions obey the
+                    # same rule (group key or aggregate)
+                    if e.arg is not None and not isinstance(e.arg, Star):
+                        check(e.arg, inside_agg)
+                    for p in e.partition_by:
+                        check(p, inside_agg)
+                    for o in e.order_by:
+                        check(o.expr, inside_agg)
                 elif isinstance(e, Case):
                     for c, r in e.whens:
                         check(c, inside_agg)
@@ -727,12 +751,14 @@ class QueryPlan(StringLowering):
         ]
 
         # ---- window functions ------------------------------------------------
-        # Computed in phase B over the post-WHERE rows: one payload sort per
-        # distinct (PARTITION BY, ORDER BY) shape, segmented scans / position
-        # arithmetic in sorted order, one sort back by original row id
-        # (_compute_windows). Only in the select list / ORDER BY, and only in
-        # ungrouped queries (standard SQL evaluates windows after grouping —
-        # over grouped output — which this engine does not support yet).
+        # Computed over the post-WHERE rows (ungrouped) or the GROUPED
+        # output (standard SQL: windows evaluate after GROUP BY/HAVING —
+        # their arguments reference aggregates, already substituted to
+        # their output columns above). One payload sort chain per distinct
+        # (PARTITION BY, ORDER BY) shape + a single shared restore sort
+        # (plan/windows.py). Only in the select list / ORDER BY. Grouped
+        # queries tie-break window sorts on the exec group keys (unique
+        # per row) instead of the row ids grouping consumed.
         win_nodes: List[WindowFn] = []
         for e in ([e for e, _ in self.final_items]
                   + [e for e, _ in self.order_items]):
@@ -750,9 +776,10 @@ class QueryPlan(StringLowering):
                     "Window functions are only allowed in the select list "
                     "and ORDER BY"
                 )
-        if win_nodes and grouped:
+        if win_nodes and grouped and not group_keys:
             raise PlanError(
-                "Window functions over grouped queries are not supported"
+                "Window functions over an ungrouped aggregate (a single "
+                "implicit group) are not meaningful"
             )
         self.window_specs: List[Tuple] = []
         self.win_out_dicts: Dict[str, np.ndarray] = {}
@@ -1662,6 +1689,17 @@ class QueryPlan(StringLowering):
                 batch = compact_batch(batch, filter_mask, self.config.use_pallas)
                 filter_mask = None
 
+        # Windows over GROUPED output (standard SQL order: after GROUP BY
+        # and HAVING — so a pending HAVING mask must compact first; window
+        # partitions may only see surviving groups).
+        if self.grouped and self.window_specs:
+            if filter_mask is not None:
+                batch = compact_batch(
+                    batch, filter_mask, self.config.use_pallas
+                )
+                filter_mask = None
+            batch = self._compute_windows(batch)
+
         # Materialize select outputs (unique internal slots, duplicates OK).
         out_cols = {}
         cols = dict(batch.columns)
@@ -1750,7 +1788,16 @@ class QueryPlan(StringLowering):
 
     # -- observability --------------------------------------------------------
     def explain(self) -> str:
-        lines = [f"Scan {self.bindings[0][1]} as {self.bindings[0][0]}"]
+        def scan_line(idx: int) -> List[str]:
+            b, tname, _cols = self.bindings[idx]
+            src = self._derived.get(tname)
+            if src is None:
+                return [f"Scan {tname} as {b}"]
+            out = [f"DerivedScan as {b}:"]
+            out += ["  " + ln for ln in src.plan.explain().splitlines()]
+            return out
+
+        lines = scan_line(0)
         for b in self.pushdown:
             lines.append(f"Filter pushdown → {b}")
         for rb, lk, rk, kind in self.join_steps:
@@ -1763,6 +1810,13 @@ class QueryPlan(StringLowering):
             lines.append(f"Aggregate keys=[{keys}] aggs=[{aggs}]")
         if self.having is not None:
             lines.append("Filter (HAVING)")
+        if self.window_specs:
+            shapes = {(s[3], s[4], s[5]) for s in self.window_specs}
+            funcs = ", ".join(s[1] for s in self.window_specs)
+            lines.append(
+                f"Window [{funcs}] over {len(shapes)} shape(s) "
+                f"({len(shapes) + 1}-sort fused chain)"
+            )
         if self.order_items:
             lines.append(
                 "Sort " + ", ".join(

@@ -67,8 +67,13 @@ def compute_windows(plan, batch: ColumnBatch,
     # Tie-break on the GLOBAL row id (falls back to original position
     # single-chip, where they coincide): makes row_number over peers
     # deterministic and bit-identical between the single-chip path and the
-    # distributed shuffle (which changes arrival order).
-    rid_names = [n for n in batch.names if n.startswith("#rid.")]
+    # distributed shuffle (which changes arrival order). Grouped queries
+    # consumed the row ids — their rows ARE groups, so the exec group keys
+    # (unique per row) are the deterministic tie instead.
+    if getattr(plan, "grouped", False) and plan.group_keys:
+        rid_names = [k for k in plan.group_exec_keys if k in cols]
+    else:
+        rid_names = [n for n in batch.names if n.startswith("#rid.")]
 
     # ---- evaluate every shape's keys/args once, in original order --------
     # ``state`` holds every array that must survive the sort chain, keyed

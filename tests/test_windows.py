@@ -235,12 +235,14 @@ class TestWindowErrors:
                 "where row_number() over (order by pay) < 5"
             )
 
-    def test_window_in_grouped_query_rejected(self, wctx):
+    def test_window_over_implicit_group_rejected(self, wctx):
+        # a single implicit group (ungrouped aggregate) has no meaningful
+        # window; GROUP BY queries support windows since round 4
         c, _df = wctx
         with pytest.raises(PlanError):
             c.sql_df(
-                "select dept, sum(pay), row_number() over (order by dept) "
-                "from emp group by dept"
+                "select sum(pay), row_number() over (order by sum(pay)) "
+                "from emp"
             )
 
     def test_sum_over_string_rejected(self, wctx):
@@ -431,6 +433,80 @@ class TestFrameSpecs:
             c.sql_df(
                 "select sum(pay) over (order by pay range between "
                 "2 preceding and current row) as s from emp"
+            )
+
+
+class TestWindowsOverGroupedOutput:
+    """Round-4: windows evaluate over the GROUPED output (standard SQL
+    order: WHERE → GROUP BY → HAVING → window → ORDER BY), with window
+    arguments referencing aggregates."""
+
+    def test_rank_by_aggregate(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, yr, sum(pay) as tot, "
+            "rank() over (order by sum(pay) desc) as rk, "
+            "sum(sum(pay)) over (partition by dept) as dept_tot "
+            "from emp group by dept, yr order by rk, dept, yr"
+        )
+        g = df.groupby(["dept", "yr"], as_index=False).agg(tot=("pay", "sum"))
+        g["rk"] = g.tot.rank(method="min", ascending=False).astype(int)
+        g["dept_tot"] = g.groupby("dept").tot.transform("sum")
+        g = g.sort_values(["rk", "dept", "yr"])
+        assert got["tot"].tolist() == g["tot"].tolist()
+        assert got["rk"].tolist() == g["rk"].tolist()
+        assert got["dept_tot"].tolist() == g["dept_tot"].tolist()
+
+    def test_having_applies_before_window(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, yr, count(*) as n, "
+            "row_number() over (order by count(*) desc, dept, yr) as rn "
+            "from emp group by dept, yr having count(*) > 8 order by rn"
+        )
+        h = df.groupby(["dept", "yr"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        h = h[h.n > 8].sort_values(["n", "dept", "yr"],
+                                   ascending=[False, True, True])
+        assert got["n"].tolist() == h["n"].tolist()
+        assert got["rn"].tolist() == list(range(1, len(h) + 1))
+
+    def test_window_over_avg_output(self, wctx):
+        c, df = wctx
+        got = c.sql_df(
+            "select dept, avg(pay) as a, "
+            "rank() over (order by avg(pay) desc) as rk "
+            "from emp group by dept order by rk, dept"
+        )
+        g = df.groupby("dept", as_index=False).agg(a=("pay", "mean"))
+        g["rk"] = g.a.rank(method="min", ascending=False).astype(int)
+        g = g.sort_values(["rk", "dept"])
+        np.testing.assert_allclose(got["a"], g["a"], rtol=1e-6)
+        assert got["rk"].tolist() == g["rk"].tolist()
+
+    def test_distributed_parity(self, rng):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        df = pd.DataFrame({
+            "dept": rng.choice(["a", "b", "c", "d"], 600),
+            "reg": rng.choice(["x", "y", "z"], 600),
+            "pay": rng.integers(1, 100, 600).astype(np.int32),
+        })
+        cs = Context()
+        cm = Context(mesh=make_engine_mesh(8))
+        for c in (cs, cm):
+            c.create_table("emp", df)
+        for q in [
+            "select dept, reg, sum(pay) as tot, "
+            "rank() over (order by sum(pay) desc) as rk "
+            "from emp group by dept, reg order by rk, dept, reg",
+            "select dept, reg, count(*) as n, row_number() over "
+            "(partition by dept order by count(*) desc, reg) as rn "
+            "from emp group by dept, reg having count(*) > 20 "
+            "order by dept, rn",
+        ]:
+            pd.testing.assert_frame_equal(
+                cs.sql_df(q), cm.sql_df(q), check_dtype=False
             )
 
 
