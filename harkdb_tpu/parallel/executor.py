@@ -253,8 +253,9 @@ class DistExecutor:
         computation runs locally, and already-computed window columns ride
         later passes as payload (dist_ops.dist_window). Global windows
         (empty PARTITION BY) take the carry-exchange path
-        (parallel/global_window.py); lag/lead and bounded frames fall back
-        to the shard-0 route. ``tie_names`` overrides the row-id tie chain
+        (parallel/global_window.py — lag/lead via an edge-row halo);
+        bounded frames and huge lag offsets fall back to the shard-0
+        route. ``tie_names`` overrides the row-id tie chain
         (grouped queries pass the exec group keys — their rows ARE
         groups)."""
         from harkdb_tpu.parallel.dist_ops import dist_window

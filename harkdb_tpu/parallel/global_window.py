@@ -24,8 +24,9 @@ bit-identical to single-chip; float running sums may differ in final bits
 (the carry changes float addition order — documented in README).
 
 Supported: row_number / rank / dense_rank / count / sum / min / max /
-prod / avg / first_value / last_value. lag/lead need a cross-shard row
-halo and stay on the shard-0 fallback path (``dist_ops.dist_window``).
+prod / avg / first_value / last_value, plus lag/lead via a (D, off)
+edge-row halo exchange (offsets beyond 1024, and explicit bounded ROWS
+frames, fall back to the shard-0 route ``dist_ops.dist_window``).
 """
 
 from __future__ import annotations
@@ -45,20 +46,31 @@ Array = jax.Array
 
 GLOBAL_FUNCS = {
     "row_number", "rank", "dense_rank", "count", "sum", "min", "max",
-    "prod", "avg", "first_value", "last_value",
+    "prod", "avg", "first_value", "last_value", "lag", "lead",
 }
 
 _SCAN = {"sum": jnp.add, "prod": jnp.multiply,
          "max": jnp.maximum, "min": jnp.minimum}
 
+# lag/lead cross shard boundaries via a (D, off) halo exchange of each
+# shard's edge rows; cap the halo width (larger offsets fall back).
+_HALO_MAX = 1024
+
 
 def supports_global(specs: Sequence[Tuple]) -> bool:
     """Carry-path eligibility: explicit ROWS frames fall back to the
-    shard-0 route (a bounded frame spans shard boundaries)."""
-    return all(
-        s[1] in GLOBAL_FUNCS and (len(s) <= 7 or s[7] is None)
-        for s in specs
-    )
+    shard-0 route (a bounded frame spans shard boundaries); so do
+    lag/lead offsets beyond the halo cap."""
+    for s in specs:
+        if s[1] not in GLOBAL_FUNCS:
+            return False
+        if len(s) > 7 and s[7] is not None:
+            return False
+        if s[1] in ("lag", "lead"):
+            off = s[6][0] if s[6] else 1
+            if off > _HALO_MAX:
+                return False
+    return True
 
 
 def dist_global_window(
@@ -190,7 +202,58 @@ def dist_global_window(
             # to 1. Tie runs then DO span shards, so the carry formulas
             # below only apply when an ORDER BY exists (where dist_orderby
             # guarantees runs are shard-local).
-            if func == "row_number":
+            if func in ("lag", "lead"):
+                # Cross-shard neighbor via an edge-row halo: every needed
+                # global position P (within `off` of my block's boundary)
+                # lies inside SOME other shard's first/last-`off` window —
+                # if that shard holds fewer than `off` rows, its window IS
+                # the whole shard, so coverage is complete for any off.
+                off = min(int(params[0]) if params else 1, C)
+                dflt = jnp.asarray(
+                    params[1] if len(params) > 1 else 0, x.dtype
+                )
+                t = jnp.arange(off, dtype=jnp.int32)
+                prefixes = jnp.cumsum(rows_g) - rows_g          # (D,)
+                gp = carry_rows + idx                 # my rows' global pos
+                if func == "lag":
+                    edge_idx = n_local - off + t      # my TAIL rows
+                    ev = x[jnp.clip(edge_idx, 0, C - 1)]
+                    evalid = edge_idx >= 0
+                    pos_mat = (prefixes[:, None] + rows_g[:, None]
+                               - off + t[None, :])
+                    shard_ok = jnp.arange(D, dtype=jnp.int32)[:, None] < i
+                    targets = carry_rows - off + t    # (off,) needed pos
+                else:
+                    edge_idx = t                      # my HEAD rows
+                    ev = x[jnp.clip(edge_idx, 0, C - 1)]
+                    evalid = edge_idx < n_local
+                    pos_mat = prefixes[:, None] + t[None, :]
+                    shard_ok = jnp.arange(D, dtype=jnp.int32)[:, None] > i
+                    targets = carry_rows + n_local + t
+                EV = jax.lax.all_gather(ev, axis, axis=0, tiled=True) \
+                    .reshape(D, off)
+                EVal = jax.lax.all_gather(
+                    evalid, axis, axis=0, tiled=True
+                ).reshape(D, off)
+                ok = (EVal & shard_ok).reshape(1, -1)
+                eqm = (pos_mat.reshape(1, -1) == targets[:, None]) & ok
+                halo = jnp.sum(
+                    jnp.where(eqm, EV.reshape(1, -1),
+                              jnp.zeros((), x.dtype)),
+                    axis=1,
+                ).astype(x.dtype)                     # (off,) edge values
+                if func == "lag":
+                    shifted = jnp.concatenate([halo, x[:C - off]])
+                    o = jnp.where(gp >= off, shifted, dflt)
+                else:
+                    base = jnp.concatenate(
+                        [x[off:], jnp.zeros((off,), x.dtype)]
+                    )
+                    hal_idx = idx - (n_local - off)
+                    hval = halo[jnp.clip(hal_idx, 0, off - 1)]
+                    val = jnp.where(idx >= n_local - off, hval, base)
+                    o = jnp.where(gp + off < total_rows, val, dflt)
+            elif func == "row_number":
                 o = carry_rows + pos + 1            # rid order = global order
             elif func == "rank":
                 if has_order:

@@ -303,9 +303,13 @@ class TestWindowsDistributed:
         # global window with no ORDER BY after a WHERE: totals broadcast
         "select pay, sum(pay) over () as t, count(pay) over () as c, "
         "max(pay) over () as mx from emp where pay > 70 order by pay, yr",
-        # lag over () takes the shard-0 fallback (needs a row halo)
+        # lag/lead over () run on the carry path via an edge-row halo
+        # exchange (parallel/global_window.py)
         "select pay, lag(pay, 1, -3) over (order by pay, yr) as lg "
         "from emp order by pay, yr",
+        "select pay, lead(pay, 3, -9) over (order by pay desc, yr) as ld, "
+        "lag(yr, 2) over (order by pay desc, yr) as lg2 "
+        "from emp order by pay desc, yr",
     ]
 
     @pytest.mark.parametrize("qi", range(len(QUERIES)))
