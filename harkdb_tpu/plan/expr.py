@@ -87,6 +87,11 @@ def eval_expr(expr, columns: Dict[str, Array], capacity: int,
             return v
         if expr.op == "sqrt":
             return jnp.sqrt(v.astype(jnp.dtype(config.float_dtype)))
+        if expr.op == "cast_int":
+            # SQL CAST truncates toward zero (numpy/XLA float→int does too)
+            return v.astype(jnp.dtype(config.int_dtype))
+        if expr.op == "cast_float":
+            return v.astype(jnp.dtype(config.float_dtype))
         raise ExprError(f"Unknown unary op {expr.op!r}")
     if isinstance(expr, Case):
         # First true WHEN wins: fold jnp.where back-to-front over a chain of

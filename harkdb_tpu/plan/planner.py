@@ -83,6 +83,10 @@ def _expr_name(expr) -> str:
         return str(expr.value)
     if isinstance(expr, Case):
         return "case"
+    from harkdb_tpu.sql.ast_nodes import Coalesce as _Coal
+
+    if isinstance(expr, _Coal):
+        return "coalesce(" + ", ".join(_expr_name(a) for a in expr.args) + ")"
     if isinstance(expr, SubQuery):
         return "(subquery)"
     if isinstance(expr, InSub):
@@ -165,6 +169,10 @@ class _Resolver:
                       for o in expr.order_by),
                 expr.params, expr.frame,
             )
+        from harkdb_tpu.sql.ast_nodes import Coalesce
+
+        if isinstance(expr, Coalesce):
+            return Coalesce(tuple(self.rewrite(a) for a in expr.args))
         if isinstance(expr, BinOp):
             return BinOp(expr.op, self.rewrite(expr.left), self.rewrite(expr.right))
         if isinstance(expr, UnOp):
@@ -1091,16 +1099,88 @@ class QueryPlan(StringLowering):
         return InSub(corr[1], SubQuery(in_stmt), False)
 
     # -- LEFT-JOIN NULL lowering ----------------------------------------------
+    def _asserted_flags(self, cond) -> set:
+        """Matched flags a condition PROVES are 1 when it holds: plain
+        ``flag = 1`` tests, AND-chains of them, and the NOT of an
+        isnull-lowered OR-chain (``not (flag = 0 [or ...])`` asserts every
+        flag in the chain regardless of other disjuncts)."""
+        names = set(self.null_flags.values())
+        if isinstance(cond, BinOp) and cond.op == "and":
+            return (self._asserted_flags(cond.left)
+                    | self._asserted_flags(cond.right))
+        if (isinstance(cond, BinOp) and cond.op == "="
+                and isinstance(cond.left, Col) and cond.left.name in names
+                and isinstance(cond.right, Lit) and cond.right.value == 1):
+            return {cond.left.name}
+        if isinstance(cond, UnOp) and cond.op == "not":
+            def neg(e) -> set:
+                if isinstance(e, BinOp) and e.op == "or":
+                    return neg(e.left) | neg(e.right)
+                if (isinstance(e, BinOp) and e.op == "="
+                        and isinstance(e.left, Col)
+                        and e.left.name in names
+                        and isinstance(e.right, Lit)
+                        and e.right.value == 0):
+                    return {e.left.name}
+                return set()
+
+            return neg(cond.operand)
+        return set()
+
     def _nullable_flags_in(self, e) -> List[str]:
         """Matched-flag columns guarding the nullable (LEFT-JOIN right side)
-        columns referenced by ``e``, in first-reference order."""
-        flags: List[str] = []
-        for node in walk(e):
-            if isinstance(node, Col) and "." in node.name:
-                f = self.null_flags.get(node.name.split(".", 1)[0])
-                if f is not None and f not in flags:
-                    flags.append(f)
-        return flags
+        columns referenced by ``e``, in first-reference order. CASE branches
+        whose condition asserts a flag (the lowered COALESCE / explicit
+        ``IS NOT NULL`` guard patterns) do not propagate that flag — the
+        guarded value cannot be NULL when selected."""
+        from harkdb_tpu.sql.ast_nodes import Coalesce
+
+        out: List[str] = []
+
+        def add(fs):
+            for f in fs:
+                if f not in out:
+                    out.append(f)
+
+        def rec(x):
+            if isinstance(x, Col):
+                if "." in x.name:
+                    f = self.null_flags.get(x.name.split(".", 1)[0])
+                    if f is not None:
+                        add([f])
+            elif isinstance(x, BinOp):
+                rec(x.left)
+                rec(x.right)
+            elif isinstance(x, UnOp):
+                rec(x.operand)
+            elif isinstance(x, LutMember):
+                rec(x.col)
+            elif isinstance(x, Agg) and not isinstance(x.arg, Star):
+                rec(x.arg)
+            elif isinstance(x, InSub):
+                rec(x.expr)
+            elif isinstance(x, WindowFn):
+                if x.arg is not None and not isinstance(x.arg, Star):
+                    rec(x.arg)
+                for o in x.order_by:
+                    rec(o.expr)
+            elif isinstance(x, Coalesce):
+                # NULL only when EVERY argument is — a flagless argument
+                # makes the whole expression non-null
+                sets = [self._nullable_flags_in(a) for a in x.args]
+                if all(sets):
+                    inter = set(sets[0]).intersection(*map(set, sets[1:]))
+                    add([f for f in sets[0] if f in inter])
+            elif isinstance(x, Case):
+                for cond, r in x.whens:
+                    guarded = self._asserted_flags(cond)
+                    add([f for f in self._nullable_flags_in(r)
+                         if f not in guarded])
+                if x.else_ is not None:
+                    add(self._nullable_flags_in(x.else_))
+
+        rec(e)
+        return out
 
     def _matched_cond(self, flags: Sequence[str]):
         """Boolean expression: every referenced flag is 1 (row matched)."""
@@ -1112,7 +1192,23 @@ class QueryPlan(StringLowering):
     def _lower_isnull(self, e):
         """Replace isnull(x) with a matched-flag test (NULL semantics are
         strict: an expression is NULL iff any nullable column it references
-        is on an unmatched LEFT-JOIN row)."""
+        is on an unmatched LEFT-JOIN row), and expand COALESCE into the
+        flag-guarded CASE (a flagless argument short-circuits the rest; if
+        every argument is nullable the last one's 0-fill is the final
+        fallback — the engine cannot emit NULL from an expression)."""
+        from harkdb_tpu.sql.ast_nodes import Coalesce
+
+        if isinstance(e, Coalesce):
+            args = [self._lower_isnull(a) for a in e.args]
+            whens = []
+            else_ = args[-1]
+            for a in args:
+                fs = self._nullable_flags_in(a)
+                if not fs:
+                    else_ = a           # never NULL: later args are dead
+                    break
+                whens.append((self._matched_cond(fs), a))
+            return Case(tuple(whens), else_) if whens else else_
         if isinstance(e, UnOp):
             inner = self._lower_isnull(e.operand)
             if e.op != "isnull":
@@ -1551,12 +1647,13 @@ class QueryPlan(StringLowering):
             where_mask = eval_expr(
                 self.where_residual, batch.columns, cap, self.config
             ).astype(jnp.bool_)
-            # Window partitions must only see surviving rows, so windows
-            # force the compaction that a downstream sort would otherwise
-            # absorb.
+            # Window partitions must only see surviving rows, so UNGROUPED
+            # windows force the compaction that a downstream sort would
+            # otherwise absorb. Grouped windows run over the aggregated
+            # output, so the WHERE mask still fuses into the groupby sort.
             absorbed = (
                 (self.grouped or self.order_items or self.distinct)
-                and not self.window_specs
+                and (self.grouped or not self.window_specs)
             )
             if not absorbed:
                 batch = compact_batch(batch, where_mask, self.config.use_pallas)

@@ -22,8 +22,8 @@ import numpy as np
 
 from harkdb_tpu.plan.errors import PlanError
 from harkdb_tpu.sql.ast_nodes import (
-    Agg, BinOp, Case, Col, InSub, Lit, LutMember, Star, SubQuery, UnOp,
-    WindowFn,
+    Agg, BinOp, Case, Coalesce, Col, InSub, Lit, LutMember, Star, SubQuery,
+    UnOp, WindowFn,
 )
 
 
@@ -117,6 +117,9 @@ class StringLowering:
                 self._collect_merges(e.arg)
             for o in e.order_by:
                 self._collect_merges(o.expr)
+        elif isinstance(e, Coalesce):
+            for a in e.args:
+                self._collect_merges(a)
 
     def _lower_str_cmp(self, op: str, col_expr, d: np.ndarray, v: str):
         """col <op> 'literal' → integer code comparison. Codes are
@@ -171,7 +174,8 @@ class StringLowering:
             return e
         if isinstance(e, UnOp):
             v = self._lower_strings(e.operand)
-            if (e.op in ("-", "abs", "floor", "ceil", "round", "sqrt")
+            if (e.op in ("-", "abs", "floor", "ceil", "round", "sqrt",
+                         "cast_int", "cast_float")
                     and self._is_string_typed(v)):
                 raise PlanError(f"Cannot apply {e.op} to a string column")
             return UnOp(e.op, v)
@@ -202,6 +206,14 @@ class StringLowering:
                       for o in e.order_by),
                 e.params, e.frame,
             )
+        if isinstance(e, Coalesce):
+            args = tuple(self._lower_strings(a) for a in e.args)
+            for a in args:
+                if self._is_string_typed(a):
+                    raise PlanError(
+                        "COALESCE over string columns is not supported"
+                    )
+            return Coalesce(args)
         if isinstance(e, Case):
             whens = tuple(
                 (self._lower_strings(c), self._lower_strings(r))

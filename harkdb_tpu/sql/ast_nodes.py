@@ -97,6 +97,15 @@ class SubQuery:
 
 
 @dataclass(frozen=True)
+class Coalesce:
+    """``COALESCE(a, b, ...)`` — first non-NULL argument. In this engine
+    only LEFT-JOIN unmatched rows are NULL, so the planner lowers it to a
+    CASE guarded by the matched flags of each argument (``_lower_isnull``);
+    an argument with no nullable references short-circuits the rest."""
+    args: tuple
+
+
+@dataclass(frozen=True)
 class ExistsSub:
     """``EXISTS (SELECT ...)`` — a boolean predicate. The planner lowers a
     single correlated column equality (``... WHERE r.k = t.k``) to the
@@ -235,4 +244,7 @@ def walk(expr) -> list:
             out += walk(p)
         for o in expr.order_by:
             out += walk(o.expr)
+    elif isinstance(expr, Coalesce):
+        for a in expr.args:
+            out += walk(a)
     return out

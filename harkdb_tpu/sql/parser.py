@@ -43,7 +43,7 @@ KEYWORDS = {
     "case", "when", "then", "else", "end", "union", "all",
     "over", "partition", "is", "null",
     "rows", "range", "unbounded", "preceding", "following", "current", "row",
-    "exists",
+    "exists", "cast",
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
@@ -440,6 +440,19 @@ class Parser:
             stmt = self.parse_subquery_stmt()
             self.expect_op(")")
             return ExistsSub(stmt)
+        if self.eat_kw("cast"):         # CAST(expr AS INT|FLOAT)
+            self.expect_op("(")
+            e = self.parse_expr()
+            self.expect_kw("as")
+            ty = self.expect_ident().lower()
+            self.expect_op(")")
+            if ty in ("int", "integer", "bigint", "smallint"):
+                return UnOp("cast_int", e)
+            if ty in ("float", "double", "real", "numeric", "decimal"):
+                return UnOp("cast_float", e)
+            raise SqlError(
+                f"CAST target must be an int or float type, got {ty!r}"
+            )
         if t.kind == "ident":
             low = t.text.lower()
             nxt = self.tokens[self.i + 1]
@@ -513,6 +526,18 @@ class Parser:
                         f"{low} does not accept a frame clause"
                     )
                 return WindowFn(low, arg, part, order, tuple(params))
+            if low == "coalesce" and nxt.kind == "op" and nxt.text == "(":
+                self.next()          # func name
+                self.next()          # "("
+                args = [self.parse_expr()]
+                while self.eat_op(","):
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+                if len(args) < 2:
+                    raise SqlError("COALESCE takes at least two arguments")
+                from harkdb_tpu.sql.ast_nodes import Coalesce
+
+                return Coalesce(tuple(args))
             if low in SCALAR_FUNCS and nxt.kind == "op" and nxt.text == "(":
                 self.next()          # func name
                 self.next()          # "("

@@ -178,6 +178,74 @@ class TestAggregateSkip:
         assert got["n"].tolist() == [5]
 
 
+class TestCoalesceAndCast:
+    def test_coalesce_default_on_unmatched(self, nctx):
+        df = nctx.sql_df(
+            "select a.k, coalesce(r.w, -1) as w from a "
+            "left join r on a.k = r.k order by a.k, r.w"
+        )
+        assert df["w"].tolist() == [5, 6, -1, 7, -1]
+        # coalesce strips nullability: no NaN decode, int dtype preserved
+        assert df["w"].dtype.kind == "i"
+
+    def test_coalesce_through_aggregates(self, nctx):
+        # SQL: coalesce(r.w, 100) is never NULL, so unmatched rows
+        # CONTRIBUTE the default (the nullable-skip rewrite must not mask)
+        got = nctx.sql_df(
+            "select a.k, sum(coalesce(r.w, 100)) as s, "
+            "count(coalesce(r.w, 0)) as c from a "
+            "left join r on a.k = r.k group by a.k order by a.k"
+        )
+        assert got["s"].tolist() == [11, 100, 7, 100]
+        assert got["c"].tolist() == [2, 1, 1, 1]
+
+    def test_coalesce_chain_two_nullables(self, nctx):
+        c = nctx
+        import pandas as pd
+
+        c.create_table("r2", pd.DataFrame({
+            "k": np.array([2], np.int32), "u": np.array([99], np.int32),
+        }))
+        got = c.sql_df(
+            "select a.k, coalesce(r.w, r2.u, 0) as x from a "
+            "left join r on a.k = r.k left join r2 on a.k = r2.k "
+            "order by a.k, r.w"
+        )
+        assert got["x"].tolist() == [5, 6, 99, 7, 0]
+
+    def test_coalesce_in_where(self, nctx):
+        got = nctx.sql_df(
+            "select a.k from a left join r on a.k = r.k "
+            "where coalesce(r.w, 0) = 0 order by a.k"
+        )
+        assert got["k"].tolist() == [2, 4]
+
+    def test_coalesce_string_rejected(self, nctx):
+        with pytest.raises(PlanError, match="COALESCE over string"):
+            nctx.sql("select coalesce(r.s, r.s) from a "
+                     "left join r on a.k = r.k")
+
+    def test_cast(self, nctx):
+        got = nctx.sql_df(
+            "select cast(a.v as float) / 3 as h, "
+            "cast(a.v / 3 as int) as i from a order by a.k"
+        )
+        np.testing.assert_allclose(
+            got["h"], np.array([10, 20, 30, 40]) / 3, rtol=1e-6
+        )
+        assert got["i"].tolist() == [3, 6, 10, 13]
+
+    def test_case_is_not_null_guard_not_masked(self, nctx):
+        # the explicit IS NOT NULL guard pattern must also strip
+        # nullability from the guarded branch (asserted-flag analysis)
+        got = nctx.sql_df(
+            "select a.k, sum(case when r.w is not null then r.w else -5 "
+            "end) as s from a left join r on a.k = r.k "
+            "group by a.k order by a.k"
+        )
+        assert got["s"].tolist() == [11, -5, 7, -5]
+
+
 class TestNullGroup:
     def test_null_key_is_its_own_group(self):
         c = Context()
