@@ -107,6 +107,21 @@ print(ctx.sql_df(
     "group by product, region) d where d.u > 2000"
 ))
 
+print("\n— COALESCE defaults + CAST —")
+print(ctx.sql_df(
+    "select product, coalesce(promos.discount, 0) as disc, "
+    "cast(price as int) as whole from sales "
+    "left join promos on sales.product = promos.prod "
+    "order by price desc limit 5"
+))
+
+print("\n— windows over GROUPED output —")
+print(ctx.sql_df(
+    "select region, sum(units) as u, "
+    "rank() over (order by sum(units) desc) as rk "
+    "from sales group by region order by rk"
+))
+
 print("\n— EXISTS as a semi-join —")
 print(ctx.sql_df(
     "select region, count(*) as n from sales where exists "
