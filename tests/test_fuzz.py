@@ -318,3 +318,68 @@ def test_fuzz_union_subquery(seed):
     hot = set(t2[t2.w > 0].j)
     exp2 = t1[(t1.c > t1.c.mean()) & t1.a.isin(hot)][["a", "c"]]
     _assert_rows_equal(got2, exp2.to_numpy(), q2)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_round4_surface(seed):
+    """Round-4 surface sweep vs pandas: LEFT-JOIN NULLs (IS NULL, agg
+    skip, COALESCE), EXISTS semi-joins, derived tables, window frames and
+    windows over grouped output — random predicates and sizes."""
+    rng = np.random.default_rng(7000 + seed)
+    n = int(rng.integers(40, 400))
+    t1, _ = _make_tables(rng, n)
+    t2 = pd.DataFrame({
+        "j": rng.permutation(12)[:6].astype(np.int32),   # half the keys miss
+        "w": rng.integers(1, 30, 6).astype(np.int32),
+    })
+    ctx = Context()
+    ctx.create_table("t1", t1)
+    ctx.create_table("t2", t2)
+    m = t1.merge(t2, left_on="a", right_on="j", how="left")
+    sql_pred, pd_pred = _PREDS[seed % len(_PREDS)]
+
+    kind = seed % 4
+    if kind == 0:
+        # NULL-aware aggregates + COALESCE through a LEFT JOIN
+        q = (f"select a, count(w) as cw, sum(coalesce(w, -2)) as s "
+             f"from t1 left join t2 on t1.a = t2.j where {sql_pred} "
+             f"group by a order by a")
+        got = ctx.sql(q)
+        mm = m[pd_pred(m)]
+        g = mm.groupby("a").agg(
+            cw=("w", "count"),
+            s=("w", lambda x: int(x.fillna(-2).sum())),
+        ).reset_index()
+        _assert_rows_equal(got, g.to_numpy(), q)
+    elif kind == 1:
+        # EXISTS / NOT EXISTS semi-joins
+        neg = "not " if seed % 2 else ""
+        q = (f"select count(*) from t1 where {neg}exists "
+             f"(select 1 from t2 where t2.j = t1.a) and ({sql_pred})")
+        got = ctx.sql(q)
+        member = t1.a.isin(set(t2.j.tolist()))
+        if neg:
+            member = ~member
+        exp = int((member & pd_pred(t1)).sum())
+        assert got[0, 0] == exp, (q, got, exp)
+    elif kind == 2:
+        # derived table: regroup over an aggregate
+        q = (f"select count(*), sum(d.s) from "
+             f"(select a, b, sum(c) as s from t1 where {sql_pred} "
+             f"group by a, b) d where d.s > 20")
+        got = ctx.sql(q)
+        g = t1[pd_pred(t1)].groupby(["a", "b"]).c.sum()
+        g = g[g > 20]
+        assert got[0, 0] == len(g), q
+        assert got[0, 1] == int(g.sum()), q
+    else:
+        # sliding frame + window over grouped output
+        k = 1 + seed % 4
+        q = (f"select a, sum(c) as s, "
+             f"sum(sum(c)) over (order by a rows between {k} preceding "
+             f"and current row) as fr from t1 group by a order by a")
+        got = ctx.sql_df(q)
+        g = t1.groupby("a").c.sum()
+        fr = g.rolling(k + 1, min_periods=1).sum().astype(int)
+        assert got["s"].tolist() == g.tolist(), q
+        assert got["fr"].tolist() == fr.tolist(), q
