@@ -36,7 +36,7 @@ from harkdb_tpu.parallel.dist_ops import (
 )
 from harkdb_tpu.parallel.sharded import ShardedBatch, shard_batch
 from harkdb_tpu.plan.expr import eval_expr
-from harkdb_tpu.plan.planner import QueryPlan
+from harkdb_tpu.plan.planner import QueryPlan, _null_extreme_sub
 
 
 class DistExecutor:
@@ -450,13 +450,22 @@ class DistExecutor:
             # the key chain (tuples are unique, so the order is total).
             work = dist_map(work, project, out_names, self.mesh, cfg)
             work = dist_groupby(work, out_names, [], self.mesh, cfg)
-            order_cols = [f"#out{j}" for j in plan.order_out_idx]
-            keys = order_cols + out_names
             descs = [d for _e, d in plan.order_items]
             descs += [False] * len(out_names)
 
             def dkeys_fn(cols, cap):
-                return [cols[k] for k in keys]
+                ks = []
+                for (j, (_e, d)), nu in zip(
+                    zip(plan.order_out_idx, plan.order_items),
+                    plan.order_nulls,
+                ):
+                    a = cols[f"#out{j}"]
+                    nf = cols.get(f"#nullflag{j}")
+                    if nf is not None:
+                        a = _null_extreme_sub(a, nf == 0, d, nu)
+                    ks.append(a)
+                ks += [cols[k] for k in out_names]
+                return ks
 
             work = dist_orderby(work, dkeys_fn, descs, self.mesh, cfg)
             caps.append(("distinct", work.local_capacity))
@@ -488,8 +497,9 @@ class DistExecutor:
                 def keys_fn(cols, cap):
                     g = aug(cols, cap)
                     ks = [
-                        eval_expr(e, g, cap, cfg)
-                        for e, _d in order_exprs
+                        plan._null_adjusted_key(e, d, nu, g, cap)
+                        for (e, d), nu in zip(order_exprs,
+                                              plan.order_nulls)
                     ]
                     if u32_ties:
                         from harkdb_tpu.ops.groupby import u32_order_key

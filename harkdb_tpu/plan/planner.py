@@ -61,6 +61,23 @@ def _next_pow2(n: int) -> int:
     return 1 << (int(n - 1).bit_length())
 
 
+def _null_extreme_sub(a, isnull, d: bool, nu):
+    """Substitute the dtype extreme for NULL rows in a sort KEY (values are
+    untouched), so NULLs sort to the requested end: default LAST for ASC,
+    FIRST for DESC (SQL treats NULL as largest). Real extreme values
+    interleave with NULLs by tie order — documented edge."""
+    first = (nu == "first") if nu else d
+    # ASC+last and DESC+first want the LARGEST key (SQL's "NULL sorts as
+    # larger than any value" defaults); the two overrides want the smallest.
+    use_max = first == d
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        ext = jnp.array(jnp.inf if use_max else -jnp.inf, a.dtype)
+    else:
+        info = jnp.iinfo(a.dtype)
+        ext = jnp.array(info.max if use_max else info.min, a.dtype)
+    return jnp.where(isnull, ext, a)
+
+
 def _pad_span(span: int) -> int:
     """Round a key span up to the MXU kernel's key-tile granule."""
     return -(-span // KEY_TILE) * KEY_TILE
@@ -757,6 +774,10 @@ class QueryPlan(StringLowering):
         self.order_items = [
             (_substitute_aggs(e, agg_map), d) for e, d in order_items
         ]
+        # NULLS FIRST/LAST per order item (None = SQL default: LAST for
+        # ASC, FIRST for DESC). Only meaningful for nullable (LEFT-JOIN
+        # right side) expressions — see _null_adjusted_key.
+        self.order_nulls = [o.nulls for o in stmt.order_by]
 
         # ---- window functions ------------------------------------------------
         # Computed over the post-WHERE rows (ungrouped) or the GROUPED
@@ -1188,6 +1209,19 @@ class QueryPlan(StringLowering):
         for f in flags[1:]:
             cond = BinOp("and", cond, BinOp("=", Col(f), Lit(1)))
         return cond
+
+    def _null_adjusted_key(self, expr, d: bool, nu, cols, cap):
+        """ORDER BY key for a possibly-nullable expression: evaluate, then
+        substitute the dtype extreme on unmatched rows so NULLs sort to
+        the SQL end (``_null_extreme_sub``); plain expressions unchanged."""
+        a = eval_expr(expr, cols, cap, self.config)
+        flags = self._nullable_flags_in(expr)
+        if flags and all(f in cols for f in flags):
+            m = cols[flags[0]]
+            for f in flags[1:]:
+                m = m * cols[f]
+            a = _null_extreme_sub(a, m == 0, d, nu)
+        return a
 
     def _lower_isnull(self, e):
         """Replace isnull(x) with a matched-flag test (NULL semantics are
@@ -1849,14 +1883,22 @@ class QueryPlan(StringLowering):
             key_arrays = []
             desc = []
             if self.distinct:
-                for j, (_e, d) in zip(self.order_out_idx, self.order_items):
-                    key_arrays.append(out.columns[f"#out{j}"])
+                for (j, (_e, d)), nu in zip(
+                    zip(self.order_out_idx, self.order_items),
+                    self.order_nulls,
+                ):
+                    a = out.columns[f"#out{j}"]
+                    nf = out.columns.get(f"#nullflag{j}")
+                    if nf is not None:
+                        a = _null_extreme_sub(a, nf == 0, d, nu)
+                    key_arrays.append(a)
                     desc.append(d)
             else:
-                for expr, d in self.order_items:
-                    key_arrays.append(
-                        eval_expr(expr, cols, batch.capacity, self.config)
-                    )
+                for (expr, d), nu in zip(self.order_items,
+                                         self.order_nulls):
+                    key_arrays.append(self._null_adjusted_key(
+                        expr, d, nu, cols, batch.capacity
+                    ))
                     desc.append(d)
             from harkdb_tpu.ops.sort import sort_batch as _sort_batch
 

@@ -76,6 +76,11 @@ class UnionPlan:
         # ordinals (the arms' internal columns are out of scope by then).
         self.order_pos: List[Tuple[int, bool]] = []
         for o in stmt.order_by:
+            if o.nulls is not None:
+                raise PlanError(
+                    "NULLS FIRST/LAST is not supported in a UNION ORDER BY "
+                    "(union arms drop NULL indicators — README)"
+                )
             e = o.expr
             if (isinstance(e, Col) and e.table is None
                     and e.name in self.output_names):

@@ -185,6 +185,10 @@ class JoinClause:
 class OrderItem:
     expr: Expr
     descending: bool = False
+    #: None = SQL default (NULLS LAST for ASC, FIRST for DESC);
+    #: "first"/"last" = explicit. Only meaningful for expressions over
+    #: nullable (LEFT-JOIN right side) columns; ignored elsewhere.
+    nulls: object = None
 
 
 @dataclass(frozen=True)

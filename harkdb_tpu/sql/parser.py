@@ -43,7 +43,7 @@ KEYWORDS = {
     "case", "when", "then", "else", "end", "union", "all",
     "over", "partition", "is", "null",
     "rows", "range", "unbounded", "preceding", "following", "current", "row",
-    "exists", "cast",
+    "exists", "cast", "nulls",
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
@@ -306,7 +306,16 @@ class Parser:
             desc = True
         else:
             self.eat_kw("asc")
-        return OrderItem(expr, desc)
+        nulls = None
+        if self.eat_kw("nulls"):
+            t = self.peek()
+            if t.kind == "ident" and t.text.lower() in ("first", "last"):
+                nulls = self.next().text.lower()
+            else:
+                raise SqlError(
+                    f"Expected FIRST or LAST after NULLS, got {t.text!r}"
+                )
+        return OrderItem(expr, desc, nulls)
 
     # -- expressions ----------------------------------------------------------
     def parse_expr(self):
@@ -582,6 +591,10 @@ class Parser:
             order.append(self.parse_order_item())
             while self.eat_op(","):
                 order.append(self.parse_order_item())
+            if any(o.nulls is not None for o in order):
+                raise SqlError(
+                    "NULLS FIRST/LAST is not supported inside OVER(...)"
+                )
         frame = None
         if self.at_kw("rows", "range"):
             is_rows = self.next().text.lower() == "rows"

@@ -178,6 +178,67 @@ class TestAggregateSkip:
         assert got["n"].tolist() == [5]
 
 
+class TestNullOrdering:
+    """ORDER BY over nullable columns: SQL defaults (NULLS LAST for ASC,
+    FIRST for DESC — NULL sorts as larger than any value) with explicit
+    NULLS FIRST/LAST overrides. The NULL end is folded into the sort key
+    (dtype extreme on unmatched rows), so the distributed range partition
+    works unchanged."""
+
+    def test_defaults(self, nctx):
+        d1 = nctx.sql_df("select a.k, r.w from a left join r on a.k = r.k "
+                         "order by r.w, a.k")
+        assert d1["k"].tolist() == [1, 1, 3, 2, 4]       # nulls last
+        d2 = nctx.sql_df("select a.k, r.w from a left join r on a.k = r.k "
+                         "order by r.w desc, a.k")
+        assert d2["k"].tolist() == [2, 4, 3, 1, 1]       # nulls first
+
+    def test_explicit_overrides(self, nctx):
+        d3 = nctx.sql_df("select a.k, r.w from a left join r on a.k = r.k "
+                         "order by r.w nulls first, a.k")
+        assert d3["k"].tolist() == [2, 4, 1, 1, 3]
+        d4 = nctx.sql_df("select a.k, r.w from a left join r on a.k = r.k "
+                         "order by r.w desc nulls last, a.k")
+        assert d4["k"].tolist() == [3, 1, 1, 2, 4]
+
+    def test_coalesce_key_not_null_ordered(self, nctx):
+        # coalesce strips nullability → the default takes part in the
+        # normal value order instead of sorting to the NULL end
+        d = nctx.sql_df(
+            "select a.k, coalesce(r.w, 6) as cw from a "
+            "left join r on a.k = r.k order by cw, a.k"
+        )
+        assert d["cw"].tolist() == [5, 6, 6, 6, 7]
+
+    def test_distributed_parity(self, nctx, big):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        ldf, rdf = big
+        cs = Context()
+        cm = Context(mesh=make_engine_mesh(8))
+        for c in (cs, cm):
+            c.create_table("l", ldf)
+            c.create_table("r", rdf)
+        for q in [
+            "select l.k, l.v, r.w from l left join r on l.k = r.j "
+            "order by r.w, l.k, l.v limit 60",
+            "select l.k, l.v, r.w from l left join r on l.k = r.j "
+            "order by r.w desc nulls last, l.k, l.v limit 60",
+            "select distinct r.w from l left join r on l.k = r.j "
+            "order by r.w nulls first",
+        ]:
+            pd.testing.assert_frame_equal(cs.sql_df(q), cm.sql_df(q))
+
+    def test_rejected_in_over_and_union(self, nctx):
+        from harkdb_tpu.sql.parser import SqlError
+
+        with pytest.raises(SqlError, match="OVER"):
+            nctx.sql("select sum(v) over (order by v nulls first) from a")
+        with pytest.raises(PlanError, match="UNION"):
+            nctx.sql("select k from a union select k from a "
+                     "order by k nulls first")
+
+
 class TestCoalesceAndCast:
     def test_coalesce_default_on_unmatched(self, nctx):
         df = nctx.sql_df(
