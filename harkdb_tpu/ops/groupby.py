@@ -247,13 +247,30 @@ def groupby_aggregate(
     # of value-change boundaries. Group-boundary positions depend only on the
     # multiset of (dropped, keys), so the MAIN sort's is_start/is_end flags
     # apply verbatim and the cumsum telescopes at the shared segment ends.
+    #
+    # NULL-skipping form: the column may be a (value, valid01) PAIR — the
+    # inverted valid flag rides as a key BEFORE the value, sorting a
+    # group's NULL rows after its valid rows, and only valid-row value
+    # boundaries count. Exact — no sentinel value to collide with data.
     for ai, (col, op) in enumerate(agg_cols):
         if op != "countd":
             continue
-        aux = jax.lax.sort([dropped] + keys + [col], num_keys=2 + nk)
-        x_s = aux[-1]
-        prev_x = jnp.concatenate([x_s[:1], x_s[:-1]])
-        new_val = is_start | (valid & (x_s != prev_x))
+        if isinstance(col, tuple):
+            val_col, valid_col = col
+            inv = (valid_col == 0).astype(jnp.int32)
+            aux = jax.lax.sort(
+                [dropped] + keys + [inv, val_col], num_keys=3 + nk
+            )
+            x_s, inv_s = aux[-1], aux[-2]
+            prev_x = jnp.concatenate([x_s[:1], x_s[:-1]])
+            # valid rows are contiguous from each group's start, so a valid
+            # row's predecessor (within the group) is valid too
+            new_val = (inv_s == 0) & (is_start | (valid & (x_s != prev_x)))
+        else:
+            aux = jax.lax.sort([dropped] + keys + [col], num_keys=2 + nk)
+            x_s = aux[-1]
+            prev_x = jnp.concatenate([x_s[:1], x_s[:-1]])
+            new_val = is_start | (valid & (x_s != prev_x))
         slot_of[ai] = len(end_arrays)
         end_arrays.append(jnp.cumsum(new_val.astype(jnp.int32)))
     pos_slot = -1
@@ -332,7 +349,11 @@ def groupby_batch(
     if isinstance(key_names, str):
         key_names = [key_names]
     key_arrays = [batch.column(k) for k in key_names]
-    agg_inputs = [(batch.column(src), op) for src, op, _ in aggs]
+    agg_inputs = [
+        (tuple(batch.column(s) for s in src) if isinstance(src, tuple)
+         else batch.column(src), op)
+        for src, op, _ in aggs
+    ]
     keys_out, agg_outs, n_groups = groupby_aggregate(
         key_arrays, agg_inputs, batch.n_valid, mask=mask,
         u32_key_order=u32_key_order, use_pallas=use_pallas,

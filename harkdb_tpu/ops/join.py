@@ -73,15 +73,38 @@ class JoinRanges(NamedTuple):
     n_lefts: Array         # live left rows
     total: Array           # inner-join pair count
     total_left: Array      # LEFT-join row count (unmatched lefts emit 1)
+    r_matched: object = None   # (nr,) bool: right row has a left match
+    #                            (FULL-OUTER ranges only, need_full=True)
+    total_full: object = None  # total_left + unmatched right rows
 
 
 def compute_join_ranges(
-    l_key: Array, n_l: Array, r_key: Array, n_r: Array,
+    l_key, n_l: Array, r_key, n_r: Array,
     l_cols: Sequence[Array] = (), r_cols: Sequence[Array] = (),
     use_pallas: bool | None = None,
+    l_null: Array | None = None, r_null: Array | None = None,
+    need_full: bool = False,
 ) -> JoinRanges:
-    """One concat sort + two kernel compactions → everything a join needs."""
-    nl, nr = l_key.shape[0], r_key.shape[0]
+    """One concat sort + two kernel compactions → everything a join needs.
+
+    ``l_key``/``r_key`` may be single arrays or LISTS of equal-length key
+    arrays (multi-key equi-join: rows match when every key is equal —
+    lexicographic runs of the multi-operand sort; the reference kernel is
+    single-key, ``join.fut:52-75``).
+
+    ``l_null``/``r_null`` optionally mark rows whose key tuple is SQL NULL
+    (three-valued logic: NULL matches nothing, not even another NULL).
+    Implemented with one extra int32 sort operand: a nullcode (0 = valid,
+    1 = null right, 2 = null left) that splits null rows into their own
+    runs — no sentinel key values, so no collision with real data.
+
+    ``need_full=True`` additionally computes per-right-row match flags and
+    the FULL-OUTER row total (a reversed cummax fills each run's left-count
+    back over its rights — scatter-free like everything else here).
+    """
+    l_keys = list(l_key) if isinstance(l_key, (list, tuple)) else [l_key]
+    r_keys = list(r_key) if isinstance(r_key, (list, tuple)) else [r_key]
+    nl, nr = l_keys[0].shape[0], r_keys[0].shape[0]
     assert nl < (1 << 30) and nr < (1 << 30), "row capacity >= 2^30"
     n = nl + nr
     # Pads → dtype max so they cluster at the back. Rights are concatenated
@@ -91,12 +114,19 @@ def compute_join_ranges(
     # operand takes the 17M-row sort from 91 ms to 70 ms on v5e,
     # tools/join_profile.py). Side/pad flags travel as 2 tag bits on the
     # carried row index (capacities are < 2^30).
-    lk = _pad_to_max(l_key, n_l)
-    rk = _pad_to_max(r_key, n_r)
     l_idx = jnp.arange(nl, dtype=jnp.int32)
     r_idx = jnp.arange(nr, dtype=jnp.int32)
-
-    keys = jnp.concatenate([rk, lk])
+    keys = [
+        jnp.concatenate([_pad_to_max(rk, n_r), _pad_to_max(lk, n_l)])
+        for lk, rk in zip(l_keys, r_keys)
+    ]
+    nkeys = len(keys)
+    if l_null is not None or r_null is not None:
+        lnc = (jnp.where(l_null, 2, 0).astype(jnp.int32)
+               if l_null is not None else jnp.zeros((nl,), jnp.int32))
+        rnc = (jnp.where(r_null, 1, 0).astype(jnp.int32)
+               if r_null is not None else jnp.zeros((nr,), jnp.int32))
+        keys.append(jnp.concatenate([rnc, lnc]))
     left_bit = jnp.int32(1 << 30)
     pad_bit = jnp.int32(-(1 << 31))            # bit 31 as int32
     l_tag = l_idx | left_bit | jnp.where(l_idx >= n_l, pad_bit, 0)
@@ -108,11 +138,13 @@ def compute_join_ranges(
         jnp.concatenate([c, jnp.zeros((nl,), c.dtype)]) for c in r_cols
     ]
 
+    nsort = len(keys)
     sorted_all = jax.lax.sort(
-        [keys, orig_tagged] + payload, num_keys=1, is_stable=True
+        keys + [orig_tagged] + payload, num_keys=nsort, is_stable=True
     )
-    skey, stag = sorted_all[:2]
-    spay = sorted_all[2:]
+    skeys = sorted_all[:nsort]
+    stag = sorted_all[nsort]
+    spay = sorted_all[nsort + 1:]
     # side code from the tag bits: 0 = live right, 1 = live left, else pad.
     side_code = jax.lax.shift_right_logical(
         stag.astype(jnp.uint32), jnp.uint32(30)
@@ -123,9 +155,13 @@ def compute_join_ranges(
     is_right = (side_code == 0).astype(jnp.int32)
     is_left = side_code == 1
 
-    # Key-run starts; within-run inclusive right count via cumsum difference.
-    prev = jnp.concatenate([skey[:1], skey[:-1]])
-    run_start = (pos == 0) | (skey != prev)
+    # Key-run starts (any key operand changes — the nullcode operand counts
+    # too, isolating null rows in matchless runs); within-run inclusive
+    # right count via cumsum difference.
+    run_start = pos == 0
+    for skey in skeys:
+        prev = jnp.concatenate([skey[:1], skey[:-1]])
+        run_start = run_start | (skey != prev)
     r_cum = jnp.cumsum(is_right)                       # inclusive rights so far
     # Base = rights before this run = r_excl at my run's start. r_excl is
     # non-decreasing, so a running max over values marked at run starts
@@ -142,6 +178,35 @@ def compute_join_ranges(
         jnp.where(is_left, jnp.maximum(counts_sorted, 1), 0)
     ).astype(jnp.int32)
 
+    r_matched_sorted = None
+    total_full = None
+    if need_full:
+        # A right row is matched iff its run contains any live left. Lefts
+        # follow rights within a run, so fill each run's TOTAL left count
+        # backward: reversed cummax of per-run left-exclusive prefixes.
+        il = is_left.astype(jnp.int32)
+        l_cum = jnp.cumsum(il)
+        l_excl = l_cum - il
+        lbase = jax.lax.cummax(jnp.where(run_start, l_excl, 0))
+        # Lefts in MY whole run = (l_excl at the next run start strictly
+        # after me) − my run's base. l_excl is non-decreasing, so a
+        # reversed cummin over run-start-marked values finds the next run
+        # start at-or-after each position; shift by one for "strictly
+        # after", clamping the final run to the global left total.
+        big = jnp.int32(n + 1)
+        at_or_after = jnp.flip(jax.lax.cummin(jnp.flip(
+            jnp.where(run_start, l_excl, big)
+        )))
+        nxt = jnp.concatenate([at_or_after[1:], big[None]])
+        nxt = jnp.minimum(nxt, l_cum[-1])
+        total_lefts_in_run = nxt - lbase
+        r_matched_sorted = (is_right > 0) & (total_lefts_in_run > 0)
+        n_r_unmatched = jnp.sum(
+            ((is_right > 0) & jnp.logical_not(r_matched_sorted))
+            .astype(jnp.int32)
+        )
+        total_full = total_left + n_r_unmatched
+
     # Stable compactions back to per-side coordinates (log-shift kernel on
     # TPU, payload-carrying sort elsewhere). Kernel-path rows past the live
     # count are unspecified: counts drives expansion sizes downstream, so
@@ -156,30 +221,50 @@ def compute_join_ranges(
     counts = jnp.where(l_idx < n_lefts, cl, 0)
     l_payload = tuple(a[:nl] for a in l_split[3:])
 
-    r_split, _ = compact_arrays(
-        [sorig] + list(spay[nlc:]), is_right > 0, nn,
+    r_extra = (
+        [r_matched_sorted.astype(jnp.int32)] if need_full else []
+    )
+    r_split, n_rights = compact_arrays(
+        [sorig] + r_extra + list(spay[nlc:]), is_right > 0, nn,
         use_pallas=use_pallas,
     )
     r_orig = r_split[0][:nr]
-    r_payload = tuple(a[:nr] for a in r_split[1:])
+    if need_full:
+        r_matched = jnp.where(
+            r_idx < n_rights, r_split[1][:nr] > 0, True
+        )               # pads count as "matched" (never appended)
+        r_payload = tuple(a[:nr] for a in r_split[2:])
+    else:
+        r_matched = None
+        r_payload = tuple(a[:nr] for a in r_split[1:])
 
     return JoinRanges(
         l_orig, counts, lo, l_payload, r_orig, r_payload,
-        n_lefts, total, total_left,
+        n_lefts, total, total_left, r_matched, total_full,
     )
 
 
 def join_match_count(
-    l_key: Array, n_l: Array, r_key: Array, n_r: Array, kind: str = "inner",
+    l_key, n_l: Array, r_key, n_r: Array, kind: str = "inner",
     use_pallas: bool | None = None,
+    l_null: Array | None = None, r_null: Array | None = None,
 ) -> Array:
     """Exact number of output rows (device scalar) — the count phase.
 
     LEFT JOIN emits one row for every unmatched left row, so its count is
-    ``sum(max(matches, 1))`` over live left rows.
+    ``sum(max(matches, 1))`` over live left rows; FULL OUTER additionally
+    counts unmatched right rows.
     """
-    rng = compute_join_ranges(l_key, n_l, r_key, n_r, use_pallas=use_pallas)
-    return rng.total_left if kind == "left" else rng.total
+    rng = compute_join_ranges(
+        l_key, n_l, r_key, n_r, use_pallas=use_pallas,
+        l_null=l_null, r_null=r_null,
+        need_full=kind == "full",
+    )
+    if kind == "left":
+        return rng.total_left
+    if kind == "full":
+        return rng.total_full
+    return rng.total
 
 
 def _stacked_gather(arrays: Sequence[Array], idx: Array,
@@ -247,7 +332,9 @@ def _pair_slots(
     counts, n_lefts = rng.counts, rng.n_lefts
     nl = counts.shape[0]
     l_idx = jnp.arange(nl, dtype=jnp.int32)
-    if kind == "left":
+    if kind in ("left", "full"):
+        # FULL OUTER's left-preserving part IS a left join; the unmatched
+        # right rows append after it (join_batches).
         emit = jnp.where(l_idx < n_lefts, jnp.maximum(counts, 1), 0)
         total = rng.total_left
     elif kind == "inner":
@@ -346,8 +433,8 @@ def inner_join_indices(
 def join_batches(
     left: ColumnBatch | None,
     right: ColumnBatch | None,
-    l_key_name: str,
-    r_key_name: str,
+    l_key_name,
+    r_key_name,
     out_capacity: int,
     l_out: Dict[str, str] | None = None,
     r_out: Dict[str, str] | None = None,
@@ -355,36 +442,48 @@ def join_batches(
     ranges: JoinRanges | None = None,
     use_pallas: bool | None = None,
     matched_out: str | None = None,
+    l_matched_out: str | None = None,
+    l_null: Array | None = None,
+    r_null: Array | None = None,
 ) -> ColumnBatch:
-    """Equi-join of two batches (inner or left).
+    """Equi-join of two batches (inner, left, or full outer; RIGHT JOIN is
+    the planner's operand swap of LEFT).
 
     ``l_out``/``r_out`` map source column → output name (projection + rename,
     defaulting to all columns under their own names). Output column order is
-    [left cols | right cols] per the reference (``join.fut:74-75``). LEFT
-    JOIN fills right columns of unmatched rows with 0 (no NULLs in the
-    engine's numeric model).
+    [left cols | right cols] per the reference (``join.fut:74-75``). Outer
+    joins fill the missing side's columns with 0 and mark the rows via the
+    hidden flag columns (NULL model — plan/nulls.py).
 
     ``ranges`` optionally supplies a precomputed :func:`compute_join_ranges`
     result WITH matching payload columns (l_out/r_out keys order) — the
     planner passes the count phase's ranges so the concat sort runs once
     per join, not twice; ``left``/``right`` may then be None (everything
     needed already rides the ranges) but ``l_out``/``r_out`` must be given
-    explicitly — they define the ranges' payload column order.
+    explicitly — they define the ranges' payload column order. FULL OUTER
+    requires ranges computed with ``need_full=True``.
 
-    ``matched_out`` optionally names an extra int32 0/1 output column
-    carrying the per-row match flag (1 on matched rows; 0 on LEFT-JOIN
-    no-match rows and padding). The planner uses it as the hidden NULL
-    indicator for right-side columns of a LEFT JOIN.
+    ``matched_out`` optionally names an extra int32 0/1 output column: 1
+    where the RIGHT side is present (0 on left-preserved no-match rows) —
+    the hidden NULL indicator for right-side columns. ``l_matched_out``
+    (FULL OUTER) likewise marks LEFT-side presence (0 only on the appended
+    unmatched right rows).
     """
     if ranges is None:
         l_out = l_out if l_out is not None else {n: n for n in left.names}
         r_out = r_out if r_out is not None else {n: n for n in right.names}
+        l_keys = ([l_key_name] if isinstance(l_key_name, str)
+                  else list(l_key_name))
+        r_keys = ([r_key_name] if isinstance(r_key_name, str)
+                  else list(r_key_name))
         ranges = compute_join_ranges(
-            left.column(l_key_name), left.n_valid,
-            right.column(r_key_name), right.n_valid,
+            [left.column(k) for k in l_keys], left.n_valid,
+            [right.column(k) for k in r_keys], right.n_valid,
             l_cols=[left.column(s) for s in l_out],
             r_cols=[right.column(s) for s in r_out],
             use_pallas=use_pallas,
+            l_null=l_null, r_null=r_null,
+            need_full=kind == "full",
         )
     elif l_out is None or r_out is None:
         raise ValueError(
@@ -403,9 +502,45 @@ def join_batches(
     cols = {}
     for dst, col in zip(l_out.values(), l_vals):
         cols[dst] = jnp.where(live, col, 0)
-    zero_right = kind == "left"
+    zero_right = kind in ("left", "full")
     for dst, col in zip(r_out.values(), r_gathered):
         cols[dst] = jnp.where(matched if zero_right else live, col, 0)
     if matched_out is not None:
         cols[matched_out] = matched.astype(jnp.int32)
+
+    if kind == "full":
+        # Append the unmatched right rows after the left-preserving part:
+        # compact them (log-shift kernel on TPU), then blend by output
+        # position — the appended block starts at the left part's total.
+        if ranges.r_matched is None:
+            raise ValueError(
+                "FULL OUTER join requires ranges computed with "
+                "need_full=True"
+            )
+        um = jnp.logical_not(ranges.r_matched)
+        packed, n_um = compact_arrays(
+            list(ranges.r_payload), um, jnp.int32(nr),
+            use_pallas=use_pallas,
+        )
+        total_full = ranges.total_full
+        out_idx = jnp.arange(out_capacity, dtype=jnp.int32)
+        app = (out_idx >= total) & (out_idx < total_full)
+        j = jnp.clip(out_idx - total, 0, nr - 1)
+        app_vals = _stacked_gather(list(packed), j)
+        for dst, av in zip(r_out.values(), app_vals):
+            cols[dst] = jnp.where(app, av, cols[dst])
+        for dst in l_out.values():
+            cols[dst] = jnp.where(app, 0, cols[dst])
+        if matched_out is not None:
+            cols[matched_out] = jnp.where(
+                app, 1, cols[matched_out]
+            ).astype(jnp.int32)
+        if l_matched_out is not None:
+            cols[l_matched_out] = jnp.where(
+                (out_idx < total_full) & jnp.logical_not(app), 1, 0
+            ).astype(jnp.int32)
+        return ColumnBatch(cols, total_full)
+
+    if l_matched_out is not None:
+        cols[l_matched_out] = live.astype(jnp.int32)
     return ColumnBatch(cols, total)

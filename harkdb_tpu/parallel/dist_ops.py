@@ -164,9 +164,14 @@ def dist_groupby(
     C = sb.local_capacity
     key_names = list(key_names)
 
-    countd_srcs = list(dict.fromkeys(
-        src for src, op, _ in agg_specs if op == "countd"
-    ))
+    countd_srcs = []
+    for src, op, _ in agg_specs:
+        if op == "countd":
+            # NULL-skipping countd srcs are (value, valid) pairs — both
+            # ride the fine-grained pre-grouping (ops/groupby.py).
+            for s in (src if isinstance(src, tuple) else (src,)):
+                if s not in countd_srcs:
+                    countd_srcs.append(s)
     if countd_srcs:
         # Fine-grained pre-grouping; distinct srcs ride as extra group keys.
         pre_keys = key_names + [s for s in countd_srcs if s not in key_names]
@@ -534,17 +539,30 @@ def dist_map(
 def dist_join(
     left: ShardedBatch,
     right: ShardedBatch,
-    l_key: str,
-    r_key: str,
+    l_key,
+    r_key,
     mesh: Mesh,
     config: EngineConfig = DEFAULT_CONFIG,
     kind: str = "inner",
     matched_out: str | None = None,
+    l_matched_out: str | None = None,
+    l_flag_names: Sequence[str] = (),
+    r_flag_names: Sequence[str] = (),
 ) -> ShardedBatch:
-    """Distributed inner equi-join: co-partition both sides by key hash
-    (2 all_to_all), then a local sorted-probe join per shard.
-    ``matched_out`` optionally emits the per-row match-flag column (the
-    LEFT-JOIN NULL indicator — see ``ops.join.join_batches``).
+    """Distributed equi-join: co-partition both sides by key hash
+    (2 all_to_all), then a local sorted-probe join per shard. All rows of a
+    key tuple land on one shard, so inner/left/FULL-OUTER run locally with
+    the single-chip machinery (``ops.join``). ``l_key``/``r_key`` may be
+    lists (multi-key: routing hashes every key; the local sort matches
+    lexicographic runs). Empty key lists = CROSS JOIN (constant key — every
+    row routes to one shard; the retry loop grows its bucket).
+
+    ``matched_out`` / ``l_matched_out`` emit the per-row match-flag columns
+    (the outer-join NULL indicators — see ``ops.join.join_batches``).
+    ``l_flag_names`` are flag columns guarding the LEFT side's keys: rows
+    with any flag 0 have a NULL key and match nothing (3VL ON semantics —
+    the null rows ride the shuffle on their fill-value hash and the local
+    join's nullcode operand isolates them).
 
     Output columns: [left | right] (reference ``join.fut:74-75``); global
     ordering is restored by the executor's gather (hidden row-id columns let
@@ -552,7 +570,27 @@ def dist_join(
     """
     axis = config.mesh_axis
     D = mesh.devices.size
-    salted = config.skew_salted_join and D > 1
+    l_keys = [l_key] if isinstance(l_key, str) else list(l_key)
+    r_keys = [r_key] if isinstance(r_key, str) else list(r_key)
+    cross = not l_keys
+    if kind == "cross":
+        kind = "inner"
+    l_flag_names = list(l_flag_names)
+    salted = (config.skew_salted_join and D > 1
+              and len(l_keys) == 1 and not cross)
+
+    def _null_of(cols, flag_names):
+        if not flag_names:
+            return None
+        from harkdb_tpu.plan.nulls import valid_mask
+
+        return jnp.logical_not(valid_mask(list(flag_names), cols))
+
+    def _l_null(cols):
+        return _null_of(cols, l_flag_names)
+
+    def _r_null(cols):
+        return _null_of(cols, r_flag_names)
 
     # ---- stage 1: co-partition + count --------------------------------------
     # With skew salting (parallel/skew.py): probe-side heavy hitters are
@@ -569,33 +607,47 @@ def dist_join(
                 )
                 from harkdb_tpu.parallel.shuffle import repartition_with_dest
 
+                lk0, rk0 = l_keys[0], r_keys[0]
                 H, HV = detect_hot_keys(
-                    l_cols[l_key], l_cnt[0], D, config.skew_threshold, axis
+                    l_cols[lk0], l_cnt[0], D, config.skew_threshold, axis
                 )
-                l_hot = is_member(l_cols[l_key], H, HV)
+                l_hot = is_member(l_cols[lk0], H, HV)
                 sid = jax.lax.axis_index(axis).astype(jnp.int32)
-                l_dest = salted_probe_dest(l_cols[l_key], l_hot, D, sid)
+                l_dest = salted_probe_dest(l_cols[lk0], l_hot, D, sid)
                 ls, ln, lof = repartition_with_dest(
                     l_cols, l_dest, l_cnt[0], axis, D, l_cap
                 )
-                r_hot = is_member(r_cols[r_key], H, HV)
+                r_hot = is_member(r_cols[rk0], H, HV)
                 exp_cols, exp_n, r_dest, r_exp_of = replicate_hot_build(
-                    r_cols, r_key, r_cnt[0], r_hot, D, r_exp_cap
+                    r_cols, rk0, r_cnt[0], r_hot, D, r_exp_cap
                 )
                 rs, rn, rof = repartition_with_dest(
                     exp_cols, r_dest, exp_n, axis, D, r_cap
                 )
                 rof = rof + jax.lax.psum(r_exp_of, axis)
             else:
-                ls, ln, lof = repartition_by_key(
-                    l_cols, l_key, l_cnt[0], axis, D, l_cap
+                from harkdb_tpu.parallel.shuffle import repartition_with_dest
+
+                cl = next(iter(l_cols.values())).shape[0]
+                cr = next(iter(r_cols.values())).shape[0]
+                l_dest = (jnp.zeros((cl,), jnp.int32) if cross
+                          else hash_keys(l_cols, l_keys, D))
+                r_dest = (jnp.zeros((cr,), jnp.int32) if cross
+                          else hash_keys(r_cols, r_keys, D))
+                ls, ln, lof = repartition_with_dest(
+                    l_cols, l_dest, l_cnt[0], axis, D, l_cap
                 )
-                rs, rn, rof = repartition_by_key(
-                    r_cols, r_key, r_cnt[0], axis, D, r_cap
+                rs, rn, rof = repartition_with_dest(
+                    r_cols, r_dest, r_cnt[0], axis, D, r_cap
                 )
+            lkc = ([ls[k] for k in l_keys] if l_keys
+                   else [jnp.zeros_like(ls[next(iter(ls))], jnp.int32)])
+            rkc = ([rs[k] for k in r_keys] if r_keys
+                   else [jnp.zeros_like(rs[next(iter(rs))], jnp.int32)])
             cnt = join_match_count(
-                ls[l_key], ln, rs[r_key], rn, kind,
+                lkc, ln, rkc, rn, kind,
                 use_pallas=config.use_pallas,
+                l_null=_l_null(ls), r_null=_r_null(rs),
             )
             # Replicated scalars (pmax/psum) so the multi-process host loop
             # can read them: max local join size sets the uniform static
@@ -643,16 +695,31 @@ def dist_join(
     out_names = l_names + [n for n in r_names if n not in l_names]
     if matched_out is not None:
         out_names = out_names + [matched_out]
+    if l_matched_out is not None:
+        out_names = out_names + [l_matched_out]
 
     def body2(l_cols, l_cnt, r_cols, r_cnt):
+        if cross:
+            l_cols = dict(l_cols)
+            r_cols = dict(r_cols)
+            l_cols["#xk"] = jnp.zeros_like(
+                next(iter(l_cols.values())), jnp.int32
+            )
+            r_cols["#xk"] = jnp.zeros_like(
+                next(iter(r_cols.values())), jnp.int32
+            )
         lb = ColumnBatch(l_cols, l_cnt[0])
         rb = ColumnBatch(r_cols, r_cnt[0])
         out = join_batches(
-            lb, rb, l_key, r_key, out_cap,
+            lb, rb,
+            l_keys if l_keys else ["#xk"],
+            r_keys if r_keys else ["#xk"],
+            out_cap,
             {n: n for n in l_names},
             {n: n for n in r_names if n not in l_names},
             kind=kind, use_pallas=config.use_pallas,
-            matched_out=matched_out,
+            matched_out=matched_out, l_matched_out=l_matched_out,
+            l_null=_l_null(l_cols), r_null=_r_null(r_cols),
         )
         return dict(out.columns), out.n_valid.reshape(1)
 

@@ -121,15 +121,84 @@ class DistExecutor:
         plan._resolve_subqueries(tables)
         work = self._pushdown(self._shard_table(tables, 0),
                               plan.bindings[0][0])
-        join_keys_newest_first: List[str] = []
-        for step_idx, (rb, lk, rk, kind) in enumerate(plan.join_steps):
+        # Order-restoration chain (gather / dist-tail re-sort): per join,
+        # newest first, the specs that reproduce the single-chip sorted-
+        # stable output order; rid_order is the per-binding row-id tie
+        # chain (incoming table first for RIGHT joins — its rows are the
+        # preserved side of the swapped LEFT).
+        restore_specs: List[tuple] = []
+        rid_order: List[str] = [f"#rid.{plan.bindings[0][0]}"]
+        for step_idx, (rb, lks, rks, kind) in enumerate(plan.join_steps):
             right = self._pushdown(
                 self._shard_table(tables, 1 + step_idx), rb
             )
-            work = dist_join(work, right, lk, rk, self.mesh, self.config,
-                             kind=kind,
-                             matched_out=plan.null_flags.get(rb))
-            join_keys_newest_first.insert(0, lk)
+            kflags = list(plan.join_key_flags[step_idx])
+            if kind == "right":
+                # operand swap (same as the single-chip path): the
+                # incoming table is preserved; the accumulated side's
+                # columns null-fill via #lmatched
+                work = dist_join(
+                    right, work, rks, lks, self.mesh, self.config,
+                    kind="left", matched_out=f"#lmatched.{rb}",
+                    r_flag_names=kflags,
+                )
+                restore_specs = (
+                    [("asc", k) for k in rks] + restore_specs
+                )
+                rid_order.insert(0, f"#rid.{rb}")
+                continue
+            work = dist_join(
+                work, right, list(lks), list(rks), self.mesh, self.config,
+                kind=kind,
+                matched_out=plan.null_flags.get(rb),
+                l_matched_out=(f"#lmatched.{rb}" if kind == "full"
+                               else None),
+                l_flag_names=kflags,
+            )
+            if kind == "full":
+                # single-chip FULL = left-join part (by key) then the
+                # unmatched right rows appended in key order: the flag
+                # segregates the blocks, the merged key sorts within
+                restore_specs = (
+                    [("desc", f"#lmatched.{rb}")]
+                    + [("merge", f"#lmatched.{rb}", lk, rk)
+                       for lk, rk in zip(lks, rks)]
+                    + restore_specs
+                )
+            else:
+                restore_specs = (
+                    [("asc", k) for k in lks] + restore_specs
+                )
+            rid_order.append(f"#rid.{rb}")
+
+        def restore_entries(names) -> List:
+            """Per-spec array builders (count is static per column set)."""
+            names = set(names)
+            out = []
+            for spec in restore_specs:
+                if spec[0] == "merge":
+                    _t, fl, ln, rn = spec
+                    if {fl, ln, rn} <= names:
+                        out.append(
+                            lambda cols, fl=fl, ln=ln, rn=rn: jnp.where(
+                                cols[fl] != 0, cols[ln], cols[rn]
+                            )
+                        )
+                elif spec[1] in names:
+                    if spec[0] == "desc":
+                        out.append(lambda cols, k=spec[1]: -cols[k])
+                    else:
+                        out.append(lambda cols, k=spec[1]: cols[k])
+            for r in rid_order:
+                if r in names:
+                    out.append(lambda cols, k=r: cols[k])
+            return out
+
+        def restore_key_arrays(cols) -> List:
+            return [f(cols) for f in restore_entries(cols)]
+
+        self._restore_entries = restore_entries
+        joined = bool(plan.join_steps)
 
         if plan.where_residual is not None:
             expr = plan.where_residual
@@ -199,12 +268,23 @@ class DistExecutor:
                     for nme, cc in cols.items():
                         v0 = jnp.where(mk, jnp.zeros((), cc.dtype), cc[0])
                         out[nme] = cc.at[0].set(v0)
+                    # agg_null_flags validity source for the implicit
+                    # group's non-count aggregates (NULL over empty input)
+                    out["#grp_has"] = jnp.broadcast_to(
+                        jnp.where(total > 0, 1, 0).astype(jnp.int32),
+                        (next(iter(cols.values())).shape[0],),
+                    )
                     return out, jnp.where(mk, 1, cnt[0]).reshape(1)
 
                 specs = ({n: P(axis) for n in work.names}, P(axis))
+                out_specs = (
+                    {n: P(axis) for n in
+                     list(work.names) + ["#grp_has"]},
+                    P(axis),
+                )
                 fx = _jax.jit(_jax.shard_map(
                     fix_body, mesh=self.mesh, in_specs=specs,
-                    out_specs=specs,
+                    out_specs=out_specs,
                 ))
                 cols, cnt = fx(work.columns, work.shard_counts)
                 from harkdb_tpu.parallel.sharded import ShardedBatch
@@ -214,7 +294,7 @@ class DistExecutor:
                 # Round-4: the grouped tail stays SHARDED through HAVING /
                 # ORDER BY / LIMIT (shards hold disjoint key sets) — no
                 # device ever materializes the full group set.
-                return self._dist_tail(work, [], grouped=True)
+                return self._dist_tail(work, grouped=True)
             gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
             # Disjoint key sets per shard → one global sort restores the
             # ascending-key output contract (u32 bit order under the
@@ -231,19 +311,15 @@ class DistExecutor:
                 gathered = sort_batch(gathered, keys)
         else:
             if self.config.dist_tail:
-                return self._dist_tail(work, join_keys_newest_first,
-                                       grouped=False)
+                return self._dist_tail(work, joined, grouped=False)
             gathered = work.to_batch_device(self.mesh, self.config.mesh_axis)
             # Window shuffles scatter rows off their original shards, so the
             # gathered result must re-sort by row id even without joins.
-            if join_keys_newest_first or plan.window_specs:
-                rid_cols = [
-                    n for n in gathered.names if n.startswith("#rid.")
-                ]
-                sort_keys = [
-                    k for k in join_keys_newest_first if k in gathered.columns
-                ] + rid_cols
-                gathered = sort_batch(gathered, sort_keys)
+            if joined or plan.window_specs:
+                ka = restore_key_arrays(gathered.columns)
+                gathered = sort_batch(
+                    gathered, [], [False] * len(ka), key_arrays=ka
+                )
 
         return plan.run_tail(gathered)
 
@@ -340,7 +416,7 @@ class DistExecutor:
         plan._probed_fast_dist = fast if fast is not None else ()
         return fast
 
-    def _dist_tail(self, work, join_keys_newest_first,
+    def _dist_tail(self, work, joined: bool = False,
                    grouped: bool = False) -> ColumnBatch:
         """Sharded post-pipeline tail (round-2 item 4 ungrouped; round-4
         item 1 grouped): HAVING / ORDER BY / OFFSET / LIMIT / projection all
@@ -385,8 +461,6 @@ class DistExecutor:
                     g[out] = jnp.where(
                         g[c] > 0, g[s], jnp.zeros((), g[s].dtype)
                     )
-                elif kind == "subd":
-                    g[out] = g[s] - g[c]
             return g
 
         if grouped and plan.having is not None:
@@ -434,10 +508,11 @@ class DistExecutor:
                 for i, (e, _n) in enumerate(final_items)
             }
             for i, flags in nf_specs:
-                m = cols[flags[0]]
-                for f in flags[1:]:
-                    m = m * cols[f]
-                out[f"#nullflag{i}"] = m.astype(jnp.int32)
+                from harkdb_tpu.plan.nulls import valid_mask
+
+                out[f"#nullflag{i}"] = valid_mask(flags, cols).astype(
+                    jnp.int32
+                )
             return out
 
         if plan.distinct:
@@ -471,6 +546,7 @@ class DistExecutor:
             caps.append(("distinct", work.local_capacity))
         else:
             tie_names: List[str] = []
+            tie_fns: List = []
             u32_ties = False
             if grouped:
                 # Shards hold disjoint key sets in hash order; one range
@@ -482,17 +558,16 @@ class DistExecutor:
                     k for k in plan.group_exec_keys if k in work.columns
                 ]
                 u32_ties = cfg.compat_u32_key_order
-            elif join_keys_newest_first or plan.window_specs:
-                # Windows shuffled rows off their original shards — row ids
-                # (and join keys, when joined) restore single-chip order.
-                tie_names = [
-                    k for k in join_keys_newest_first if k in work.columns
-                ] + [n for n in work.names if n.startswith("#rid.")]
+            elif joined or plan.window_specs:
+                # Windows shuffled rows off their original shards — the
+                # join restore chain (keys / outer-join flags / row ids)
+                # reproduces single-chip order.
+                tie_fns = self._restore_entries(work.names)
 
             order_exprs = list(plan.order_items)
-            if order_exprs or tie_names:
+            if order_exprs or tie_names or tie_fns:
                 descs = [d for _e, d in order_exprs]
-                descs += [False] * len(tie_names)
+                descs += [False] * (len(tie_names) + len(tie_fns))
 
                 def keys_fn(cols, cap):
                     g = aug(cols, cap)
@@ -507,6 +582,7 @@ class DistExecutor:
                         ks += [u32_order_key(cols[k]) for k in tie_names]
                     else:
                         ks += [cols[k] for k in tie_names]
+                    ks += [f(cols) for f in tie_fns]
                     return ks
 
                 work = dist_orderby(work, keys_fn, descs, self.mesh, cfg)

@@ -207,8 +207,13 @@ def dist_global_window(
                 # global position P (within `off` of my block's boundary)
                 # lies inside SOME other shard's first/last-`off` window —
                 # if that shard holds fewer than `off` rows, its window IS
-                # the whole shard, so coverage is complete for any off.
-                off = min(int(params[0]) if params else 1, C)
+                # the whole shard, so coverage is complete for any off up
+                # to the _HALO_MAX cap (supports_global gates larger
+                # offsets to the shard-0 fallback). NEVER clamp `off` to
+                # the local capacity: that silently computes a SMALLER lag
+                # (round-4 advisor finding, confirmed repro at off=600 on
+                # 128-row shards).
+                off = int(params[0]) if params else 1
                 dflt = jnp.asarray(
                     params[1] if len(params) > 1 else 0, x.dtype
                 )
@@ -243,12 +248,14 @@ def dist_global_window(
                     axis=1,
                 ).astype(x.dtype)                     # (off,) edge values
                 if func == "lag":
-                    shifted = jnp.concatenate([halo, x[:C - off]])
+                    # concat-then-slice is shape-correct for ANY off vs C
+                    # (off ≥ C: every row's lagged value is in the halo)
+                    shifted = jnp.concatenate([halo, x])[:C]
                     o = jnp.where(gp >= off, shifted, dflt)
                 else:
                     base = jnp.concatenate(
-                        [x[off:], jnp.zeros((off,), x.dtype)]
-                    )
+                        [x, jnp.zeros((off,), x.dtype)]
+                    )[off:off + C]
                     hal_idx = idx - (n_local - off)
                     hval = halo[jnp.clip(hal_idx, 0, off - 1)]
                     val = jnp.where(idx >= n_local - off, hval, base)

@@ -29,7 +29,6 @@ Plans and compiled phase functions are cached on the Context keyed by
 from __future__ import annotations
 
 import functools
-import re
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -44,6 +43,7 @@ from harkdb_tpu.ops.groupby import groupby_batch
 from harkdb_tpu.ops.join import compute_join_ranges, join_batches
 from harkdb_tpu.plan.errors import PlanError
 from harkdb_tpu.plan.expr import eval_expr
+from harkdb_tpu.plan.nulls import NullSemantics, valid_mask
 from harkdb_tpu.plan.strings import StringLowering
 from harkdb_tpu.prims.compaction import compact_batch
 from harkdb_tpu.sql.ast_nodes import (
@@ -130,12 +130,14 @@ class _Resolver:
         if col.table is not None:
             env = self.by_binding.get(col.table)
             if env is None:
-                raise PlanError(f"{col.table} is not in tables")
+                raise PlanError(f"{col.table} is not in tables",
+                                "table", col.table)
             internal = env.get(col.name)
             if internal is None:
                 tname = next(t for b, t, _ in self.bindings if b == col.table)
                 raise PlanError(
-                    f"{col.name} is not in the schema of table {tname}"
+                    f"{col.name} is not in the schema of table {tname}",
+                    "column", col.name,
                 )
             return internal
         matches = [
@@ -146,7 +148,8 @@ class _Resolver:
             # Reference message names the (single) table (parse.py:54).
             tname = self.bindings[0][1]
             raise PlanError(
-                f"{col.name} is not in the schema of table {tname}"
+                f"{col.name} is not in the schema of table {tname}",
+                "column", col.name,
             )
         if len(matches) > 1:
             raise PlanError(
@@ -224,8 +227,14 @@ class _Resolver:
 
 def _substitute_wins(expr, win_map):
     """Replace WindowFn nodes with their computed output columns."""
+    from harkdb_tpu.sql.ast_nodes import Coalesce as _Coalesce
+
     if isinstance(expr, WindowFn):
         return Col(win_map[expr])
+    if isinstance(expr, _Coalesce):
+        return _Coalesce(tuple(
+            _substitute_wins(a, win_map) for a in expr.args
+        ))
     if isinstance(expr, BinOp):
         return BinOp(
             expr.op, _substitute_wins(expr.left, win_map),
@@ -251,8 +260,16 @@ def _substitute_wins(expr, win_map):
 
 def _substitute_aggs(expr, agg_map):
     """Replace Agg nodes with their computed output columns."""
+    from harkdb_tpu.sql.ast_nodes import Coalesce as _Coalesce
+
     if isinstance(expr, Agg):
         return Col(agg_map[expr])
+    if isinstance(expr, _Coalesce):
+        # pass-1 NULL lowering defers aggregate-containing COALESCE to the
+        # post-substitution pass (plan/nulls.py) — substitute inside it
+        return _Coalesce(tuple(
+            _substitute_aggs(a, agg_map) for a in expr.args
+        ))
     if isinstance(expr, WindowFn):
         # windows over grouped output: their argument / ORDER BY may
         # reference aggregates (rank() over (order by sum(v) desc))
@@ -291,35 +308,56 @@ def _substitute_aggs(expr, agg_map):
 
 
 @functools.lru_cache(maxsize=256)
-def _jit_ranges(l_key: str, r_key: str, l_names: tuple, r_names: tuple,
-                use_pallas: bool = True):
+def _jit_ranges(l_keys: tuple, r_keys: tuple, l_names: tuple, r_names: tuple,
+                use_pallas: bool = True, l_flag_names: tuple = (),
+                r_flag_names: tuple = (), need_full: bool = False):
     """Jitted count phase: one concat sort produces the join ranges AND both
-    totals; the same device arrays then feed materialization (no recompute)."""
+    totals; the same device arrays then feed materialization (no recompute).
+
+    Empty ``l_keys`` = CROSS JOIN (constant key: one all-pairs run).
+    ``l_flag_names``/``r_flag_names`` are matched-flag columns guarding
+    that side's keys — rows with any flag 0 have a NULL key and must match
+    nothing (three-valued ON semantics; plan/nulls.py)."""
     def f(left: ColumnBatch, right: ColumnBatch):
+        if l_keys:
+            lk = [left.column(k) for k in l_keys]
+            rk = [right.column(k) for k in r_keys]
+        else:                       # CROSS JOIN
+            lk = [jnp.zeros((left.capacity,), jnp.int32)]
+            rk = [jnp.zeros((right.capacity,), jnp.int32)]
+
+        def null_of(batch, flags):
+            if not flags:
+                return None
+            return jnp.logical_not(valid_mask(flags, batch.columns))
+
         return compute_join_ranges(
-            left.column(l_key), left.n_valid,
-            right.column(r_key), right.n_valid,
+            lk, left.n_valid, rk, right.n_valid,
             l_cols=[left.column(s) for s in l_names],
             r_cols=[right.column(s) for s in r_names],
             use_pallas=use_pallas,
+            l_null=null_of(left, l_flag_names),
+            r_null=null_of(right, r_flag_names),
+            need_full=need_full,
         )
     return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=256)
-def _jit_join(l_key: str, r_key: str, capacity: int,
+def _jit_join(capacity: int,
               l_out: tuple, r_out: tuple, kind: str = "inner",
-              use_pallas: bool = True, matched_out: str | None = None):
+              use_pallas: bool = True, matched_out: str | None = None,
+              l_matched_out: str | None = None):
     def f(ranges) -> ColumnBatch:
         return join_batches(
-            None, None, l_key, r_key, capacity, dict(l_out), dict(r_out),
+            None, None, None, None, capacity, dict(l_out), dict(r_out),
             kind=kind, ranges=ranges, use_pallas=use_pallas,
-            matched_out=matched_out,
+            matched_out=matched_out, l_matched_out=l_matched_out,
         )
     return jax.jit(f)
 
 
-class QueryPlan(StringLowering):
+class QueryPlan(StringLowering, NullSemantics):
     """A planned query: phase-A join steps + a compiled phase-B pipeline."""
 
     def __init__(self, stmt: SelectStmt, tables: Dict[str, Table],
@@ -353,46 +391,72 @@ class QueryPlan(StringLowering):
                 bindings.append((b, ref.name, src.get_schema()))
                 continue
             if ref.name not in tables:
-                raise PlanError(f"{ref.name} is not in tables")
+                raise PlanError(f"{ref.name} is not in tables",
+                                "table", ref.name)
             bindings.append((b, ref.name, tables[ref.name].get_schema()))
         self.bindings = bindings
         res = _Resolver(bindings)
         self.resolver = res
 
         # Joins: resolve keys; joins fold left-to-right (left side = the
-        # accumulated working relation).
+        # accumulated working relation). Keys per step are LISTS — ``ON``
+        # accepts a conjunction of column equalities (multi-key equi-join;
+        # the reference kernel is single-key, ``join.fut:52-75``).
         self.join_steps = []
+        #: per step: flag columns guarding the accumulated-side join keys
+        #: (a nullable key — from an earlier outer join — must match
+        #: nothing: SQL NULL = NULL is UNKNOWN, not a match).
+        self.join_key_flags: List[List[str]] = []
+        # ---- outer-join NULL model -------------------------------------------
+        # Each LEFT (and RIGHT/FULL) join emits hidden 0/1 matched-flag
+        # column(s) (ops/join.py matched_out); 0 marks the rows SQL would
+        # fill with NULL on that side. The flags drive IS [NOT] NULL,
+        # three-valued predicates, NULL-skipping aggregates,
+        # NULL-as-its-own-group grouping, and sql_df's None/NaN decode.
+        self.binding_flags: Dict[str, List[str]] = {}
+        self.null_flags: Dict[str, str] = {}     # left-join rb → matched col
         avail = {bindings[0][0]}
         for j, ref in zip(stmt.joins, refs[1:]):
-            a = res.rewrite(j.left_on)
-            b = res.rewrite(j.right_on)
             rb = ref.binding
-            # Decide which side of ON belongs to the incoming table.
-            a_side = a.name.split(".", 1)[0]
-            b_side = b.name.split(".", 1)[0]
-            if b_side == rb and a_side in avail:
-                lk, rk = a.name, b.name
-            elif a_side == rb and b_side in avail:
-                lk, rk = b.name, a.name
-            else:
-                raise PlanError(
-                    f"JOIN ON must relate the joined table {rb} to an "
-                    f"already-joined table"
-                )
-            self.join_steps.append((rb, lk, rk, j.kind))
+            lks, rks = [], []
+            for a_raw, b_raw in j.conds:
+                a = res.rewrite(a_raw)
+                b = res.rewrite(b_raw)
+                # Decide which side of ON belongs to the incoming table.
+                a_side = a.name.split(".", 1)[0]
+                b_side = b.name.split(".", 1)[0]
+                if b_side == rb and a_side in avail:
+                    lk, rk = a.name, b.name
+                elif a_side == rb and b_side in avail:
+                    lk, rk = b.name, a.name
+                else:
+                    raise PlanError(
+                        f"JOIN ON must relate the joined table {rb} to an "
+                        f"already-joined table"
+                    )
+                lks.append(lk)
+                rks.append(rk)
+            kflags: List[str] = []
+            for lk in lks:
+                for f in self.binding_flags.get(lk.split(".", 1)[0], ()):
+                    if f not in kflags:
+                        kflags.append(f)
+            self.join_steps.append((rb, tuple(lks), tuple(rks), j.kind))
+            self.join_key_flags.append(kflags)
             avail.add(rb)
-
-        # ---- LEFT-JOIN NULL model --------------------------------------------
-        # Each LEFT join emits a hidden 0/1 matched-flag column for its right
-        # binding (ops/join.py matched_out); 0 marks the rows SQL would fill
-        # with NULL. The flag drives IS [NOT] NULL, NULL-skipping aggregates,
-        # NULL-as-its-own-group grouping, and sql_df's None/NaN decode.
-        # Plain predicates/arithmetic still see the 0-fill (three-valued
-        # logic is out of scope — README "SQL surface").
-        self.null_flags: Dict[str, str] = {
-            rb: f"#matched.{rb}"
-            for rb, _lk, _rk, k in self.join_steps if k == "left"
-        }
+            flag = f"#matched.{rb}"
+            if j.kind == "left":
+                self.null_flags[rb] = flag
+                self.binding_flags[rb] = [flag]
+            elif j.kind in ("right", "full"):
+                # RIGHT/FULL: the ACCUMULATED side becomes nullable — every
+                # already-joined binding gains this step's left-side flag.
+                lflag = f"#lmatched.{rb}"
+                for b2 in list(avail - {rb}):
+                    self.binding_flags.setdefault(b2, []).append(lflag)
+                if j.kind == "full":
+                    self.null_flags[rb] = flag
+                    self.binding_flags.setdefault(rb, []).append(flag)
 
         # ---- string columns (dictionary-encoded at ingest) -------------------
         # str_dicts: internal column → its current sorted dictionary. Codes are
@@ -409,16 +473,17 @@ class QueryPlan(StringLowering):
                 d = t.column_dict(c)
                 if d is not None:
                     self.str_dicts[f"{b}.{c}"] = d
-        for _rb, lk, rk, _k in self.join_steps:
-            ld = self.str_dicts.get(lk)
-            rd = self.str_dicts.get(rk)
-            if (ld is None) != (rd is None):
-                raise PlanError(
-                    f"Cannot join string column to numeric column "
-                    f"({lk} = {rk})"
-                )
-            if ld is not None:
-                self._merge_dicts(lk, rk)
+        for _rb, lks, rks, _k in self.join_steps:
+            for lk, rk in zip(lks, rks):
+                ld = self.str_dicts.get(lk)
+                rd = self.str_dicts.get(rk)
+                if (ld is None) != (rd is None):
+                    raise PlanError(
+                        f"Cannot join string column to numeric column "
+                        f"({lk} = {rk})"
+                    )
+                if ld is not None:
+                    self._merge_dicts(lk, rk)
 
         # Select list: expand stars, resolve, classify.
         items: List[Tuple[object, str]] = []       # (resolved expr, display)
@@ -492,17 +557,30 @@ class QueryPlan(StringLowering):
         if having is not None:
             having = self._lower_strings(having)
 
-        # ---- IS [NOT] NULL lowering ------------------------------------------
-        # isnull(e) → OR over the matched flags of the nullable (LEFT-JOIN
-        # right side) columns e references, == 0; false when e references
-        # none (nothing else is ever NULL in this model).
-        items = [(self._lower_isnull(e), name) for e, name in items]
+        # ---- NULL lowering, pass 1 (pre-GROUP BY) ----------------------------
+        # isnull(e) → flag tests; COALESCE → flag-guarded CASE; CASE
+        # conditions → Kleene is-true form; WHERE → full three-valued
+        # lowering (plan/nulls.py). Aggregate-containing isnull/COALESCE
+        # subtrees defer to pass 2 (post-substitution, where aggregate
+        # outputs carry their own validity flags).
+        self.agg_null_flags: Dict[str, str] = {}
+        items = [
+            (self._rewrite_case_conds(self._lower_isnull(e, defer_aggs=True)),
+             name)
+            for e, name in items
+        ]
         self.select_items = items
         if self.where is not None:
-            self.where = self._lower_isnull(self.where)
-        order_items = [(self._lower_isnull(e), d) for e, d in order_items]
+            self.where = self._lower_pred_3vl(
+                self._lower_isnull(self.where)
+            )
+        order_items = [
+            (self._rewrite_case_conds(self._lower_isnull(e, defer_aggs=True)),
+             d)
+            for e, d in order_items
+        ]
         if having is not None:
-            having = self._lower_isnull(having)
+            having = self._lower_isnull(having, defer_aggs=True)
         # A string literal surviving lowering was used outside a comparison
         # (e.g. selected bare, or added to a number) — reject at plan time
         # rather than failing inside a traced evaluator.
@@ -540,10 +618,15 @@ class QueryPlan(StringLowering):
         # past a LEFT join's right side: zero-filled unmatched rows must still
         # be eliminated by the post-join residual). Results are identical —
         # joins emit sorted-by-key stable order over whichever rows survive.
+        # A conjunct may be pushed below the joins only when its binding's
+        # rows are never NULL-extended: inner/cross-joined bindings that do
+        # not later sit on the nullable side of an outer join (RIGHT/FULL
+        # make the whole accumulated side nullable — binding_flags).
         inner_bindings = {bindings[0][0]}
         for j, ref in zip(stmt.joins, refs[1:]):
-            if j.kind == "inner":
+            if j.kind in ("inner", "cross"):
                 inner_bindings.add(ref.binding)
+        inner_bindings -= set(self.binding_flags)
 
         def conjuncts(e):
             if isinstance(e, BinOp) and e.op == "and":
@@ -597,9 +680,9 @@ class QueryPlan(StringLowering):
         # then survives grouping and drives sql_df's None decode).
         extra_keys: List[str] = []
         for k in group_keys:
-            f = self.null_flags.get(k.split(".", 1)[0]) if "." in k else None
-            if f is not None and f not in extra_keys:
-                extra_keys.append(f)
+            for f in self._col_null_flags(k):
+                if f not in extra_keys:
+                    extra_keys.append(f)
         self.group_exec_keys = group_keys + extra_keys
 
         # Validation (reference contract parse.py:73-78): in a grouped query a
@@ -670,6 +753,14 @@ class QueryPlan(StringLowering):
             return False
 
         _I32_MAX, _I32_MIN = (1 << 31) - 1, -(1 << 31)
+        # SQL NULL result semantics: SUM/AVG/MIN/MAX/PROD of a group with no
+        # non-NULL input is NULL (COUNT is 0). ``agg_null_flags[out]`` names
+        # a count-valued "has any valid row" column (0 ⇔ NULL) that run_tail
+        # threads into the hidden output null indicators. With GROUP BY keys
+        # every group is non-empty, so plain (non-nullable-arg) aggregates
+        # need a flag only for the implicit single group over empty input —
+        # the broadcast ``#grp_has`` column fabricated in _phase_b_impl.
+        implicit_group = not self.group_keys
         for i, node in enumerate(agg_nodes):
             out = f"#agg{i}"
             if node.func in ("min", "max") and not isinstance(node.arg, Star):
@@ -680,10 +771,10 @@ class QueryPlan(StringLowering):
                 self.agg_specs.append(("#ones", "count", out))
                 agg_map[node] = out
                 continue
-            # NULL-skipping: aggregates over LEFT-JOIN nullable columns
-            # ignore unmatched rows (SQL skips NULLs; the 0-fill is not a
-            # value). The mask folds into the argument as a CASE on the
-            # matched flag — it rides the groupby sort like everything else.
+            # NULL-skipping: aggregates over nullable (outer-join) columns
+            # ignore NULL rows. The mask folds into the argument as a CASE
+            # on the matched flags — it rides the groupby sort like
+            # everything else.
             nflags = self._nullable_flags_in(node.arg)
             if nflags:
                 cond = self._matched_cond(nflags)
@@ -693,10 +784,14 @@ class QueryPlan(StringLowering):
 
                 arg_internal = f"#aggarg{i}"
                 if node.func == "sum":
+                    hm, hi = f"#has{i}", f"#aggargh{i}"
                     self.agg_arg_cols.append(
                         (arg_internal, masked(node.arg, Lit(0)))
                     )
+                    self.agg_arg_cols.append((hi, masked(Lit(1), Lit(0))))
                     self.agg_specs.append((arg_internal, "sum", out))
+                    self.agg_specs.append((hi, "sum", hm))
+                    self.agg_null_flags[out] = hm
                 elif node.func == "count" and not node.distinct:
                     self.agg_arg_cols.append(
                         (arg_internal, masked(Lit(1), Lit(0)))
@@ -712,19 +807,18 @@ class QueryPlan(StringLowering):
                     self.agg_specs.append((arg_internal, "sum", s))
                     self.agg_specs.append((ci, "sum", c))
                     self.post_computes.append((out, ("avg", s, c)))
+                    self.agg_null_flags[out] = c
                 elif node.func == "count" and node.distinct:
-                    # Unmatched rows collapse onto one sentinel value,
-                    # subtracted back out per group when present. (Caveat: a
-                    # real INT32_MIN value would collide — documented.)
-                    hraw, hs = f"#cdraw{i}", f"#hasu{i}"
-                    hi = f"#aggargh{i}"
-                    self.agg_arg_cols.append(
-                        (arg_internal, masked(node.arg, Lit(_I32_MIN)))
+                    # COUNT(DISTINCT x) over a nullable x: the validity
+                    # mask rides the aux sort as an extra key operand
+                    # (ops/groupby.py countd (value, valid) form) — exact,
+                    # no sentinel value to collide with real data.
+                    vi = f"#aggargv{i}"
+                    self.agg_arg_cols.append((arg_internal, node.arg))
+                    self.agg_arg_cols.append((vi, masked(Lit(1), Lit(0))))
+                    self.agg_specs.append(
+                        ((arg_internal, vi), "countd", out)
                     )
-                    self.agg_arg_cols.append((hi, masked(Lit(0), Lit(1))))
-                    self.agg_specs.append((arg_internal, "countd", hraw))
-                    self.agg_specs.append((hi, "max", hs))
-                    self.post_computes.append((out, ("subd", hraw, hs)))
                 else:                         # min / max / prod
                     if node.func == "prod":
                         neutral = Lit(1)
@@ -742,8 +836,10 @@ class QueryPlan(StringLowering):
                     self.agg_arg_cols.append((hmi, masked(Lit(1), Lit(0))))
                     self.agg_specs.append((arg_internal, node.func, raw))
                     self.agg_specs.append((hmi, "max", hm))
-                    # all-unmatched groups yield 0 (no NULL aggregates)
+                    # all-NULL groups: raw holds the neutral extreme — show
+                    # 0 in the raw matrix (sql), NULL through the flag
                     self.post_computes.append((out, ("mask0", raw, hm)))
+                    self.agg_null_flags[out] = hm
                 agg_map[node] = out
                 continue
             arg_internal = f"#aggarg{i}"
@@ -756,6 +852,8 @@ class QueryPlan(StringLowering):
                 self.agg_specs.append((arg_internal, "sum", s))
                 self.agg_specs.append((arg_internal, "count", c))
                 self.post_computes.append((out, ("avg", s, c)))
+                if implicit_group:
+                    self.agg_null_flags[out] = c
             elif node.func == "count" and node.distinct:
                 # COUNT(DISTINCT x) → the dedicated "countd" aggregate
                 # (ops/groupby.py: per-group distinct counts via an auxiliary
@@ -764,15 +862,31 @@ class QueryPlan(StringLowering):
                 self.agg_specs.append((arg_internal, "countd", out))
             else:
                 self.agg_specs.append((arg_internal, node.func, out))
+                if implicit_group and node.func != "count":
+                    # SUM/MIN/MAX/PROD over EMPTY input is NULL in SQL
+                    self.agg_null_flags[out] = "#grp_has"
             agg_map[node] = out
 
-        # Rewrite post-groupby expressions: aggs → their output columns.
+        # Rewrite post-groupby expressions: aggs → their output columns,
+        # then NULL lowering pass 2 — the isnull/COALESCE/CASE-condition
+        # subtrees deferred in pass 1 now see the aggregate outputs as
+        # columns carrying agg_null_flags; HAVING additionally gets the
+        # full three-valued predicate lowering.
+        def _lower2(e):
+            return self._rewrite_case_conds(self._lower_isnull(e))
+
         self.final_items = [
-            (_substitute_aggs(e, agg_map), name) for e, name in items
+            (_lower2(_substitute_aggs(e, agg_map)), name)
+            for e, name in items
         ]
-        self.having = _substitute_aggs(having, agg_map) if having is not None else None
+        self.having = (
+            self._lower_pred_3vl(
+                self._lower_isnull(_substitute_aggs(having, agg_map))
+            )
+            if having is not None else None
+        )
         self.order_items = [
-            (_substitute_aggs(e, agg_map), d) for e, d in order_items
+            (_lower2(_substitute_aggs(e, agg_map)), d) for e, d in order_items
         ]
         # NULLS FIRST/LAST per order item (None = SQL default: LAST for
         # ASC, FIRST for DESC). Only meaningful for nullable (LEFT-JOIN
@@ -976,10 +1090,13 @@ class QueryPlan(StringLowering):
             used |= {n.name for n in walk(e) if isinstance(n, Col)}
         for _i, e in self.agg_arg_cols:
             used |= {n.name for n in walk(e) if isinstance(n, Col)}
-        used |= {src for src, _o, _x in self.agg_specs if "." in src}
+        for src, _o, _x in self.agg_specs:
+            for s in (src if isinstance(src, tuple) else (src,)):
+                if "." in s:
+                    used.add(s)
         used |= set(self.group_keys)
-        for _rb, lk, rk, _k in self.join_steps:
-            used |= {lk, rk}
+        for _rb, lks, rks, _k in self.join_steps:
+            used |= set(lks) | set(rks)
         for _out, _f, arg, parts, oexprs, _ds, *_rest in self.window_specs:
             used |= set(parts)
             if arg is not None:
@@ -1119,170 +1236,18 @@ class QueryPlan(StringLowering):
         )
         return InSub(corr[1], SubQuery(in_stmt), False)
 
-    # -- LEFT-JOIN NULL lowering ----------------------------------------------
-    def _asserted_flags(self, cond) -> set:
-        """Matched flags a condition PROVES are 1 when it holds: plain
-        ``flag = 1`` tests, AND-chains of them, and the NOT of an
-        isnull-lowered OR-chain (``not (flag = 0 [or ...])`` asserts every
-        flag in the chain regardless of other disjuncts)."""
-        names = set(self.null_flags.values())
-        if isinstance(cond, BinOp) and cond.op == "and":
-            return (self._asserted_flags(cond.left)
-                    | self._asserted_flags(cond.right))
-        if (isinstance(cond, BinOp) and cond.op == "="
-                and isinstance(cond.left, Col) and cond.left.name in names
-                and isinstance(cond.right, Lit) and cond.right.value == 1):
-            return {cond.left.name}
-        if isinstance(cond, UnOp) and cond.op == "not":
-            def neg(e) -> set:
-                if isinstance(e, BinOp) and e.op == "or":
-                    return neg(e.left) | neg(e.right)
-                if (isinstance(e, BinOp) and e.op == "="
-                        and isinstance(e.left, Col)
-                        and e.left.name in names
-                        and isinstance(e.right, Lit)
-                        and e.right.value == 0):
-                    return {e.left.name}
-                return set()
-
-            return neg(cond.operand)
-        return set()
-
-    def _nullable_flags_in(self, e) -> List[str]:
-        """Matched-flag columns guarding the nullable (LEFT-JOIN right side)
-        columns referenced by ``e``, in first-reference order. CASE branches
-        whose condition asserts a flag (the lowered COALESCE / explicit
-        ``IS NOT NULL`` guard patterns) do not propagate that flag — the
-        guarded value cannot be NULL when selected."""
-        from harkdb_tpu.sql.ast_nodes import Coalesce
-
-        out: List[str] = []
-
-        def add(fs):
-            for f in fs:
-                if f not in out:
-                    out.append(f)
-
-        def rec(x):
-            if isinstance(x, Col):
-                if "." in x.name:
-                    f = self.null_flags.get(x.name.split(".", 1)[0])
-                    if f is not None:
-                        add([f])
-            elif isinstance(x, BinOp):
-                rec(x.left)
-                rec(x.right)
-            elif isinstance(x, UnOp):
-                rec(x.operand)
-            elif isinstance(x, LutMember):
-                rec(x.col)
-            elif isinstance(x, Agg) and not isinstance(x.arg, Star):
-                rec(x.arg)
-            elif isinstance(x, InSub):
-                rec(x.expr)
-            elif isinstance(x, WindowFn):
-                if x.arg is not None and not isinstance(x.arg, Star):
-                    rec(x.arg)
-                for o in x.order_by:
-                    rec(o.expr)
-            elif isinstance(x, Coalesce):
-                # NULL only when EVERY argument is — a flagless argument
-                # makes the whole expression non-null
-                sets = [self._nullable_flags_in(a) for a in x.args]
-                if all(sets):
-                    inter = set(sets[0]).intersection(*map(set, sets[1:]))
-                    add([f for f in sets[0] if f in inter])
-            elif isinstance(x, Case):
-                for cond, r in x.whens:
-                    guarded = self._asserted_flags(cond)
-                    add([f for f in self._nullable_flags_in(r)
-                         if f not in guarded])
-                if x.else_ is not None:
-                    add(self._nullable_flags_in(x.else_))
-
-        rec(e)
-        return out
-
-    def _matched_cond(self, flags: Sequence[str]):
-        """Boolean expression: every referenced flag is 1 (row matched)."""
-        cond = BinOp("=", Col(flags[0]), Lit(1))
-        for f in flags[1:]:
-            cond = BinOp("and", cond, BinOp("=", Col(f), Lit(1)))
-        return cond
-
+    # -- NULL machinery: plan/nulls.py (NullSemantics mixin) -------------------
     def _null_adjusted_key(self, expr, d: bool, nu, cols, cap):
         """ORDER BY key for a possibly-nullable expression: evaluate, then
-        substitute the dtype extreme on unmatched rows so NULLs sort to
-        the SQL end (``_null_extreme_sub``); plain expressions unchanged."""
+        substitute the dtype extreme on NULL rows so NULLs sort to the SQL
+        end (``_null_extreme_sub``); plain expressions unchanged."""
         a = eval_expr(expr, cols, cap, self.config)
         flags = self._nullable_flags_in(expr)
         if flags and all(f in cols for f in flags):
-            m = cols[flags[0]]
-            for f in flags[1:]:
-                m = m * cols[f]
-            a = _null_extreme_sub(a, m == 0, d, nu)
+            a = _null_extreme_sub(
+                a, jnp.logical_not(valid_mask(flags, cols)), d, nu
+            )
         return a
-
-    def _lower_isnull(self, e):
-        """Replace isnull(x) with a matched-flag test (NULL semantics are
-        strict: an expression is NULL iff any nullable column it references
-        is on an unmatched LEFT-JOIN row), and expand COALESCE into the
-        flag-guarded CASE (a flagless argument short-circuits the rest; if
-        every argument is nullable the last one's 0-fill is the final
-        fallback — the engine cannot emit NULL from an expression)."""
-        from harkdb_tpu.sql.ast_nodes import Coalesce
-
-        if isinstance(e, Coalesce):
-            args = [self._lower_isnull(a) for a in e.args]
-            whens = []
-            else_ = args[-1]
-            for a in args:
-                fs = self._nullable_flags_in(a)
-                if not fs:
-                    else_ = a           # never NULL: later args are dead
-                    break
-                whens.append((self._matched_cond(fs), a))
-            return Case(tuple(whens), else_) if whens else else_
-        if isinstance(e, UnOp):
-            inner = self._lower_isnull(e.operand)
-            if e.op != "isnull":
-                return UnOp(e.op, inner)
-            flags = self._nullable_flags_in(inner)
-            if not flags:
-                return Lit(0)               # never NULL
-            out = BinOp("=", Col(flags[0]), Lit(0))
-            for f in flags[1:]:
-                out = BinOp("or", out, BinOp("=", Col(f), Lit(0)))
-            return out
-        if isinstance(e, BinOp):
-            return BinOp(
-                e.op, self._lower_isnull(e.left), self._lower_isnull(e.right)
-            )
-        if isinstance(e, Agg) and not isinstance(e.arg, Star):
-            return Agg(e.func, self._lower_isnull(e.arg), e.distinct)
-        if isinstance(e, LutMember):
-            return LutMember(self._lower_isnull(e.col), e.lut)
-        if isinstance(e, InSub):
-            return InSub(self._lower_isnull(e.expr), e.sub, e.negate)
-        if isinstance(e, Case):
-            return Case(
-                tuple((self._lower_isnull(c), self._lower_isnull(r))
-                      for c, r in e.whens),
-                self._lower_isnull(e.else_) if e.else_ is not None else None,
-            )
-        if isinstance(e, WindowFn):
-            from harkdb_tpu.sql.ast_nodes import OrderItem
-
-            arg = e.arg
-            if arg is not None and not isinstance(arg, Star):
-                arg = self._lower_isnull(arg)
-            return WindowFn(
-                e.func, arg, e.partition_by,
-                tuple(OrderItem(self._lower_isnull(o.expr), o.descending)
-                      for o in e.order_by),
-                e.params, e.frame,
-            )
-        return e
 
     # -- subqueries ------------------------------------------------------------
     def _iter_exprs(self):
@@ -1323,11 +1288,12 @@ class QueryPlan(StringLowering):
                         try:
                             p = QueryPlan(s.stmt, tables, self.config)
                         except PlanError as err:
-                            # A sub-plan resolution failure that names an
+                            # A sub-plan resolution failure whose
+                            # STRUCTURED unresolved identifier names an
                             # OUTER binding (alias or column) is a
                             # correlated reference — say so instead of the
                             # misleading "X is not in tables".
-                            if self._names_outer_binding(str(err)):
+                            if self._names_outer_binding(err):
                                 raise PlanError(
                                     "correlated subqueries are not "
                                     "supported"
@@ -1340,17 +1306,22 @@ class QueryPlan(StringLowering):
                         self._subplans[s] = p
         return found
 
-    def _names_outer_binding(self, msg: str) -> bool:
-        """True when a sub-plan PlanError message refers to a name that
-        resolves in THIS (outer) scope — i.e. the subquery was correlated."""
-        for b, _t, _cols in self.bindings:
-            if msg.startswith(f"{b} is not in tables"):
-                return True
-        m = re.match(r"(.+) is not in the schema of table ", msg)
-        if m:
-            name = m.group(1)
+    def _names_outer_binding(self, err: PlanError) -> bool:
+        """True when a sub-plan PlanError's structured unresolved
+        identifier resolves in THIS (outer) scope — i.e. the subquery was
+        correlated. Structured data (no message regex-matching): an inner
+        table genuinely missing from the registry whose NAME collides with
+        an outer alias carries kind="table" and is only classified as
+        correlated when the outer scope binds that alias — the previous
+        text-matching version could not tell these apart for columns."""
+        if err.unresolved_kind == "table":
             return any(
-                name in env for env in self.resolver.by_binding.values()
+                b == err.unresolved_name for b, _t, _cols in self.bindings
+            )
+        if err.unresolved_kind == "column":
+            return any(
+                err.unresolved_name in env
+                for env in self.resolver.by_binding.values()
             )
         return False
 
@@ -1408,6 +1379,17 @@ class QueryPlan(StringLowering):
                     f"IN (SELECT ...) with more than {self._IN_SUB_MAX} "
                     f"distinct values spanning more than "
                     f"{self._IN_LUT_SPAN} is not supported"
+                )
+            # int32 wrap guard (round-4 advisor): the lowered index is
+            # `probe - (mn-1)` in int32. A probe near INT32_MIN against a
+            # value set near INT32_MAX wraps the subtraction back INTO the
+            # live bit range (aliasing ⇔ mn ≥ 2^31 − span); mn−1 itself
+            # must also stay representable. Both only occur at the dtype's
+            # extremes — reject rather than silently mis-answer.
+            if mn - 1 < -(1 << 31) or mn >= (1 << 31) - span:
+                raise PlanError(
+                    "IN (SELECT ...) value set sits at the int32 range "
+                    "boundary; the LUT index arithmetic would wrap"
                 )
             bits = np.zeros(span, bool)
             bits[vals - mn] = True
@@ -1593,22 +1575,47 @@ class QueryPlan(StringLowering):
         b0 = self.bindings[0][0]
         if b0 in self._push_jits:
             batch = self._push_jits[b0](batch)
-        for step_idx, (rb, lk, rk, kind) in enumerate(self.join_steps):
+        for step_idx, (rb, lks, rks, kind) in enumerate(self.join_steps):
             right = self._load(tables, 1 + step_idx)
             if rb in self._push_jits:
                 right = self._push_jits[rb](right)
+            kflags = tuple(self.join_key_flags[step_idx])
             l_names, r_names = tuple(batch.names), tuple(right.names)
+            if kind == "right":
+                # RIGHT JOIN = LEFT with the operands swapped: the incoming
+                # table is the preserved side; the accumulated relation's
+                # columns null-fill on its unmatched rows (#lmatched flag).
+                ranges = _jit_ranges(
+                    rks, lks, r_names, l_names, self.config.use_pallas,
+                    (), kflags,
+                )(right, batch)
+                total = int(ranges.total_left)
+                cap = _next_pow2(max(total, self.config.row_align))
+                l_out = tuple((n, n) for n in r_names)
+                r_out = tuple((n, n) for n in l_names)
+                batch = _jit_join(
+                    cap, l_out, r_out, "left", self.config.use_pallas,
+                    f"#lmatched.{rb}",
+                )(ranges)
+                continue
             ranges = _jit_ranges(
-                lk, rk, l_names, r_names, self.config.use_pallas
+                lks, rks, l_names, r_names, self.config.use_pallas,
+                kflags, (), kind == "full",
             )(batch, right)
-            total = int(ranges.total_left if kind == "left"
-                        else ranges.total)
+            total = int(
+                ranges.total_full if kind == "full"
+                else ranges.total_left if kind == "left"
+                else ranges.total
+            )
             cap = _next_pow2(max(total, self.config.row_align))
             l_out = tuple((n, n) for n in l_names)
             r_out = tuple((n, n) for n in r_names)
             batch = _jit_join(
-                lk, rk, cap, l_out, r_out, kind, self.config.use_pallas,
+                cap, l_out, r_out,
+                "inner" if kind == "cross" else kind,
+                self.config.use_pallas,
                 self.null_flags.get(rb),
+                f"#lmatched.{rb}" if kind == "full" else None,
             )(ranges)
         # Phase B: compiled pipeline (jit keyed by MXU fast-path span).
         fast_span, key_min = self._resolve_fast(batch)
@@ -1752,15 +1759,21 @@ class QueryPlan(StringLowering):
             where_mask = None
             if not self.group_keys:
                 # SQL: an ungrouped aggregate over EMPTY input is one row
-                # (count 0, sums 0 — this model has no NULL), not zero
-                # rows. Fabricate the row: padding slot 0 holds 0 for
-                # sum/count outputs but the op-neutral extreme for min/max,
-                # so zero it explicitly.
+                # (COUNT 0; SUM/MIN/MAX/AVG/PROD NULL), not zero rows.
+                # Fabricate the row: padding slot 0 holds 0 for sum/count
+                # outputs but the op-neutral extreme for min/max, so zero
+                # it explicitly; the broadcast #grp_has column (0 ⇔ empty)
+                # is the agg_null_flags validity source for the non-count
+                # outputs (NULL via the hidden output indicators).
                 empty = batch.n_valid == 0
                 fixed = {}
                 for nme, cc in batch.columns.items():
                     v0 = jnp.where(empty, jnp.zeros((), cc.dtype), cc[0])
                     fixed[nme] = cc.at[0].set(v0)
+                fixed["#grp_has"] = jnp.broadcast_to(
+                    jnp.where(empty, 0, 1).astype(jnp.int32),
+                    (batch.capacity,),
+                )
                 batch = ColumnBatch(fixed, jnp.maximum(batch.n_valid, 1))
             if stop_after_group:
                 return batch
@@ -1797,17 +1810,14 @@ class QueryPlan(StringLowering):
                         gcols[c], 1
                     ).astype(jnp.float32)
                 elif kind == "mask0":
-                    # NULL-skipping min/max/prod: groups with no matched
-                    # rows yield 0 (the engine's no-NULL stand-in),
-                    # masking off the sentinel neutral.
+                    # NULL-skipping min/max/prod: all-NULL groups show 0 in
+                    # the raw matrix (masking off the sentinel neutral);
+                    # the agg_null_flags indicator marks them NULL for
+                    # sql_df / IS NULL / ORDER BY placement.
                     gcols[out] = jnp.where(
                         gcols[c] > 0, gcols[s],
                         jnp.zeros((), gcols[s].dtype),
                     )
-                elif kind == "subd":
-                    # NULL-skipping COUNT(DISTINCT): subtract the sentinel
-                    # value's contribution where any unmatched row exists.
-                    gcols[out] = gcols[s] - gcols[c]
             batch = ColumnBatch(gcols, batch.n_valid)
 
         # HAVING — fused into the DISTINCT / ORDER BY sort when one follows.
@@ -1843,10 +1853,9 @@ class QueryPlan(StringLowering):
         # output is never NULL and no flag is needed).
         for i, flags in enumerate(getattr(self, "output_null_flags", [])):
             if flags and all(f in cols for f in flags):
-                m = cols[flags[0]]
-                for f in flags[1:]:
-                    m = m * cols[f]
-                out_cols[f"#nullflag{i}"] = m.astype(jnp.int32)
+                out_cols[f"#nullflag{i}"] = valid_mask(
+                    flags, cols
+                ).astype(jnp.int32)
         out = ColumnBatch(out_cols, batch.n_valid)
 
         # DISTINCT: lexicographic sort of the output tuple (pads last), then
@@ -1939,8 +1948,11 @@ class QueryPlan(StringLowering):
         lines = scan_line(0)
         for b in self.pushdown:
             lines.append(f"Filter pushdown → {b}")
-        for rb, lk, rk, kind in self.join_steps:
-            lines.append(f"HashJoin({kind}) {lk} = {rk} (+ {rb})")
+        for rb, lks, rks, kind in self.join_steps:
+            cond = " and ".join(
+                f"{lk} = {rk}" for lk, rk in zip(lks, rks)
+            ) or "<cross>"
+            lines.append(f"SortJoin({kind}) {cond} (+ {rb})")
         if self.where_residual is not None:
             lines.append("Filter (WHERE residual) → masked-scan compaction")
         if self.grouped:

@@ -74,46 +74,53 @@ class UnionPlan:
 
         # Trailing ORDER BY resolves against output names or 1-based
         # ordinals (the arms' internal columns are out of scope by then).
-        self.order_pos: List[Tuple[int, bool]] = []
+        # Entries: (output position, descending, nulls placement) — NULL
+        # indicators ride the union tail (round 5), so NULLS FIRST/LAST
+        # and the SQL default placement both work.
+        self.order_pos: List[Tuple[int, bool, object]] = []
         for o in stmt.order_by:
-            if o.nulls is not None:
-                raise PlanError(
-                    "NULLS FIRST/LAST is not supported in a UNION ORDER BY "
-                    "(union arms drop NULL indicators — README)"
-                )
             e = o.expr
             if (isinstance(e, Col) and e.table is None
                     and e.name in self.output_names):
                 self.order_pos.append(
-                    (self.output_names.index(e.name), o.descending)
+                    (self.output_names.index(e.name), o.descending, o.nulls)
                 )
             elif (isinstance(e, Lit) and isinstance(e.value, int)
                     and 1 <= e.value <= n_out):
-                self.order_pos.append((e.value - 1, o.descending))
+                self.order_pos.append((e.value - 1, o.descending, o.nulls))
             else:
                 raise PlanError(
                     "UNION ORDER BY must reference an output column name "
                     "or a 1-based column position"
                 )
 
-    def _arm_cols(self, ai: int, batch: ColumnBatch) -> List[jax.Array]:
+    def _arm_cols(self, ai: int, batch: ColumnBatch):
         """Live-row column slices of one arm's result, codes remapped into
-        the merged dictionaries. Hidden NULL-indicator columns are dropped —
-        the union tail treats the 0-fill as the value (documented: UNION
-        does not propagate LEFT-JOIN NULLs)."""
+        the merged dictionaries, plus per-position NULL-indicator slices
+        (None when the arm's output is never NULL). NULL cells are zeroed
+        so every NULL normalizes to the same (0, flag=0) pair — set-op
+        semantics treat NULLs as equal, whatever expression produced them."""
         n = int(batch.n_valid)
-        cols = []
+        cols, flags = [], []
         outs = [nm for nm in batch.names if not nm.startswith("#nullflag")]
         for j, internal in enumerate(outs):
             col = batch.columns[internal][:n]
             remaps = self._code_remaps[j]
             if remaps is not None and remaps[ai] is not None:
                 col = jnp.asarray(remaps[ai])[col]
+            fl = batch.columns.get(f"#nullflag{j}")
+            if fl is not None:
+                fl = (fl[:n] != 0).astype(jnp.int32)
+                col = jnp.where(fl != 0, col, jnp.zeros((), col.dtype))
             cols.append(col)
-        return cols
+            flags.append(fl)
+        return cols, flags
 
-    def _dedupe(self, cols: List[jax.Array]) -> List[jax.Array]:
-        """Distinct rows of a packed (no padding) column tuple."""
+    def _dedupe(self, cols: List[jax.Array], nf: int) -> List[jax.Array]:
+        """Distinct rows of a packed (no padding) column tuple. The last
+        ``nf`` entries are NULL-indicator columns: they participate as keys
+        (value 0 with flag 0 = the one canonical NULL row ≠ a real 0), and
+        NULLs compare EQUAL to each other — SQL set-op semantics."""
         n = cols[0].shape[0]
         if n == 0:
             return cols
@@ -152,11 +159,13 @@ class UnionPlan:
                 ).execute(tables)
             return p.execute(tables)
 
+        n_out = len(self.output_names)
         acc: List[jax.Array] = []
+        acc_flags: List[object] = [None] * n_out
         for ai, p in enumerate(self.arms):
-            cols = self._arm_cols(ai, run_arm(p))
+            cols, flags = self._arm_cols(ai, run_arm(p))
             if ai == 0:
-                acc = cols
+                acc, acc_flags = cols, flags
                 continue
             merged = []
             for a, c in zip(acc, cols):
@@ -181,30 +190,64 @@ class UnionPlan:
                             )
                     a, c = a.astype(tgt), c.astype(tgt)
                 merged.append(jnp.concatenate([a, c]))
-            acc = merged
+            # NULL indicators concatenate alongside (missing side = all-1)
+            na, nc = acc[0].shape[0], cols[0].shape[0]
+            mflags = []
+            for fa, fc in zip(acc_flags, flags):
+                if fa is None and fc is None:
+                    mflags.append(None)
+                    continue
+                fa = fa if fa is not None else jnp.ones((na,), jnp.int32)
+                fc = fc if fc is not None else jnp.ones((nc,), jnp.int32)
+                mflags.append(jnp.concatenate([fa, fc]))
+            acc, acc_flags = merged, mflags
             if not self.alls[ai - 1]:
-                acc = self._dedupe(acc)
+                nf_idx = [j for j, f in enumerate(acc_flags)
+                          if f is not None]
+                dd = self._dedupe(
+                    acc + [acc_flags[j] for j in nf_idx], len(nf_idx)
+                )
+                acc = dd[:n_out]
+                acc_flags = list(acc_flags)
+                for k, j in enumerate(nf_idx):
+                    acc_flags[j] = dd[n_out + k]
 
         from harkdb_tpu.columnar.batch import align_capacity
 
         total = int(acc[0].shape[0]) if acc else 0
         cap = align_capacity(total, cfg.row_align)
         out_cols = {}
-        for j, c in enumerate(acc):
+
+        def padded(c, fill=0):
             pad = cap - c.shape[0]
             if pad:
-                c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
-            out_cols[f"#out{j}"] = c
+                c = jnp.concatenate(
+                    [c, jnp.full((pad,), fill, c.dtype)]
+                )
+            return c
+
+        for j, c in enumerate(acc):
+            out_cols[f"#out{j}"] = padded(c)
+        for j, f in enumerate(acc_flags):
+            if f is not None:
+                out_cols[f"#nullflag{j}"] = padded(f, 1)
         out = ColumnBatch(out_cols, jnp.int32(total))
 
         if self.order_pos:
             from harkdb_tpu.ops.sort import sort_batch
+            from harkdb_tpu.plan.planner import _null_extreme_sub
 
+            key_arrays = []
+            for j, d, nu in self.order_pos:
+                a = out.columns[f"#out{j}"]
+                f = out.columns.get(f"#nullflag{j}")
+                if f is not None:
+                    a = _null_extreme_sub(a, f == 0, d, nu)
+                key_arrays.append(a)
             out = sort_batch(
                 out, [],
-                [d for _j, d in self.order_pos],
-                key_arrays=[out.columns[f"#out{j}"]
-                            for j, _d in self.order_pos],
+                [d for _j, d, _nu in self.order_pos],
+                key_arrays=key_arrays,
             )
         if self.offset:
             idx = jnp.arange(out.capacity, dtype=jnp.int32)
@@ -246,6 +289,20 @@ class UnionPlan:
         D = mesh.devices.size
         n_out = len(self.output_names)
         out_names = [f"#out{j}" for j in range(n_out)]
+
+        # First pass: run every arm sharded, note which output positions
+        # carry NULL indicators anywhere (the union-wide flag set).
+        arm_sbs = []
+        for p in self.arms:
+            arm_sbs.append(DistExecutor(
+                p, mesh, cfg, shard_cache=shard_cache
+            ).execute(tables, deliver=False))
+        nf_idx = sorted({
+            j for sb in arm_sbs for j in range(n_out)
+            if f"#nullflag{j}" in sb.names
+        })
+        flag_names = [f"#nullflag{j}" for j in nf_idx]
+        all_names = out_names + flag_names
 
         def positions(sb: ShardedBatch, base: int) -> ShardedBatch:
             """Append #upos = base + global live-row position (shard-block
@@ -307,44 +364,64 @@ class UnionPlan:
 
         def dedupe(sb: ShardedBatch) -> ShardedBatch:
             """Distinct tuples in global tuple order with fresh positions
-            (single-chip dedupe leaves rows tuple-sorted)."""
+            (single-chip dedupe leaves rows (values, flags)-tuple-sorted;
+            NULL cells are zero-normalized, so NULLs dedupe as equal)."""
             sb = dist_groupby(
-                ShardedBatch({n: sb.columns[n] for n in out_names},
+                ShardedBatch({n: sb.columns[n] for n in all_names},
                              sb.shard_counts),
-                out_names, [], mesh, cfg,
+                all_names, [], mesh, cfg,
             )
             sb = dist_orderby(
-                sb, lambda cols, cap: [cols[n] for n in out_names],
-                [False] * n_out, mesh, cfg,
+                sb, lambda cols, cap: [cols[n] for n in all_names],
+                [False] * len(all_names), mesh, cfg,
             )
             return positions(sb, 0)
 
         acc = None
         base = 0
         for ai, p in enumerate(self.arms):
-            sb = DistExecutor(
-                p, mesh, cfg, shard_cache=shard_cache
-            ).execute(tables, deliver=False)
-            # Drop hidden NULL flags (documented: UNION does not propagate
-            # LEFT-JOIN NULLs) and apply merged-dictionary code remaps.
-            sb = ShardedBatch(
-                {n: sb.columns[n] for n in out_names}, sb.shard_counts
-            )
+            sb = arm_sbs[ai]
+            # Normalize to the union-wide column set: merged-dictionary
+            # code remaps, all-1 flags where this arm lacks an indicator,
+            # NULL cells zeroed (one canonical NULL per position).
             remaps = [
                 (j, self._code_remaps[j][ai]) for j in range(n_out)
                 if self._code_remaps[j] is not None
                 and self._code_remaps[j][ai] is not None
             ]
-            if remaps:
-                def remap_fn(cols, cap, _r=remaps):
-                    out = dict(cols)
-                    for j, lut in _r:
-                        out[f"#out{j}"] = jnp.asarray(lut)[jnp.clip(
-                            cols[f"#out{j}"], 0, len(lut) - 1
-                        )]
-                    return out
+            have = set(sb.names)
 
-                sb = dist_map(sb, remap_fn, out_names, mesh, cfg)
+            def norm_fn(cols, cap, _r=remaps, _have=have):
+                out = {}
+                for j in range(n_out):
+                    c = cols[f"#out{j}"]
+                    for jj, lut in _r:
+                        if jj == j:
+                            c = jnp.asarray(lut)[jnp.clip(
+                                c, 0, len(lut) - 1
+                            )]
+                    out[f"#out{j}"] = c
+                for j in nf_idx:
+                    fn_ = f"#nullflag{j}"
+                    if fn_ in _have:
+                        fl = (cols[fn_] != 0).astype(jnp.int32)
+                        out[fn_] = fl
+                        c = out[f"#out{j}"]
+                        out[f"#out{j}"] = jnp.where(
+                            fl != 0, c, jnp.zeros((), c.dtype)
+                        )
+                    else:
+                        out[fn_] = jnp.ones((cap,), jnp.int32)
+                return out
+
+            sb = dist_map(
+                ShardedBatch(
+                    {n: sb.columns[n] for n in sb.names
+                     if n in set(all_names)},
+                    sb.shard_counts,
+                ),
+                norm_fn, all_names, mesh, cfg,
+            )
             sb = positions(sb, base)
             base += int(np.asarray(sb.shard_counts).sum())
             if acc is None:
@@ -385,18 +462,30 @@ class UnionPlan:
                 acc = dedupe(acc)
                 base = int(np.asarray(acc.shard_counts).sum())
 
-        # Final global order: trailing ORDER BY outputs, tie #upos —
-        # reproduces the single-chip stable sort over concat/dedupe order.
-        keys = [f"#out{j}" for j, _d in self.order_pos] + ["#upos"]
-        descs = [d for _j, d in self.order_pos] + [False]
-        acc = dist_orderby(
-            acc, lambda cols, cap, _k=keys: [cols[k] for k in _k],
-            descs, mesh, cfg,
-        )
+        # Final global order: trailing ORDER BY outputs (NULL placement via
+        # the indicators), tie #upos — reproduces the single-chip stable
+        # sort over concat/dedupe order.
+        from harkdb_tpu.plan.planner import _null_extreme_sub
+
+        order_pos = list(self.order_pos)
+
+        def final_keys(cols, cap):
+            ks = []
+            for j, d, nu in order_pos:
+                a = cols[f"#out{j}"]
+                f = cols.get(f"#nullflag{j}")
+                if f is not None:
+                    a = _null_extreme_sub(a, f == 0, d, nu)
+                ks.append(a)
+            ks.append(cols["#upos"])
+            return ks
+
+        descs = [d for _j, d, _nu in order_pos] + [False]
+        acc = dist_orderby(acc, final_keys, descs, mesh, cfg)
         if self.offset or self.limit is not None:
             acc = dist_head(acc, self.offset or 0, self.limit, mesh, cfg)
         return ShardedBatch(
-            {n: acc.columns[n] for n in out_names}, acc.shard_counts
+            {n: acc.columns[n] for n in all_names}, acc.shard_counts
         ).to_batch()
 
     def explain(self) -> str:
@@ -409,7 +498,7 @@ class UnionPlan:
             lines.extend("  " + ln for ln in p.explain().splitlines())
         if self.order_pos:
             lines.append("Sort " + ", ".join(
-                ("DESC" if d else "ASC") for _j, d in self.order_pos
+                ("DESC" if d else "ASC") for _j, d, _nu in self.order_pos
             ))
         if self.offset:
             lines.append(f"Offset {self.offset}")

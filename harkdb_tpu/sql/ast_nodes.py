@@ -175,9 +175,12 @@ class DerivedRef:
 
 @dataclass(frozen=True)
 class JoinClause:
+    """One JOIN step. ``conds`` is a conjunction of column equalities
+    (``ON a.x = b.x AND a.y = b.y`` — multi-key equi-join; the reference
+    kernel is single-key, ``join.fut:52-75``). Empty ``conds`` = CROSS
+    JOIN. ``kind``: inner | left | right | full | cross."""
     table: TableRef
-    left_on: Col
-    right_on: Col
+    conds: Tuple[Tuple[Col, Col], ...]
     kind: str = "inner"
 
 

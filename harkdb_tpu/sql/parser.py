@@ -38,7 +38,8 @@ class SqlError(Exception):
 
 KEYWORDS = {
     "select", "from", "where", "group", "order", "sort", "by", "having",
-    "limit", "offset", "join", "inner", "left", "right", "outer", "on", "as", "and",
+    "limit", "offset", "join", "inner", "left", "right", "outer", "full",
+    "cross", "on", "as", "and",
     "or", "not", "asc", "desc", "distinct", "in", "between", "like",
     "case", "when", "then", "else", "end", "union", "all",
     "over", "partition", "is", "null",
@@ -155,7 +156,7 @@ class Parser:
         self.expect_kw("from")
         table = self.parse_table_ref()
         joins = []
-        while self.at_kw("join", "inner", "left", "right"):
+        while self.at_kw("join", "inner", "left", "right", "full", "cross"):
             joins.append(self.parse_join())
         where = None
         if self.eat_kw("where"):
@@ -282,16 +283,39 @@ class Parser:
         elif self.eat_kw("left"):
             self.eat_kw("outer")
             kind = "left"
-        elif self.at_kw("right"):
-            raise SqlError("RIGHT JOIN is not supported; rewrite as LEFT JOIN")
+        elif self.eat_kw("right"):
+            self.eat_kw("outer")
+            kind = "right"
+        elif self.eat_kw("full"):
+            self.eat_kw("outer")
+            kind = "full"
+        elif self.eat_kw("cross"):
+            self.expect_kw("join")
+            return JoinClause(table=self.parse_table_ref(), conds=(),
+                              kind="cross")
         self.expect_kw("join")
         table = self.parse_table_ref()
         self.expect_kw("on")
+        # ON is a conjunction of column equalities (multi-key equi-join).
+        conds = [self._parse_join_cond()]
+        while self.eat_kw("and"):
+            conds.append(self._parse_join_cond())
+        if self.at_kw("or"):
+            raise SqlError(
+                "JOIN ... ON supports only AND-combined column equalities "
+                "(no OR)"
+            )
+        return JoinClause(table=table, conds=tuple(conds), kind=kind)
+
+    def _parse_join_cond(self) -> Tuple[Col, Col]:
         a = self.parse_qualified_col()
         if not (self.eat_op("=") or self.eat_op("==")):
-            raise SqlError("JOIN ... ON expects an equality condition")
+            raise SqlError(
+                "JOIN ... ON expects column equalities (non-equi join "
+                "conditions belong in WHERE)"
+            )
         b = self.parse_qualified_col()
-        return JoinClause(table=table, left_on=a, right_on=b, kind=kind)
+        return (a, b)
 
     def parse_qualified_col(self) -> Col:
         name = self.expect_ident()

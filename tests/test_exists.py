@@ -172,9 +172,16 @@ class TestEmptyAggregateSingleton:
             "from t where v > 999"
         )
         assert got["n"].tolist() == [0]
-        assert got["s"].tolist() == [0]
-        assert got["m"].tolist() == [0]       # not the op-neutral extreme
-        assert got["a"].tolist() == [0.0]
+        # SQL: SUM/MAX/AVG over empty input are NULL (round 5); COUNT is 0
+        assert got["s"].isna().tolist() == [True]
+        assert got["m"].isna().tolist() == [True]
+        assert got["a"].isna().tolist() == [True]
+        # the raw matrix shows the 0-fill, not the op-neutral extreme
+        raw = c.sql(
+            "select count(*) as n, sum(v) as s, max(v) as m from t "
+            "where v > 999"
+        )
+        assert raw.tolist() == [[0, 0, 0]]
 
     def test_distributed(self, ectx):
         from harkdb_tpu.parallel import make_engine_mesh
@@ -187,8 +194,8 @@ class TestEmptyAggregateSingleton:
             "from t where v > 999"
         )
         assert got["n"].tolist() == [0]
-        assert got["s"].tolist() == [0]
-        assert got["m"].tolist() == [0]
+        assert got["s"].isna().tolist() == [True]
+        assert got["m"].isna().tolist() == [True]
 
     def test_nonempty_unchanged(self, ectx):
         c, t, _r = ectx

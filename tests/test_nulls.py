@@ -116,8 +116,8 @@ class TestIsNull:
 
 class TestAggregateSkip:
     """Aggregates over nullable right columns skip unmatched rows, matching
-    pandas (which nulls correctly). All-unmatched groups yield 0 for
-    min/max/prod (documented: the engine has no NULL aggregate results)."""
+    pandas (which nulls correctly). All-unmatched groups are NULL for
+    sum/avg/min/max/prod (SQL semantics, round 5) and 0 for COUNT."""
 
     def test_sum_count_avg_vs_pandas(self, big):
         ldf, rdf = big
@@ -131,13 +131,16 @@ class TestAggregateSkip:
         )
         m = ldf.merge(rdf, left_on="k", right_on="j", how="left")
         g = m.groupby("k").agg(
-            c=("w", "count"), s=("w", "sum"), n=("w", "size")
+            c=("w", "count"),
+            s=pd.NamedAgg("w", lambda x: x.sum(min_count=1)),  # SQL: NULL
+            n=("w", "size"),
         ).reset_index()
         assert got["k"].tolist() == g["k"].tolist()
         assert got["c"].tolist() == g["c"].tolist()
-        assert got["s"].tolist() == g["s"].fillna(0).astype(int).tolist()
+        np.testing.assert_array_equal(got["s"].to_numpy(),
+                                      g["s"].to_numpy(np.float64))
         assert got["n"].tolist() == g["n"].tolist()   # count(*) counts all
-        av = m.groupby("k")["w"].mean().fillna(0.0)
+        av = m.groupby("k")["w"].mean()               # all-NaN group → NaN
         np.testing.assert_allclose(got["av"], av.to_numpy(), rtol=1e-6)
 
     def test_min_max_skip_unmatched(self, big):
@@ -151,8 +154,17 @@ class TestAggregateSkip:
         )
         m = ldf.merge(rdf, left_on="k", right_on="j", how="left")
         g = m.groupby("k")["w"]
-        assert got["mn"].tolist() == g.min().fillna(0).astype(int).tolist()
-        assert got["mx"].tolist() == g.max().fillna(0).astype(int).tolist()
+        np.testing.assert_array_equal(got["mn"].to_numpy(),
+                                      g.min().to_numpy(np.float64))
+        np.testing.assert_array_equal(got["mx"].to_numpy(),
+                                      g.max().to_numpy(np.float64))
+        # the raw matrix shows 0 in NULL cells, not the neutral extreme
+        raw = c.sql(
+            "select l.k, min(r.w) as mn from l left join r on l.k = r.j "
+            "group by l.k order by l.k"
+        )
+        nulls = g.min().isna().to_numpy()
+        assert (raw[nulls, 1] == 0).all()
 
     def test_count_distinct_skips_unmatched(self, nctx):
         got = nctx.sql_df(
@@ -161,12 +173,32 @@ class TestAggregateSkip:
         )
         assert got["cd"].tolist() == [2, 0, 1, 0]
 
-    def test_prod_all_unmatched_is_zero(self, nctx):
+    def test_count_distinct_no_sentinel_collision(self):
+        # the round-4 implementation used INT32_MIN as the NULL sentinel —
+        # a REAL INT32_MIN value then miscounted (documented sharp edge);
+        # round 5 carries the validity as an extra sort key instead
+        lo = -(1 << 31)
+        c = Context()
+        c.create_table("l", pd.DataFrame({
+            "k": np.array([1, 1, 2], np.int32)}))
+        c.create_table("r", pd.DataFrame({
+            "j": np.array([1, 1], np.int32),
+            "w": np.array([lo, lo], np.int32),
+        }))
+        got = c.sql_df(
+            "select l.k, count(distinct r.w) as cd from l "
+            "left join r on l.k = r.j group by l.k order by l.k"
+        )
+        assert got["cd"].tolist() == [1, 0]
+
+    def test_prod_all_unmatched_is_null(self, nctx):
         got = nctx.sql_df(
             "select a.k, prod(r.w) as p from a left join r on a.k = r.k "
             "group by a.k order by a.k"
         )
-        assert got["p"].tolist() == [30, 0, 7, 0]
+        np.testing.assert_array_equal(
+            got["p"].to_numpy(), [30.0, np.nan, 7.0, np.nan]
+        )
 
     def test_ungrouped_aggregate_skips(self, nctx):
         got = nctx.sql_df(
@@ -229,14 +261,22 @@ class TestNullOrdering:
         ]:
             pd.testing.assert_frame_equal(cs.sql_df(q), cm.sql_df(q))
 
-    def test_rejected_in_over_and_union(self, nctx):
+    def test_rejected_in_over(self, nctx):
         from harkdb_tpu.sql.parser import SqlError
 
         with pytest.raises(SqlError, match="OVER"):
             nctx.sql("select sum(v) over (order by v nulls first) from a")
-        with pytest.raises(PlanError, match="UNION"):
-            nctx.sql("select k from a union select k from a "
-                     "order by k nulls first")
+
+    def test_union_null_ordering(self, nctx):
+        # round 5: NULL indicators ride the union tail, so NULLS FIRST
+        # works across arms (arm 2's unmatched rows are the NULLs)
+        df = nctx.sql_df(
+            "select r.w from a join r on a.k = r.k "
+            "union all select r.w from a left join r on a.k = r.k "
+            "order by w nulls first, w"
+        )
+        assert df["w"].isna().tolist()[:2] == [True, True]
+        assert df["w"].dropna().tolist() == sorted(df["w"].dropna())
 
 
 class TestCoalesceAndCast:

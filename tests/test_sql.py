@@ -72,8 +72,26 @@ class TestParser:
         s = parse_sql("select * from a join b on a.x = b.y")
         j = s.joins[0]
         assert j.table.name == "b"
-        assert j.left_on == Col("x", table="a")
-        assert j.right_on == Col("y", table="b")
+        assert j.conds == ((Col("x", table="a"), Col("y", table="b")),)
+
+    def test_join_multi_cond(self):
+        s = parse_sql(
+            "select * from a join b on a.x = b.y and a.z = b.w"
+        )
+        assert s.joins[0].conds == (
+            (Col("x", table="a"), Col("y", table="b")),
+            (Col("z", table="a"), Col("w", table="b")),
+        )
+
+    def test_join_kinds(self):
+        assert parse_sql(
+            "select * from a right outer join b on a.x = b.y"
+        ).joins[0].kind == "right"
+        assert parse_sql(
+            "select * from a full outer join b on a.x = b.y"
+        ).joins[0].kind == "full"
+        s = parse_sql("select * from a cross join b")
+        assert s.joins[0].kind == "cross" and s.joins[0].conds == ()
 
     def test_alias(self):
         s = parse_sql("select a as z from t1 t")
