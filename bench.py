@@ -47,7 +47,10 @@ shape in one session makes later runs' warmups take seconds):
 
 Env knobs: HARKDB_BENCH_ROWS (default 2**24), HARKDB_BENCH_HBM_GBPS
 (default 800 — TPU v5e class), HARKDB_BENCH_DEADLINE_S (global, default 460),
-HARKDB_BENCH_STAGE_S (per stage, default 170), HARKDB_BENCH_ITERS (default 2).
+HARKDB_BENCH_STAGE_S (per stage, default 170), HARKDB_BENCH_ITERS (default 3
+— each stage reports the MEDIAN of its individually timed iterations, so a
+single slow draw of the platform's ±8% sort jitter cannot drag a stage
+below the floor).
 """
 
 from __future__ import annotations
@@ -203,7 +206,7 @@ def _main():
 
     n = _N_ROWS
     n_keys = 1 << 20
-    iters = int(os.environ.get("HARKDB_BENCH_ITERS", 2))
+    iters = int(os.environ.get("HARKDB_BENCH_ITERS", 3))
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}, "
         f"rows={n:,}, deadline={DEADLINE_S:.0f}s, stage={STAGE_S:.0f}s")
@@ -362,14 +365,19 @@ def _main():
         log(f"sql pipeline warmed in {time.monotonic() - t0:.1f}s")
 
     # Window functions through Context.sql: two shapes (a partitioned
-    # running sum + a global row_number) over the same resident table —
-    # the round-4 fused path runs W+1 = 3 payload sorts instead of 4
-    # (plan/windows.py). BASELINE.md tracks this number (337 ms in r3).
+    # running sum + a global row_number) over the same resident table,
+    # with a trailing ORDER BY that exactly matches the second shape's
+    # sort — the round-5 sort-order tracking then runs W = 2 payload
+    # sorts total (the second shape's sort IS the final order; restore
+    # and ORDER BY sorts both skipped), vs W+1 = 3 for the round-4 fused
+    # chain without the ORDER BY and 2W = 4 in round 3. BASELINE.md
+    # tracks this number (337 ms r3, 298 ms r4).
     def _win_setup():
         _sql_setup_if_needed()
         sql_state["qw"] = (
             "select k, sum(v) over (partition by k order by v) as rs, "
-            "row_number() over (order by v desc, k) as rn from t"
+            "row_number() over (order by v desc, k) as rn from t "
+            "order by v desc, k"
         )
 
     def run_window(i, *_args):
@@ -387,14 +395,21 @@ def _main():
 
     def sync_time(fn, *args, n_syncs=1, inner=1):
         """fn(i, *args) -> scalar checksum; returns RAW seconds per
-        iteration (RTT correction happens at emit time — see _RAW)."""
+        iteration — the MEDIAN of ``iters`` individually timed iterations
+        (round-5 item 10: the platform's ±8% sort jitter straddled the
+        floor when a single mean-of-2 run landed on a slow draw; the
+        median of 3 makes consecutive driver runs reproducible). RTT
+        correction happens at emit time — see _RAW."""
         t_c0 = time.monotonic()
         _ = int(fn(0, *args))                      # warmup/compile
         log(f"  warmup+compile {time.monotonic() - t_c0:.1f}s")
-        t0 = time.perf_counter()
+        ts = []
         for i in range(1, iters + 1):
+            t0 = time.perf_counter()
             _ = int(fn(i, *args))
-        return (time.perf_counter() - t0) / iters
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
 
     # If the chip grant is slow (a previous client's lease can take minutes
     # to release on this tunneled platform), the rtt stage's FIRST dispatch

@@ -50,6 +50,12 @@ class DistExecutor:
         # re-ships the whole matrix across its FFI on every sql() call,
         # FutharkContext.py:65,70 — the flaw this engine exists to fix).
         self._shard_cache = shard_cache if shard_cache is not None else {}
+        # Compiled-program cache for the distributed operators, attached to
+        # the PLAN (its lifetime matches: the Context invalidates plans
+        # whenever tables change). Without it every query re-traces and
+        # re-compiles each shard_map stage — measured ~7 s/query on the
+        # 8-device CPU mesh (the round-4 weak-scaling bottleneck).
+        self._jit_cache = plan.__dict__.setdefault("_dist_jit_cache", {})
 
     # -- table sharding -------------------------------------------------------
     def _shard_table(self, tables: Dict[str, Table], binding_idx: int) -> ShardedBatch:
@@ -106,6 +112,7 @@ class DistExecutor:
         return dist_filter(
             sb, lambda cols, cap: eval_expr(expr, cols, cap, self.config),
             self.mesh, self.config,
+            jit_cache=self._jit_cache, tag=f"push:{binding}",
         )
 
     def execute(self, tables: Dict[str, Table], deliver: bool = True):
@@ -141,6 +148,7 @@ class DistExecutor:
                     right, work, rks, lks, self.mesh, self.config,
                     kind="left", matched_out=f"#lmatched.{rb}",
                     r_flag_names=kflags,
+                    jit_cache=self._jit_cache, tag=f"join:{step_idx}",
                 )
                 restore_specs = (
                     [("asc", k) for k in rks] + restore_specs
@@ -154,6 +162,7 @@ class DistExecutor:
                 l_matched_out=(f"#lmatched.{rb}" if kind == "full"
                                else None),
                 l_flag_names=kflags,
+                jit_cache=self._jit_cache, tag=f"join:{step_idx}",
             )
             if kind == "full":
                 # single-chip FULL = left-join part (by key) then the
@@ -206,6 +215,7 @@ class DistExecutor:
                 work, lambda cols, cap: eval_expr(expr, cols, cap,
                                                   self.config),
                 self.mesh, self.config,
+                jit_cache=self._jit_cache, tag="where",
             )
 
         if plan.window_specs and not plan.grouped:
@@ -223,6 +233,8 @@ class DistExecutor:
 
             def pre_fn(cols, cap):
                 extra = {}
+                for name, ge in plan.group_key_exprs:
+                    extra[name] = eval_expr(ge, cols, cap, cfg)
                 for internal, e in arg_cols:
                     extra[internal] = eval_expr(e, cols, cap, cfg)
                 if need_ones:
@@ -249,6 +261,7 @@ class DistExecutor:
             work = dist_groupby(
                 work, keys, agg_specs, self.mesh, self.config, pre_fn,
                 fast=fast,
+                jit_cache=self._jit_cache, tag="gb",
             )
             if not plan.group_keys:
                 # SQL: an ungrouped aggregate over EMPTY input is one row
@@ -282,10 +295,16 @@ class DistExecutor:
                      list(work.names) + ["#grp_has"]},
                     P(axis),
                 )
-                fx = _jax.jit(_jax.shard_map(
-                    fix_body, mesh=self.mesh, in_specs=specs,
-                    out_specs=out_specs,
-                ))
+                from harkdb_tpu.parallel.dist_ops import _cached_jit
+
+                fx = _cached_jit(
+                    self._jit_cache,
+                    ("fix_empty", work.local_capacity, tuple(work.names)),
+                    lambda: _jax.jit(_jax.shard_map(
+                        fix_body, mesh=self.mesh, in_specs=specs,
+                        out_specs=out_specs,
+                    )),
+                )
                 cols, cnt = fx(work.columns, work.shard_counts)
                 from harkdb_tpu.parallel.sharded import ShardedBatch
 
@@ -355,6 +374,7 @@ class DistExecutor:
                         work = dist_global_window(
                             work, shp_specs, self.mesh, self.config,
                             tie_names=tie_names,
+                            jit_cache=self._jit_cache,
                         )
                     else:
                         rest.extend(shp_specs)
@@ -364,8 +384,11 @@ class DistExecutor:
             win_names = [s[0] for s in specs]
             work = dist_window(
                 work, parts,
-                lambda b, _s=specs: plan._compute_windows(b, _s),
+                # [0]: per-shard local order is irrelevant — the executor's
+                # distributed tail re-sorts globally (never skip-restore)
+                lambda b, _s=specs: plan._compute_windows(b, _s)[0],
                 win_names, self.mesh, self.config,
+                jit_cache=self._jit_cache,
             )
         return work
 
@@ -469,6 +492,7 @@ class DistExecutor:
                 work,
                 lambda cols, cap: eval_expr(hv, aug(cols, cap), cap, cfg),
                 self.mesh, cfg,
+                jit_cache=self._jit_cache, tag="having",
             )
             caps.append(("having", work.local_capacity))
 
@@ -482,7 +506,8 @@ class DistExecutor:
                 names2 = list(work.names) + [
                     o for o, _s in post if o not in work.names
                 ]
-                work = dist_map(work, aug, names2, self.mesh, cfg)
+                work = dist_map(work, aug, names2, self.mesh, cfg,
+                                jit_cache=self._jit_cache, tag="aug")
                 post.clear()              # aug becomes a no-op
             work = self._dist_windows(
                 work,
@@ -523,8 +548,10 @@ class DistExecutor:
             # tuple, with ORDER BY applied stably on top; the distributed
             # sort reproduces it exactly with (order outputs, full tuple) as
             # the key chain (tuples are unique, so the order is total).
-            work = dist_map(work, project, out_names, self.mesh, cfg)
-            work = dist_groupby(work, out_names, [], self.mesh, cfg)
+            work = dist_map(work, project, out_names, self.mesh, cfg,
+                            jit_cache=self._jit_cache, tag="project")
+            work = dist_groupby(work, out_names, [], self.mesh, cfg,
+                                jit_cache=self._jit_cache, tag="distinct")
             descs = [d for _e, d in plan.order_items]
             descs += [False] * len(out_names)
 
@@ -542,7 +569,8 @@ class DistExecutor:
                 ks += [cols[k] for k in out_names]
                 return ks
 
-            work = dist_orderby(work, dkeys_fn, descs, self.mesh, cfg)
+            work = dist_orderby(work, dkeys_fn, descs, self.mesh, cfg,
+                                jit_cache=self._jit_cache, tag="dob")
             caps.append(("distinct", work.local_capacity))
         else:
             tie_names: List[str] = []
@@ -585,13 +613,16 @@ class DistExecutor:
                     ks += [f(cols) for f in tie_fns]
                     return ks
 
-                work = dist_orderby(work, keys_fn, descs, self.mesh, cfg)
+                work = dist_orderby(work, keys_fn, descs, self.mesh, cfg,
+                                    jit_cache=self._jit_cache, tag="tob")
                 caps.append(("orderby", work.local_capacity))
-            work = dist_map(work, project, out_names, self.mesh, cfg)
+            work = dist_map(work, project, out_names, self.mesh, cfg,
+                            jit_cache=self._jit_cache, tag="project")
 
         if plan.offset or plan.limit is not None:
             work = dist_head(
-                work, plan.offset or 0, plan.limit, self.mesh, cfg
+                work, plan.offset or 0, plan.limit, self.mesh, cfg,
+                jit_cache=self._jit_cache,
             )
             caps.append(("head", work.local_capacity))
         self.last_tail_capacities = caps

@@ -79,6 +79,7 @@ def dist_global_window(
     mesh: Mesh,
     config: EngineConfig = DEFAULT_CONFIG,
     tie_names: Sequence[str] | None = None,
+    jit_cache=None,
 ) -> ShardedBatch:
     """Compute one empty-PARTITION BY window shape's outputs, sharded.
 
@@ -108,7 +109,8 @@ def dist_global_window(
             return ks
 
         work = dist_orderby(
-            work, keys_fn, descs + [False] * len(rid_names), mesh, cfg
+            work, keys_fn, descs + [False] * len(rid_names), mesh, cfg,
+            jit_cache=jit_cache, tag="gwin_ob",
         )
 
     # ---- stage 2: local windows + carry exchange -------------------------
@@ -313,9 +315,19 @@ def dist_global_window(
             out[out_name] = o
         return out, cnt
 
-    specs_in = ({n: P(axis) for n in work.names}, P(axis))
-    specs_out = ({n: P(axis) for n in out_names}, P(axis))
-    f = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
-                              out_specs=specs_out))
+    from harkdb_tpu.parallel.dist_ops import _cached_jit
+
+    def build():
+        specs_in = ({n: P(axis) for n in work.names}, P(axis))
+        specs_out = ({n: P(axis) for n in out_names}, P(axis))
+        return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
+                                     out_specs=specs_out))
+
+    f = _cached_jit(
+        jit_cache,
+        ("gwin", C, tuple(work.names), tuple(out_names),
+         tuple(s[1] for s in specs), tuple(s[6] for s in specs)),
+        build,
+    )
     out_cols, out_counts = f(work.columns, work.shard_counts)
     return ShardedBatch(out_cols, out_counts)

@@ -46,7 +46,8 @@ class DerivedSource:
         self._schema = names
         self._batch: Optional[ColumnBatch] = None
         self._host: Optional[Tuple[Dict[str, np.ndarray], int]] = None
-        self._shards = None
+        self._shards: Dict[str, object] = {}   # per outer binding (a CTE
+        #                                        source may back several)
 
     # -- planner surface ------------------------------------------------------
     def get_schema(self) -> List[str]:
@@ -106,7 +107,7 @@ class DerivedSource:
         use the same alias for different inner queries). ``remaps`` are the
         outer plan's merged-dictionary code LUTs, applied host-side like
         the executor does for base tables."""
-        if self._shards is None:
+        if binding not in self._shards:
             from harkdb_tpu.parallel.sharded import shard_batch
 
             host, n = self.materialize_host(
@@ -118,5 +119,5 @@ class DerivedSource:
                 lut = remaps.get(internal)
                 cols[internal] = lut[a] if lut is not None else a
             cols[f"#rid.{binding}"] = np.arange(n, dtype=np.int32)
-            self._shards = shard_batch(cols, n, mesh, config)
-        return self._shards
+            self._shards[binding] = shard_batch(cols, n, mesh, config)
+        return self._shards[binding]

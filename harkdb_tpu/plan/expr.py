@@ -61,6 +61,15 @@ def eval_expr(expr, columns: Dict[str, Array], capacity: int,
         # hold anything, so clamp (their result is masked downstream anyway).
         idx = jnp.clip(codes, 0, lut.shape[0] - 1).astype(jnp.int32)
         return lut[idx]
+    from harkdb_tpu.sql.ast_nodes import CodeMap
+
+    if isinstance(expr, CodeMap):
+        # plan-time dictionary transform (UPPER/SUBSTR/LENGTH/...): one
+        # small-LUT gather — row data never sees a string operation
+        codes = eval_expr(expr.col, columns, capacity, config)
+        lut = jnp.asarray(expr.lut)
+        idx = jnp.clip(codes, 0, lut.shape[0] - 1).astype(jnp.int32)
+        return lut[idx]
     if isinstance(expr, Col):
         try:
             return columns[expr.name]

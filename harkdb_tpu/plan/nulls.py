@@ -48,8 +48,8 @@ from __future__ import annotations
 from typing import Dict, List, Sequence
 
 from harkdb_tpu.sql.ast_nodes import (
-    Agg, BinOp, Case, Coalesce, Col, InSub, Lit, LutMember, Star, UnOp,
-    WindowFn, walk,
+    Agg, BinOp, Case, Coalesce, CodeMap, Col, InSub, Lit, LutMember, Star,
+    StrFunc, UnOp, WindowFn, walk,
 )
 
 #: Comparison operators — the 3VL "leaf predicates".
@@ -86,6 +86,9 @@ class NullSemantics:
         """Flag columns guarding one internal column name."""
         if "." in name:
             return list(self.binding_flags.get(name.split(".", 1)[0], ()))
+        fl = getattr(self, "expr_col_flags", {}).get(name)
+        if fl:
+            return list(fl)          # hidden GROUP BY expression column
         f = getattr(self, "agg_null_flags", {}).get(name)
         return [f] if f is not None else []
 
@@ -154,8 +157,17 @@ class NullSemantics:
                 rec(x.operand)
             elif isinstance(x, LutMember):
                 rec(x.col)
-            elif isinstance(x, Agg) and not isinstance(x.arg, Star):
+            elif isinstance(x, CodeMap):
+                rec(x.col)
+            elif isinstance(x, StrFunc):
                 rec(x.arg)
+            elif isinstance(x, Agg):
+                # an aggregate CONSUMES its argument's NULLs (skip
+                # semantics); the OUTPUT's nullability appears only
+                # post-substitution via agg_null_flags — recursing here
+                # would guard pre-group conditions with flag columns that
+                # no longer exist after grouping
+                pass
             elif isinstance(x, InSub):
                 rec(x.expr)
             elif isinstance(x, WindowFn):
@@ -237,6 +249,12 @@ class NullSemantics:
                        e.distinct)
         if isinstance(e, LutMember):
             return LutMember(self._lower_isnull(e.col, defer_aggs), e.lut)
+        if isinstance(e, CodeMap):
+            return CodeMap(self._lower_isnull(e.col, defer_aggs), e.lut,
+                           e.out_dict)
+        if isinstance(e, StrFunc):
+            return StrFunc(e.func, self._lower_isnull(e.arg, defer_aggs),
+                           e.params)
         if isinstance(e, InSub):
             return InSub(self._lower_isnull(e.expr, defer_aggs), e.sub,
                          e.negate)
@@ -312,6 +330,12 @@ class NullSemantics:
             return Agg(e.func, self._rewrite_case_conds(e.arg), e.distinct)
         if isinstance(e, LutMember):
             return LutMember(self._rewrite_case_conds(e.col), e.lut)
+        if isinstance(e, CodeMap):
+            return CodeMap(self._rewrite_case_conds(e.col), e.lut,
+                           e.out_dict)
+        if isinstance(e, StrFunc):
+            return StrFunc(e.func, self._rewrite_case_conds(e.arg),
+                           e.params)
         if isinstance(e, InSub):
             return InSub(self._rewrite_case_conds(e.expr), e.sub, e.negate)
         if isinstance(e, Coalesce):

@@ -100,6 +100,10 @@ def _expr_name(expr) -> str:
         return str(expr.value)
     if isinstance(expr, Case):
         return "case"
+    from harkdb_tpu.sql.ast_nodes import StrFunc as _StrFunc
+
+    if isinstance(expr, _StrFunc):
+        return f"{expr.func}({_expr_name(expr.arg)})"
     from harkdb_tpu.sql.ast_nodes import Coalesce as _Coal
 
     if isinstance(expr, _Coal):
@@ -189,10 +193,12 @@ class _Resolver:
                       for o in expr.order_by),
                 expr.params, expr.frame,
             )
-        from harkdb_tpu.sql.ast_nodes import Coalesce
+        from harkdb_tpu.sql.ast_nodes import Coalesce, StrFunc
 
         if isinstance(expr, Coalesce):
             return Coalesce(tuple(self.rewrite(a) for a in expr.args))
+        if isinstance(expr, StrFunc):
+            return StrFunc(expr.func, self.rewrite(expr.arg), expr.params)
         if isinstance(expr, BinOp):
             return BinOp(expr.op, self.rewrite(expr.left), self.rewrite(expr.right))
         if isinstance(expr, UnOp):
@@ -262,6 +268,8 @@ def _substitute_aggs(expr, agg_map):
     """Replace Agg nodes with their computed output columns."""
     from harkdb_tpu.sql.ast_nodes import Coalesce as _Coalesce
 
+    from harkdb_tpu.sql.ast_nodes import CodeMap as _CodeMap
+
     if isinstance(expr, Agg):
         return Col(agg_map[expr])
     if isinstance(expr, _Coalesce):
@@ -270,6 +278,11 @@ def _substitute_aggs(expr, agg_map):
         return _Coalesce(tuple(
             _substitute_aggs(a, agg_map) for a in expr.args
         ))
+    if isinstance(expr, _CodeMap):
+        # string function over an aggregate (upper(min(s)) etc.)
+        return _CodeMap(
+            _substitute_aggs(expr.col, agg_map), expr.lut, expr.out_dict
+        )
     if isinstance(expr, WindowFn):
         # windows over grouped output: their argument / ORDER BY may
         # reference aggregates (rank() over (order by sum(v) desc))
@@ -368,6 +381,14 @@ class QueryPlan(StringLowering, NullSemantics):
 
     # -- planning -------------------------------------------------------------
     def _build(self, stmt: SelectStmt, tables: Dict[str, Table]):
+        # Correlated scalar-aggregate subqueries rewrite into LEFT JOINs
+        # against grouped derived tables BEFORE any resolution
+        # (plan/decorrelate.py); unrecognized shapes fall through to the
+        # named correlated-subquery error below.
+        from harkdb_tpu.plan.decorrelate import decorrelate_aggregates
+
+        stmt = decorrelate_aggregates(stmt, tables)
+        self.stmt = stmt
         # FROM / JOIN resolution (reference contract parse.py:29-33).
         refs = [stmt.table] + [j.table for j in stmt.joins]
         bindings = []
@@ -376,6 +397,7 @@ class QueryPlan(StringLowering, NullSemantics):
         # now (resolution errors surface at plan time) and materializes
         # lazily at first execution — plan/derived.py.
         self._derived: Dict[str, object] = {}
+        self._derived_by_stmt: Dict[int, object] = {}
         from harkdb_tpu.sql.ast_nodes import DerivedRef
 
         for ref in refs:
@@ -386,7 +408,16 @@ class QueryPlan(StringLowering, NullSemantics):
             if isinstance(ref, DerivedRef):
                 from harkdb_tpu.plan.derived import DerivedSource
 
-                src = DerivedSource(QueryPlan(ref.stmt, tables, self.config))
+                # CTE references share the SAME SelectStmt object (parser
+                # substitution) — share one DerivedSource per body so the
+                # inner query materializes once however many times the
+                # CTE is named.
+                src = self._derived_by_stmt.get(id(ref.stmt))
+                if src is None:
+                    src = DerivedSource(
+                        QueryPlan(ref.stmt, tables, self.config)
+                    )
+                    self._derived_by_stmt[id(ref.stmt)] = src
                 self._derived[ref.name] = src
                 bindings.append((b, ref.name, src.get_schema()))
                 continue
@@ -510,7 +541,7 @@ class QueryPlan(StringLowering, NullSemantics):
         if having_ast is not None:
             having_ast = self._lower_exists(having_ast, tables)
         self.where = res.rewrite(where_ast) if where_ast is not None else None
-        group_keys = [res.rewrite(c).name for c in stmt.group_by]
+        group_items_raw = [res.rewrite(g) for g in stmt.group_by]
 
         # ORDER BY may reference select-list aliases (standard SQL output-name
         # resolution). Real columns win; an alias is tried only when the bare
@@ -547,6 +578,7 @@ class QueryPlan(StringLowering, NullSemantics):
                 + ([self.where] if self.where is not None else [])
                 + [e for e, _ in order_items]
                 + ([having] if having is not None else [])
+                + group_items_raw
             ):
                 self._collect_merges(e)
         items = [(self._lower_strings(e), name) for e, name in items]
@@ -581,6 +613,87 @@ class QueryPlan(StringLowering, NullSemantics):
         ]
         if having is not None:
             having = self._lower_isnull(having, defer_aggs=True)
+
+        # ---- GROUP BY expressions --------------------------------------------
+        # Non-column group keys (engine extension; the reference is
+        # single-column, parse.py:66-69) materialize as hidden computed
+        # columns `#gexprN` evaluated just before the group-by (they ride
+        # its sort like aggregate arguments). Occurrences of the same
+        # expression in the select list / HAVING / ORDER BY substitute to
+        # the hidden column — which both satisfies the bare-column
+        # validation and makes post-group evaluation read the surviving
+        # key column instead of consumed base columns.
+        group_keys: List[str] = []
+        self.group_key_exprs: List[Tuple[str, object]] = []
+        self.expr_col_flags: Dict[str, List[str]] = {}
+        for g in group_items_raw:
+            g2 = self._rewrite_case_conds(
+                self._lower_isnull(self._lower_strings(g))
+            )
+            if isinstance(g2, Col):
+                group_keys.append(g2.name)
+                continue
+            name = f"#gexpr{len(self.group_key_exprs)}"
+            self.group_key_exprs.append((name, g2))
+            d = self._expr_str_dict(g2)
+            if d is not None:
+                self.str_dicts[name] = d
+            fl = self._nullable_flags_in(g2)
+            if fl:
+                self.expr_col_flags[name] = fl
+            group_keys.append(name)
+
+        if self.group_key_exprs:
+            def subst_g(e):
+                for name, g2 in self.group_key_exprs:
+                    if e == g2:
+                        return Col(name)
+                from harkdb_tpu.sql.ast_nodes import (
+                    Coalesce as _Coal, CodeMap as _CM, StrFunc as _SF,
+                )
+
+                if isinstance(e, BinOp):
+                    return BinOp(e.op, subst_g(e.left), subst_g(e.right))
+                if isinstance(e, UnOp):
+                    return UnOp(e.op, subst_g(e.operand))
+                if isinstance(e, Agg) and not isinstance(e.arg, Star):
+                    return Agg(e.func, subst_g(e.arg), e.distinct)
+                if isinstance(e, Case):
+                    return Case(
+                        tuple((subst_g(c), subst_g(r))
+                              for c, r in e.whens),
+                        subst_g(e.else_) if e.else_ is not None else None,
+                    )
+                if isinstance(e, _Coal):
+                    return _Coal(tuple(subst_g(a) for a in e.args))
+                if isinstance(e, LutMember):
+                    return LutMember(subst_g(e.col), e.lut)
+                if isinstance(e, _CM):
+                    return _CM(subst_g(e.col), e.lut, e.out_dict)
+                if isinstance(e, _SF):
+                    return _SF(e.func, subst_g(e.arg), e.params)
+                if isinstance(e, InSub):
+                    return InSub(subst_g(e.expr), e.sub, e.negate)
+                if isinstance(e, WindowFn):
+                    from harkdb_tpu.sql.ast_nodes import OrderItem
+
+                    arg = e.arg
+                    if arg is not None and not isinstance(arg, Star):
+                        arg = subst_g(arg)
+                    return WindowFn(
+                        e.func, arg, e.partition_by,
+                        tuple(OrderItem(subst_g(o.expr), o.descending)
+                              for o in e.order_by),
+                        e.params, e.frame,
+                    )
+                return e
+
+            items = [(subst_g(e), name) for e, name in items]
+            self.select_items = items
+            order_items = [(subst_g(e), d) for e, d in order_items]
+            if having is not None:
+                having = subst_g(having)
+
         # A string literal surviving lowering was used outside a comparison
         # (e.g. selected bare, or added to a number) — reject at plan time
         # rather than failing inside a traced evaluator.
@@ -980,6 +1093,32 @@ class QueryPlan(StringLowering, NullSemantics):
         self.limit = stmt.limit
         self.offset = stmt.offset
         self.distinct = stmt.distinct
+
+        # ---- sort-order tracking (round-5 item 5) ----------------------------
+        # When the final ORDER BY is EXACTLY one window shape's
+        # (PARTITION BY asc..., ORDER BY ...) sort — same expressions,
+        # same directions, default NULL placement, no nullable keys (their
+        # extreme substitution would reorder), no DISTINCT — that shape's
+        # own sort already produces the requested order: compute_windows
+        # schedules it last and both the restore sort and run_tail's
+        # ORDER BY sort are skipped (plan/windows.py).
+        self.window_skip_shape = None
+        if (self.window_specs and self.order_items and not self.distinct
+                and all(nu is None for nu in self.order_nulls)):
+            shapes = {(s[3], s[4], s[5]) for s in self.window_specs}
+            for parts, oexprs, descs in shapes:
+                target = (
+                    [(Col(p), False) for p in parts]
+                    + list(zip(oexprs, descs))
+                )
+                if (len(self.order_items) == len(target)
+                        and all(e == te and d == td
+                                for (e, d), (te, td)
+                                in zip(self.order_items, target))
+                        and all(not self._nullable_flags_in(e)
+                                for e, _d in self.order_items)):
+                    self.window_skip_shape = (parts, oexprs, descs)
+                    break
         if self.distinct:
             # With DISTINCT the row set changes before ORDER BY, so order
             # keys must be select-list expressions (standard SQL rule).
@@ -999,6 +1138,8 @@ class QueryPlan(StringLowering, NullSemantics):
         # is a string column (or MIN/MAX of one) decodes host-side in sql_df;
         # the device-result matrix itself always holds the int32 codes.
         self.output_dicts = []
+        from harkdb_tpu.sql.ast_nodes import CodeMap as _CodeMap
+
         for e, _name in self.final_items:
             d = None
             if isinstance(e, Col):
@@ -1007,6 +1148,8 @@ class QueryPlan(StringLowering, NullSemantics):
                     d = self.agg_out_dicts.get(e.name)
                 if d is None:
                     d = self.win_out_dicts.get(e.name)
+            elif isinstance(e, _CodeMap):
+                d = e.out_dict          # string function output (UPPER/...)
             self.output_dicts.append(d)
 
         # Per-output nullable flags: an output whose expression references a
@@ -1032,6 +1175,7 @@ class QueryPlan(StringLowering, NullSemantics):
         if (
             self.config.use_pallas
             and self.grouped
+            and not self.group_key_exprs
             and len(self.group_keys) == 1
             # a nullable key grows exec keys with its matched flag — the
             # one-hot kernel is single-key, and NULL-as-its-own-group needs
@@ -1095,6 +1239,8 @@ class QueryPlan(StringLowering, NullSemantics):
                 if "." in s:
                     used.add(s)
         used |= set(self.group_keys)
+        for _n, e in self.group_key_exprs:
+            used |= {n.name for n in walk(e) if isinstance(n, Col)}
         for _rb, lks, rks, _k in self.join_steps:
             used |= set(lks) | set(rks)
         for _out, _f, arg, parts, oexprs, _ds, *_rest in self.window_specs:
@@ -1739,6 +1885,8 @@ class QueryPlan(StringLowering, NullSemantics):
 
         if self.grouped:
             cols = dict(batch.columns)
+            for name, gexpr in self.group_key_exprs:
+                cols[name] = eval_expr(gexpr, cols, cap, self.config)
             for internal, expr in self.agg_arg_cols:
                 cols[internal] = eval_expr(expr, cols, cap, self.config)
             if any(src == "#ones" for src, _, _ in self.agg_specs):
@@ -1778,21 +1926,31 @@ class QueryPlan(StringLowering, NullSemantics):
             if stop_after_group:
                 return batch
 
+        presorted = False
         if self.window_specs:
-            batch = self._compute_windows(batch)
-        return self.run_tail(batch, filter_mask=where_mask)
+            batch, presorted = self._compute_windows(
+                batch, allow_skip_restore=True
+            )
+        return self.run_tail(batch, filter_mask=where_mask,
+                             order_presorted=presorted)
 
     def _compute_windows(self, batch: ColumnBatch,
-                         specs: Sequence[Tuple] = None) -> ColumnBatch:
+                         specs: Sequence[Tuple] = None,
+                         allow_skip_restore: bool = False):
         """Window functions — moved to ``plan/windows.py`` (round-4 split);
         one payload sort per distinct (PARTITION BY, ORDER BY) shape plus a
-        single shared restore sort (W+1 sorts for W shapes)."""
+        single shared restore sort (W+1 sorts for W shapes — or W when the
+        final ORDER BY matches a shape's sort, ``allow_skip_restore``).
+        Returns ``(batch, presorted)``."""
         from harkdb_tpu.plan.windows import compute_windows
 
-        return compute_windows(self, batch, specs)
+        return compute_windows(
+            self, batch, specs, allow_skip_restore=allow_skip_restore
+        )
 
 
-    def run_tail(self, batch: ColumnBatch, filter_mask=None) -> ColumnBatch:
+    def run_tail(self, batch: ColumnBatch, filter_mask=None,
+                 order_presorted: bool = False) -> ColumnBatch:
         """Post-aggregation tail: avg computes → HAVING → projection →
         ORDER BY → LIMIT. Reused by the distributed executor on the gathered
         group/join results (traced; jit-safe).
@@ -1800,6 +1958,9 @@ class QueryPlan(StringLowering, NullSemantics):
         ``filter_mask`` is a deferred WHERE predicate (ungrouped queries
         only); like HAVING it fuses into the DISTINCT / ORDER BY sort when
         one exists instead of paying its own compaction sort.
+        ``order_presorted``: the batch already sits in the final ORDER BY
+        order (a window shape's sort matched it — plan/windows.py
+        sort-order tracking), so the ORDER BY sort is skipped.
         """
         if self.grouped and self.post_computes:
             gcols = dict(batch.columns)
@@ -1839,7 +2000,11 @@ class QueryPlan(StringLowering, NullSemantics):
                     batch, filter_mask, self.config.use_pallas
                 )
                 filter_mask = None
-            batch = self._compute_windows(batch)
+            # run_tail always executes on one device (single-chip path or
+            # the distributed gather), so the presorted exit is safe here
+            batch, order_presorted = self._compute_windows(
+                batch, allow_skip_restore=True
+            )
 
         # Materialize select outputs (unique internal slots, duplicates OK).
         out_cols = {}
@@ -1887,8 +2052,14 @@ class QueryPlan(StringLowering, NullSemantics):
             )
 
         # ORDER BY (keys may reference non-selected columns; with DISTINCT
-        # they are select-list outputs).
-        if self.order_items:
+        # they are select-list outputs). Skipped when a window shape's sort
+        # already produced exactly this order (sort-order tracking).
+        if self.order_items and order_presorted:
+            if filter_mask is not None:
+                out = compact_batch(out, filter_mask,
+                                    self.config.use_pallas)
+                filter_mask = None
+        elif self.order_items:
             key_arrays = []
             desc = []
             if self.distinct:

@@ -22,8 +22,8 @@ import numpy as np
 
 from harkdb_tpu.plan.errors import PlanError
 from harkdb_tpu.sql.ast_nodes import (
-    Agg, BinOp, Case, Coalesce, Col, InSub, Lit, LutMember, Star, SubQuery,
-    UnOp, WindowFn,
+    Agg, BinOp, Case, Coalesce, CodeMap, Col, InSub, Lit, LutMember, Star,
+    StrFunc, SubQuery, UnOp, WindowFn,
 )
 
 
@@ -52,6 +52,8 @@ class StringLowering:
         return None
 
     def _expr_str_dict(self, e):
+        if isinstance(e, CodeMap):
+            return e.out_dict
         internal = self._str_internal(e)
         return None if internal is None else self.str_dicts[internal]
 
@@ -120,6 +122,8 @@ class StringLowering:
         elif isinstance(e, Coalesce):
             for a in e.args:
                 self._collect_merges(a)
+        elif isinstance(e, StrFunc):
+            self._collect_merges(e.arg)
 
     def _lower_str_cmp(self, op: str, col_expr, d: np.ndarray, v: str):
         """col <op> 'literal' → integer code comparison. Codes are
@@ -166,12 +170,62 @@ class StringLowering:
             return out
         return LutMember(col_expr, m)
 
+    def _lower_str_func(self, e: StrFunc):
+        """String scalar function → :class:`CodeMap` dictionary transform.
+
+        The function applies to the DICTIONARY host-side (a few thousand
+        entries), never to row data: the result is a composed old-code →
+        new-code LUT plus the new sorted unique dictionary (so downstream
+        comparisons / ORDER BY / GROUP BY / MIN / MAX keep operating on
+        lexicographic ranks), or an integer LUT for LENGTH. Chained
+        functions (``upper(substr(s, 1, 2))``) compose into ONE gather."""
+        arg = self._lower_strings(e.arg)
+        d = self._expr_str_dict(arg)
+        if e.func == "length":
+            if d is None:
+                raise PlanError("LENGTH requires a string argument")
+        elif d is None:
+            raise PlanError(
+                f"{e.func.upper()} requires a string argument"
+            )
+        if isinstance(arg, CodeMap):
+            base, lut0 = arg.col, arg.lut
+        else:
+            base, lut0 = arg, None
+
+        def compose(lut):
+            return lut if lut0 is None else lut[lut0]
+
+        if e.func == "length":
+            lens = np.char.str_len(d.astype(str)).astype(np.int32)
+            return CodeMap(base, compose(lens), None)
+        sd = d.astype(str)
+        if e.func == "upper":
+            vals = np.char.upper(sd)
+        elif e.func == "lower":
+            vals = np.char.lower(sd)
+        elif e.func == "trim":
+            vals = np.char.strip(sd)
+        else:                                       # substr
+            start = e.params[0] - 1                 # SQL is 1-based
+            if len(e.params) > 1:
+                stop = start + e.params[1]
+                vals = np.array([s[start:stop] for s in sd.tolist()])
+            else:
+                vals = np.array([s[start:] for s in sd.tolist()])
+        uniq, inverse = np.unique(vals, return_inverse=True)
+        return CodeMap(base, compose(inverse.astype(np.int32)), uniq)
+
     def _lower_strings(self, e):
         """Pass 2: translate string comparisons/LIKE to code operations and
         validate typing (no string arithmetic, no SUM/PROD/AVG on strings,
         no string-valued CASE)."""
         if isinstance(e, (Lit, Col)):
             return e
+        if isinstance(e, StrFunc):
+            return self._lower_str_func(e)
+        if isinstance(e, CodeMap):
+            return e                      # already lowered (idempotent pass)
         if isinstance(e, UnOp):
             v = self._lower_strings(e.operand)
             if (e.op in ("-", "abs", "floor", "ceil", "round", "sqrt",
@@ -269,8 +323,19 @@ class StringLowering:
                         ">=": left.value >= right.value,
                     }[e.op]
                     return Lit(1 if res else 0)
-                # both dictionary-typed: dictionaries were merged in pass 1,
-                # codes compare directly.
+                if (ld is not None and rd is not None
+                        and not np.array_equal(ld, rd)):
+                    # pass-1 merging unifies named COLUMNS; a string
+                    # FUNCTION result (CodeMap) has no registry entry to
+                    # merge, so unequal dictionaries here mean at least
+                    # one derived side — reject rather than compare codes
+                    # from different dictionaries.
+                    raise PlanError(
+                        "Cannot compare string expressions with different "
+                        "dictionaries; compare against literals instead"
+                    )
+                # both dictionary-typed: dictionaries were merged in pass 1
+                # (or are equal), codes compare directly.
             elif e.op in ("+", "-", "*", "/", "%"):
                 if self._is_string_typed(left) or self._is_string_typed(right):
                     raise PlanError(

@@ -126,6 +126,61 @@ class InSub:
     negate: bool = False
 
 
+@dataclass(frozen=True)
+class StrFunc:
+    """String scalar function ``UPPER/LOWER/TRIM/SUBSTR/LENGTH`` (engine
+    extension; the reference is numeric-only). Parse-time node only: the
+    planner's string lowering turns it into a :class:`CodeMap` — a
+    plan-time dictionary transform, so the device never sees a string.
+    ``params``: SUBSTR's (start, [length]) integer literals."""
+    func: str
+    arg: "Expr"
+    params: Tuple = ()
+
+
+class CodeMap:
+    """Plan-time value map over a dictionary-encoded column:
+    ``lut[codes]``. For string→string functions (UPPER/SUBSTR/...),
+    ``out_dict`` is the new sorted unique dictionary and ``lut`` maps old
+    codes to new ones (chained functions compose into ONE gather); for
+    LENGTH, ``out_dict`` is None and ``lut`` holds the integer results.
+    Planner-generated only (never produced by the parser).
+
+    Not a dataclass: ndarray payloads need value-based equality (two
+    lowerings of the same expression must compare equal for the GROUP BY
+    expression-substitution to recognize them)."""
+
+    __slots__ = ("col", "lut", "out_dict")
+
+    def __init__(self, col, lut, out_dict=None):
+        object.__setattr__(self, "col", col)
+        object.__setattr__(self, "lut", lut)
+        object.__setattr__(self, "out_dict", out_dict)
+
+    def __setattr__(self, *_a):
+        raise AttributeError("CodeMap is immutable")
+
+    def __eq__(self, other):
+        import numpy as np
+
+        if not isinstance(other, CodeMap):
+            return NotImplemented
+        if self.col != other.col:
+            return False
+        if not np.array_equal(self.lut, other.lut):
+            return False
+        a, b = self.out_dict, other.out_dict
+        if (a is None) != (b is None):
+            return False
+        return a is None or np.array_equal(a, b)
+
+    def __hash__(self):
+        return hash((CodeMap, self.col))
+
+    def __repr__(self):
+        return f"CodeMap({self.col!r}, lut[{len(self.lut)}])"
+
+
 @dataclass(frozen=True, eq=False)
 class LutMember:
     """Boolean membership test ``lut[col]`` over a small plan-time lookup
@@ -225,6 +280,81 @@ class UnionStmt:
     offset: Optional[int] = None
 
 
+def substitute_ctes(stmt, cte_map):
+    """Desugar ``WITH`` by rewriting every ``TableRef`` whose name is a CTE
+    into a ``DerivedRef`` over that CTE's body (the derived-table path —
+    ``plan/derived.py``). The SAME ``SelectStmt`` object backs every
+    reference to one CTE, so the planner shares a single materialization
+    per CTE body (keyed by statement identity). Recurses into derived
+    tables, scalar/IN/EXISTS subqueries and UNION arms; inner derived
+    tables or CTE bodies referencing other CTEs resolve against the same
+    map (the parser pre-substitutes earlier CTEs into later bodies)."""
+    if isinstance(stmt, UnionStmt):
+        return UnionStmt(
+            arms=tuple(substitute_ctes(a, cte_map) for a in stmt.arms),
+            alls=stmt.alls, order_by=stmt.order_by, limit=stmt.limit,
+            offset=stmt.offset,
+        )
+
+    def ref(r):
+        if isinstance(r, DerivedRef):
+            return DerivedRef(substitute_ctes(r.stmt, cte_map), r.alias)
+        if r.name in cte_map:
+            return DerivedRef(cte_map[r.name], r.binding)
+        return r
+
+    def ex(e):
+        if isinstance(e, SubQuery):
+            return SubQuery(substitute_ctes(e.stmt, cte_map))
+        if isinstance(e, ExistsSub):
+            return ExistsSub(substitute_ctes(e.stmt, cte_map))
+        if isinstance(e, InSub):
+            return InSub(ex(e.expr),
+                         SubQuery(substitute_ctes(e.sub.stmt, cte_map)),
+                         e.negate)
+        if isinstance(e, BinOp):
+            return BinOp(e.op, ex(e.left), ex(e.right))
+        if isinstance(e, UnOp):
+            return UnOp(e.op, ex(e.operand))
+        if isinstance(e, Agg) and not isinstance(e.arg, Star):
+            return Agg(e.func, ex(e.arg), e.distinct)
+        if isinstance(e, Case):
+            return Case(tuple((ex(c), ex(r)) for c, r in e.whens),
+                        ex(e.else_) if e.else_ is not None else None)
+        if isinstance(e, Coalesce):
+            return Coalesce(tuple(ex(a) for a in e.args))
+        if isinstance(e, StrFunc):
+            return StrFunc(e.func, ex(e.arg), e.params)
+        if isinstance(e, WindowFn):
+            arg = e.arg
+            if arg is not None and not isinstance(arg, Star):
+                arg = ex(arg)
+            return WindowFn(
+                e.func, arg, e.partition_by,
+                tuple(OrderItem(ex(o.expr), o.descending, o.nulls)
+                      for o in e.order_by),
+                e.params, e.frame,
+            )
+        return e
+
+    return SelectStmt(
+        items=tuple(
+            it if isinstance(it.expr, Star)
+            else SelectItem(ex(it.expr), it.alias)
+            for it in stmt.items
+        ),
+        table=ref(stmt.table),
+        joins=tuple(JoinClause(ref(j.table), j.conds, j.kind)
+                    for j in stmt.joins),
+        where=ex(stmt.where) if stmt.where is not None else None,
+        group_by=stmt.group_by,
+        having=ex(stmt.having) if stmt.having is not None else None,
+        order_by=tuple(OrderItem(ex(o.expr), o.descending, o.nulls)
+                       for o in stmt.order_by),
+        limit=stmt.limit, offset=stmt.offset, distinct=stmt.distinct,
+    )
+
+
 def walk(expr) -> list:
     """All nodes of an expression tree, preorder."""
     out = [expr]
@@ -241,6 +371,10 @@ def walk(expr) -> list:
             out += walk(expr.else_)
     elif isinstance(expr, LutMember):
         out += walk(expr.col)
+    elif isinstance(expr, CodeMap):
+        out += walk(expr.col)
+    elif isinstance(expr, StrFunc):
+        out += walk(expr.arg)
     elif isinstance(expr, InSub):
         out += walk(expr.expr)       # the subquery body is self-contained —
                                      # its names resolve against its own plan

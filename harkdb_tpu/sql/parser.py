@@ -44,12 +44,15 @@ KEYWORDS = {
     "case", "when", "then", "else", "end", "union", "all",
     "over", "partition", "is", "null",
     "rows", "range", "unbounded", "preceding", "following", "current", "row",
-    "exists", "cast", "nulls",
+    "exists", "cast", "nulls", "with",
 }
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
 # lowered to UnOp(func, arg); floor/ceil/round are identity on ints
 SCALAR_FUNCS = {"abs", "floor", "ceil", "round", "sqrt"}
+# string scalar functions — plan-time dictionary transforms (StrFunc →
+# CodeMap in plan/strings.py); substr takes (expr, start [, length])
+STR_FUNCS = {"upper", "lower", "trim", "length", "substr", "substring"}
 WINDOW_ONLY_FUNCS = {"row_number", "rank", "dense_rank"}   # require OVER
 # positional window funcs with an argument; lag/lead take optional
 # (offset, default) numeric literals
@@ -161,14 +164,16 @@ class Parser:
         where = None
         if self.eat_kw("where"):
             where = self.parse_expr()
-        group_by: Tuple[Col, ...] = ()
+        group_by = ()
         if self.at_kw("group"):
             self.next()
             self.expect_kw("by")
-            cols = [self.parse_qualified_col()]
+            # full expressions (engine extension; the planner materializes
+            # non-column keys as hidden computed columns)
+            exprs = [self.parse_expr()]
             while self.eat_op(","):
-                cols.append(self.parse_qualified_col())
-            group_by = tuple(cols)
+                exprs.append(self.parse_expr())
+            group_by = tuple(exprs)
         having = None
         if self.eat_kw("having"):
             having = self.parse_expr()
@@ -577,6 +582,37 @@ class Parser:
                 arg = self.parse_expr()
                 self.expect_op(")")
                 return UnOp(low, arg)
+            if low in STR_FUNCS and nxt.kind == "op" and nxt.text == "(":
+                from harkdb_tpu.sql.ast_nodes import StrFunc
+
+                self.next()          # func name
+                self.next()          # "("
+                arg = self.parse_expr()
+                params = []
+                while self.eat_op(","):
+                    if low not in ("substr", "substring"):
+                        raise SqlError(
+                            f"{low} takes exactly one argument"
+                        )
+                    t2 = self.peek()
+                    if t2.kind != "num" or "." in t2.text:
+                        raise SqlError(
+                            f"{low} start/length must be integer "
+                            f"literals, got {t2.text!r}"
+                        )
+                    params.append(int(self.next().text))
+                self.expect_op(")")
+                if low in ("substr", "substring"):
+                    if not 1 <= len(params) <= 2:
+                        raise SqlError(
+                            f"{low} expects (string, start [, length])"
+                        )
+                    if params[0] < 1:
+                        raise SqlError(
+                            f"{low} start is 1-based and must be >= 1"
+                        )
+                    low = "substr"
+                return StrFunc(low, arg, tuple(params))
             return self.parse_qualified_col()
         raise SqlError(f"Unexpected token {t.text!r} in expression")
 
@@ -668,5 +704,33 @@ class Parser:
 
 
 def parse_sql(sql: str) -> SelectStmt:
-    """Parse one SELECT statement into the typed AST."""
-    return Parser(tokenize(sql)).parse_select()
+    """Parse one [WITH-prefixed] SELECT statement into the typed AST.
+
+    ``WITH name AS (SELECT ...) [, name2 AS (...)] SELECT ...`` desugars at
+    parse time: each CTE body becomes the backing statement of a
+    ``DerivedRef`` wherever its name appears (plan/derived.py shares one
+    materialization per CTE body). Later CTE bodies may reference earlier
+    ones (pre-substituted in definition order)."""
+    p = Parser(tokenize(sql))
+    cte_map = {}
+    if p.eat_kw("with"):
+        from harkdb_tpu.sql.ast_nodes import substitute_ctes
+
+        while True:
+            name = p.expect_ident()
+            if name in cte_map:
+                raise SqlError(f"Duplicate CTE name {name!r}")
+            p.expect_kw("as")
+            p.expect_op("(")
+            body = p.parse_subquery_stmt()
+            p.expect_op(")")
+            # earlier CTEs resolve inside later bodies (standard SQL)
+            cte_map[name] = substitute_ctes(body, cte_map)
+            if not p.eat_op(","):
+                break
+    stmt = p.parse_select()
+    if cte_map:
+        from harkdb_tpu.sql.ast_nodes import substitute_ctes
+
+        stmt = substitute_ctes(stmt, cte_map)
+    return stmt

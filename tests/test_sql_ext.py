@@ -1,0 +1,292 @@
+"""Round-5 SQL-surface extensions: CTEs, correlated aggregate
+decorrelation, string scalar functions, GROUP BY expressions.
+
+  * ``WITH name AS (...)`` desugars at parse time into the derived-table
+    path (``sql/ast_nodes.substitute_ctes``); every reference to one CTE
+    shares a single materialization (``plan/derived.py``).
+  * ``WHERE x <op> (SELECT agg(..) FROM r WHERE r.k = t.k)`` rewrites to a
+    LEFT JOIN against the grouped derived table (``plan/decorrelate.py``);
+    empty correlation sets give NULL (COUNT: 0) — exact SQL via 3VL.
+  * UPPER/LOWER/TRIM/SUBSTR/LENGTH run as plan-time dictionary transforms
+    (``plan/strings.py`` → CodeMap): one host-side pass over the
+    dictionary, one small-LUT gather on device.
+  * GROUP BY accepts full expressions (hidden ``#gexprN`` computed
+    columns riding the group-by sort).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from harkdb_tpu import Context
+from harkdb_tpu.plan.errors import PlanError
+
+
+@pytest.fixture
+def tctx():
+    c = Context()
+    c.create_table("t", pd.DataFrame({
+        "k": np.array([1, 1, 2, 2, 3], np.int32),
+        "v": np.array([10, 20, 30, 40, 50], np.int32),
+    }))
+    c.create_table("r", pd.DataFrame({
+        "k": np.array([1, 1, 2], np.int32),
+        "w": np.array([5, 15, 100], np.int32),
+    }))
+    return c
+
+
+class TestCTE:
+    def test_basic(self, tctx):
+        df = tctx.sql_df(
+            "with agg as (select k, sum(v) as s from t group by k) "
+            "select t.k, t.v, agg.s from t join agg on t.k = agg.k "
+            "order by t.k, t.v"
+        )
+        want = {1: 30, 2: 70, 3: 50}
+        assert df["s"].tolist() == [want[k] for k in df["k"]]
+
+    def test_chained_ctes(self, tctx):
+        df = tctx.sql_df(
+            "with agg as (select k, sum(v) as s from t group by k), "
+            "big as (select k, s from agg where s > 40) "
+            "select k, s from big order by k"
+        )
+        assert df["k"].tolist() == [2, 3]
+        assert df["s"].tolist() == [70, 50]
+
+    def test_shared_materialization(self, tctx):
+        q = ("with a as (select k, sum(v) as s from t group by k) "
+             "select x.k, x.s, y.s as s2 from a x join a y on x.k = y.k "
+             "order by x.k")
+        df = tctx.sql_df(q)
+        assert df["s"].tolist() == df["s2"].tolist() == [30, 70, 50]
+        plan = tctx._plan(q)
+        assert len({id(v) for v in plan._derived.values()}) == 1
+
+    def test_cte_in_subquery(self, tctx):
+        df = tctx.sql_df(
+            "with big as (select k from t where v >= 40) "
+            "select k, v from t where k in (select k from big) "
+            "order by k, v"
+        )
+        assert df["k"].tolist() == [2, 2, 3]
+
+    def test_cte_in_union(self, tctx):
+        df = tctx.sql_df(
+            "with a as (select k from t where k = 1) "
+            "select k from a union all select k from a order by k"
+        )
+        assert df["k"].tolist() == [1, 1, 1, 1]
+
+    def test_duplicate_name_rejected(self, tctx):
+        from harkdb_tpu.sql.parser import SqlError
+
+        with pytest.raises(SqlError, match="Duplicate CTE"):
+            tctx.sql("with a as (select k from t), a as (select v from t) "
+                     "select * from a")
+
+
+class TestDecorrelate:
+    def test_where_avg(self, tctx):
+        df = tctx.sql_df(
+            "select t.k, t.v from t "
+            "where t.v > (select avg(r.w) from r where r.k = t.k) "
+            "order by t.k, t.v"
+        )
+        # k=1 avg=10 → v=20; k=2 avg=100 → none; k=3 empty → NULL → reject
+        assert list(zip(df["k"], df["v"])) == [(1, 20)]
+
+    def test_select_count_empty_is_zero(self, tctx):
+        df = tctx.sql_df(
+            "select t.k, (select count(*) from r where r.k = t.k) as n "
+            "from t order by t.k, t.v"
+        )
+        assert df["n"].tolist() == [2, 2, 1, 1, 0]
+
+    def test_select_max_empty_is_null(self, tctx):
+        df = tctx.sql_df(
+            "select t.k, (select max(r.w) from r where r.k = t.k) as mx "
+            "from t order by t.k, t.v"
+        )
+        assert df["mx"].isna().tolist() == [False] * 4 + [True]
+
+    def test_extra_inner_filter(self, tctx):
+        df = tctx.sql_df(
+            "select distinct t.k, (select sum(r.w) from r "
+            "where r.k = t.k and r.w < 50) as s from t order by t.k"
+        )
+        # k=1: 5+15=20; k=2: w=100 filtered → empty → NULL; k=3: NULL
+        assert df["s"].tolist()[:1] == [20]
+        assert df["s"].isna().tolist() == [False, True, True]
+
+    def test_differential(self, rng):
+        t = pd.DataFrame({
+            "k": rng.integers(0, 20, 200).astype(np.int32),
+            "v": rng.integers(0, 100, 200).astype(np.int32),
+        })
+        r = pd.DataFrame({
+            "k": rng.integers(0, 12, 80).astype(np.int32),
+            "w": rng.integers(0, 100, 80).astype(np.int32),
+        })
+        c = Context()
+        c.create_table("t", t)
+        c.create_table("r", r)
+        got = c.sql_df(
+            "select t.k, t.v from t "
+            "where t.v > (select avg(r.w) from r where r.k = t.k) "
+            "order by t.k, t.v"
+        )
+        avg = r.groupby("k")["w"].mean()
+        m = t.assign(a=t["k"].map(avg))
+        want = m[m["v"] > m["a"]].sort_values(["k", "v"])
+        assert got["k"].tolist() == want["k"].tolist()
+        assert got["v"].tolist() == want["v"].tolist()
+
+    def test_unsupported_still_named(self, tctx):
+        with pytest.raises(PlanError, match="correlated"):
+            tctx.sql(
+                "select t.k from t "
+                "where t.v > (select r.w from r where r.k < t.k)"
+            )
+
+
+@pytest.fixture
+def sctx():
+    c = Context()
+    c.create_table("p", pd.DataFrame({
+        "name": ["Alice", "bob", "CAROL", "dave", "alice", "Ann"],
+        "v": np.arange(6, dtype=np.int32),
+    }))
+    return c
+
+
+class TestStringFuncs:
+    def test_select_decode(self, sctx):
+        df = sctx.sql_df(
+            "select name, upper(name) as u, lower(name) as l, "
+            "length(name) as n, substr(name, 1, 2) as s2 from p "
+            "order by v"
+        )
+        names = ["Alice", "bob", "CAROL", "dave", "alice", "Ann"]
+        assert df["u"].tolist() == [s.upper() for s in names]
+        assert df["l"].tolist() == [s.lower() for s in names]
+        assert df["n"].tolist() == [len(s) for s in names]
+        assert df["s2"].tolist() == [s[:2] for s in names]
+
+    def test_where(self, sctx):
+        df = sctx.sql_df(
+            "select name from p where upper(name) = 'ALICE' order by v"
+        )
+        assert df["name"].tolist() == ["Alice", "alice"]
+        df = sctx.sql_df("select name from p where length(name) = 3")
+        assert sorted(df["name"]) == ["Ann", "bob"]
+        df = sctx.sql_df(
+            "select name from p where lower(name) like 'a%' order by v"
+        )
+        assert df["name"].tolist() == ["Alice", "alice", "Ann"]
+
+    def test_chained(self, sctx):
+        df = sctx.sql_df(
+            "select upper(substr(name, 2, 2)) as m from p order by v"
+        )
+        assert df["m"].tolist() == ["LI", "OB", "AR", "AV", "LI", "NN"]
+
+    def test_group_by_string_func(self, sctx):
+        df = sctx.sql_df(
+            "select upper(name) as u, count(*) as n, sum(v) as s from p "
+            "group by upper(name) order by u"
+        )
+        assert df["u"].tolist() == ["ALICE", "ANN", "BOB", "CAROL", "DAVE"]
+        assert df["n"].tolist() == [2, 1, 1, 1, 1]
+        assert df["s"].tolist() == [4, 5, 1, 2, 3]
+
+    def test_min_max_over_func(self, sctx):
+        df = sctx.sql_df(
+            "select min(lower(name)) as mn, max(upper(name)) as mx from p"
+        )
+        assert df["mn"].tolist() == ["alice"]
+        assert df["mx"].tolist() == ["DAVE"]
+
+    def test_order_by_func(self, sctx):
+        df = sctx.sql_df("select name from p order by lower(name), v")
+        assert df["name"].tolist() == [
+            "Alice", "alice", "Ann", "bob", "CAROL", "dave"
+        ]
+
+    def test_numeric_arg_rejected(self, sctx):
+        with pytest.raises(PlanError, match="string"):
+            sctx.sql("select upper(v) from p")
+        with pytest.raises(PlanError, match="string"):
+            sctx.sql("select length(v) from p")
+
+    def test_substr_validation(self, sctx):
+        from harkdb_tpu.sql.parser import SqlError
+
+        with pytest.raises(SqlError, match="1-based"):
+            sctx.sql("select substr(name, 0, 2) from p")
+
+
+class TestGroupByExpr:
+    def test_modulo_buckets(self, tctx):
+        df = tctx.sql_df(
+            "select v % 20 as b, count(*) as n, sum(v) as s from t "
+            "group by v % 20 order by b"
+        )
+        assert df["b"].tolist() == [0, 10]
+        assert df["n"].tolist() == [2, 3]
+        assert df["s"].tolist() == [60, 90]
+
+    def test_case_key(self, tctx):
+        df = tctx.sql_df(
+            "select case when v < 25 then 0 else 1 end as b, "
+            "count(*) as n from t group by "
+            "case when v < 25 then 0 else 1 end order by b"
+        )
+        assert df["n"].tolist() == [2, 3]
+
+    def test_having_and_order_on_expr(self, tctx):
+        df = tctx.sql_df(
+            "select v % 20 as b, sum(v) as s from t group by v % 20 "
+            "having sum(v) > 70 order by v % 20"
+        )
+        assert df["b"].tolist() == [10]
+
+    def test_mixed_col_and_expr_keys(self, tctx):
+        df = tctx.sql_df(
+            "select k, v % 20 as b, count(*) as n from t "
+            "group by k, v % 20 order by k, b"
+        )
+        assert df["n"].sum() == 5
+
+    def test_nullable_expr_key(self, tctx):
+        # group by an expression over a nullable column: NULL is its own
+        # group (the expression's flags ride as secondary exec keys)
+        df = tctx.sql_df(
+            "select r.w % 10 as b, count(*) as n from t "
+            "left join r on t.k = r.k group by r.w % 10 "
+            "order by b nulls last"
+        )
+        # rows: k=1,v=10 ×(5,15); k=1,v=20 ×(5,15); k=2 ×100 ×2; k=3 NULL
+        assert df["b"].isna().tolist()[-1] is True or \
+            df["b"].isna().any()
+        assert int(df["n"].sum()) == 7
+
+    def test_distributed_parity(self, rng):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        t = pd.DataFrame({
+            "k": rng.integers(0, 50, 400).astype(np.int32),
+            "v": rng.integers(0, 1000, 400).astype(np.int32),
+        })
+        cs = Context()
+        cm = Context(mesh=make_engine_mesh(8))
+        cs.create_table("t", t)
+        cm.create_table("t", t)
+        for q in [
+            "select v % 7 as b, count(*) as n, sum(v) as s from t "
+            "group by v % 7 order by b",
+            "select k / 10 as d, max(v) as mx from t group by k / 10 "
+            "order by d",
+        ]:
+            pd.testing.assert_frame_equal(cs.sql_df(q), cm.sql_df(q))

@@ -664,3 +664,70 @@ class TestPositionalWindowFuncs:
         pd.testing.assert_frame_equal(
             cs.sql_df(q), cm.sql_df(q), check_dtype=False
         )
+
+
+class TestSortOrderTracking:
+    """Round-5 item 5: when the final ORDER BY exactly matches a window
+    shape's (PARTITION BY, ORDER BY) sort, that shape runs last and both
+    the restore sort and the tail ORDER BY sort are skipped."""
+
+    @pytest.fixture
+    def wctx(self, rng):
+        df = pd.DataFrame({
+            "k": rng.integers(0, 25, 400).astype(np.int32),
+            "v": rng.integers(0, 40, 400).astype(np.int32),
+        })
+        c = Context()
+        c.create_table("t", df)
+        return c, df
+
+    def test_engages_and_matches_classic_path(self, wctx):
+        c, _df = wctx
+        base = ("select k, v, sum(v) over (partition by k order by v) as rs,"
+                " row_number() over (partition by v order by k desc) as rn "
+                "from t ")
+        q_skip = base + "order by k, v"
+        q_classic = base + "order by k, v, rn"   # extra key → no match
+        assert c._plan(q_skip).window_skip_shape is not None
+        assert c._plan(q_classic).window_skip_shape is None
+        a = c.sql_df(q_skip).sort_values(
+            ["k", "v", "rn"]).reset_index(drop=True)
+        b = c.sql_df(q_classic).sort_values(
+            ["k", "v", "rn"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        # and the skip path's own order is the requested one
+        got = c.sql_df(q_skip)
+        assert got[["k", "v"]].apply(tuple, axis=1).is_monotonic_increasing
+
+    def test_desc_direction_must_match(self, wctx):
+        c, _df = wctx
+        q = ("select k, v, sum(v) over (partition by k order by v desc) "
+             "as rs from t order by k, v desc")
+        assert c._plan(q).window_skip_shape is not None
+        got = c.sql_df(q)
+        ks = got["k"].to_numpy()
+        assert (np.diff(ks) >= 0).all()
+        for k in np.unique(ks):
+            vs = got.loc[got["k"] == k, "v"].to_numpy()
+            assert (np.diff(vs) <= 0).all()
+
+    def test_nullable_key_disables_skip(self, wctx):
+        c, df = wctx
+        c.create_table("d", pd.DataFrame({
+            "j": np.array([0, 1], np.int32),
+            "m": np.array([7, 9], np.int32),
+        }))
+        q = ("select t.k, d.m, sum(t.v) over (partition by d.m order by t.k)"
+             " as rs from t left join d on t.k = d.j order by d.m, t.k")
+        # d.m is nullable → NULL placement differs from the plain sort
+        assert c._plan(q).window_skip_shape is None
+
+    def test_limit_offset_after_presort(self, wctx):
+        c, _df = wctx
+        base = ("select k, v, sum(v) over (partition by k order by v) as rs "
+                "from t order by k, v")
+        full = c.sql_df(base)
+        head = c.sql_df(base + " limit 7 offset 3")
+        pd.testing.assert_frame_equal(
+            head, full.iloc[3:10].reset_index(drop=True)
+        )
