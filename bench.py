@@ -67,8 +67,12 @@ import numpy as np
 # wedged for up to an hour on this platform, so all timeouts are in-process
 # alarms that raise, emit whatever was measured, and let the PJRT client
 # disconnect cleanly.
-DEADLINE_S = float(os.environ.get("HARKDB_BENCH_DEADLINE_S", 460))
-STAGE_S = float(os.environ.get("HARKDB_BENCH_STAGE_S", 170))
+# Defaults sized for a COLD remote-compile service: its HLO cache has been
+# observed to forget shapes between runs (round-5 sessions paid ~50-95 s
+# of warmup per stage twice in a row), and a 460 s deadline then truncates
+# the window/join stages. 800 s covers every stage compiling cold once.
+DEADLINE_S = float(os.environ.get("HARKDB_BENCH_DEADLINE_S", 800))
+STAGE_S = float(os.environ.get("HARKDB_BENCH_STAGE_S", 200))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
 
@@ -117,10 +121,14 @@ def _remaining() -> float:
 
 
 def _emit(n_rows: int):
-    """The one JSON line: measured mix if available (hand-rolled pipeline,
-    falling back to the Context.sql-driven number — same operator chain),
-    else the slowest rows/s operator as a conservative proxy (join excluded:
-    its rate is output PAIRS/s against a different probe size)."""
+    """The one JSON line: the measured ENGINE mix — the Context.sql-driven
+    number (the real planner path: pushdown + capacity shrink + two-phase
+    group + tail), falling back to the hand-rolled pipeline (which since
+    round 5 is the SLOWER of the two: the planner's post-pushdown capacity
+    shrink halves the group sort at 50% selectivity, and the hand-rolled
+    mirror is kept as a kernel-level tracker), else the slowest rows/s
+    operator as a conservative proxy (join excluded: its rate is output
+    PAIRS/s against a different probe size)."""
     # Final RTT correction from raw timings (uses the measured RTT whenever
     # the rtt stage succeeded — even if only on its end-of-run retry).
     rtt = _PARTIAL.get("rtt", _RTT_FALLBACK)
@@ -128,7 +136,7 @@ def _emit(n_rows: int):
         dt = max((raw - n_syncs * rtt) / inner, 1e-9)
         _PARTIAL[name] = n_rows / dt
         _TIMES_MS[name] = dt * 1e3
-    mix = _PARTIAL.get("mix", _PARTIAL.get("sql"))
+    mix = _PARTIAL.get("sql", _PARTIAL.get("mix"))
     proxy = mix is None
     if proxy:
         # join measures output PAIRS/s on a different probe size; window is
@@ -300,11 +308,35 @@ def _main():
                 + total).astype(jnp.int32)
 
     # Full mix: filter → groupby → sort, mirroring the planner's actual
-    # two-phase pipeline: the WHERE mask rides the group-by's own sort, then
-    # n_groups is synced to the host and the ORDER BY tail runs at a
-    # power-of-two capacity bucketed to the group count (sorting the groups,
-    # not the input-capacity padding) — exactly planner.execute's split.
+    # THREE-phase pipeline (round 5): the WHERE compacts via the streaming
+    # Pallas kernel, the live count syncs to the host and the group-by runs
+    # at a power-of-two capacity bucketed to the SURVIVORS (a
+    # 50%-selectivity predicate halves the group sort — the sort is
+    # capacity-bound), then n_groups syncs and the ORDER BY tail runs at a
+    # capacity bucketed to the group count — exactly planner.execute's
+    # pushdown-shrink + two-phase split.
     import functools
+
+    @jax.jit
+    def mix_filter(i, k, v, nv):
+        # predicate ≡ v > i (on the perturbed column): selectivity stays
+        # strictly UNDER 50% for every iteration, so the live count always
+        # buckets to n/2 — `> 0` on v+i drifts just past n/2 as i grows
+        # and flips the group phase into the full-capacity bucket
+        b = ColumnBatch({"k": k, "v": v + i}, nv)
+        return compact_batch(b, b.column("v") > 2 * i)
+
+    @functools.lru_cache(maxsize=8)
+    def mix_group_for(cap1):
+        @jax.jit
+        def group(fb):
+            cols = {nme: c[:cap1] for nme, c in fb.columns.items()}
+            b = ColumnBatch(cols, fb.n_valid)
+            return groupby_batch(
+                b, "k",
+                [("v", "sum", "s"), ("v", "max", "m"), ("v", "count", "c")],
+            )
+        return group
 
     @functools.lru_cache(maxsize=8)
     def mix_tail_for(cap2):
@@ -316,9 +348,12 @@ def _main():
         return tail
 
     def run_mix(i, k, v, nv):
-        g, _cs = run_group_phase(i, k, v, nv, jnp.int32(0))
-        n_groups = int(g.n_valid)              # engine-real host sync
-        cap2 = min(1 << max(10, (n_groups - 1).bit_length()), n)
+        fb = mix_filter(i, k, v, nv)
+        n_live = int(fb.n_valid)               # engine-real host sync 1
+        cap1 = min(1 << max(10, (n_live - 1).bit_length()), n)
+        g = mix_group_for(cap1)(fb)
+        n_groups = int(g.n_valid)              # engine-real host sync 2
+        cap2 = min(1 << max(10, (n_groups - 1).bit_length()), cap1)
         return mix_tail_for(cap2)(g)
 
     # The same pipeline through the REAL engine: Context.sql on a resident
@@ -454,13 +489,14 @@ def _main():
         ("filter", op_stage("filter", run_filter, key, val, nv,
                             inner=FILTER_REPS)),
         ("groupby", op_stage("groupby", run_groupby, key, val, nv)),
-        ("mix", op_stage("mix", run_mix, key, val, nv, n_syncs=2)),
+        ("mix", op_stage("mix", run_mix, key, val, nv, n_syncs=3)),
         # sql warms in its own stage (see stage_sql_warm), then the timed
-        # stage runs fully warm. Three host syncs per call: the planner's
-        # n_groups readback, metrics' rows_out readback (engine
-        # observability, part of the real path), and the checksum.
+        # stage runs fully warm. Four host syncs per call: the planner's
+        # post-pushdown shrink readback (n_live), its n_groups readback,
+        # metrics' rows_out readback (engine observability, part of the
+        # real path), and the checksum.
         ("sqlwarm", stage_sql_warm),
-        ("sql", op_stage("sql", run_sql, key, val, nv, n_syncs=3,
+        ("sql", op_stage("sql", run_sql, key, val, nv, n_syncs=4,
                          setup=_sql_setup_if_needed)),
         ("sort", op_stage("sort", run_sort, key, val, nv)),
         ("winwarm", stage_window_warm),

@@ -137,3 +137,50 @@ print(dctx.sql_df(
     "(partition by region order by units desc) as rk "
     "from sales where units > 45 order by region, rk limit 6"
 ))
+
+print("\n— round 5: three-valued logic (NULL predicates reject rows) —")
+print(ctx.sql_df(
+    "select product, promos.discount from sales "
+    "left join promos on sales.product = promos.prod "
+    "where promos.discount < 15 order by product limit 5"
+))
+
+print("\n— round 5: NULL aggregates (all-NULL group → NULL, not 0) —")
+print(ctx.sql_df(
+    "select region, avg(promos.discount) as d from sales "
+    "left join promos on sales.product = promos.prod "
+    "group by region order by d nulls last limit 5"
+))
+
+print("\n— round 5: FULL OUTER + multi-key ON —")
+print(ctx.sql_df(
+    "select sales.product, promos.prod from sales "
+    "full outer join promos on sales.product = promos.prod "
+    "order by sales.product nulls last limit 5"
+))
+
+print("\n— round 5: CTEs + correlated aggregate decorrelation —")
+print(ctx.sql_df(
+    "with by_region as (select region, sum(units) as u from sales "
+    "group by region) "
+    "select region, u from by_region "
+    "where u > (select avg(s2.units) from sales s2 "
+    "where s2.region = by_region.region) order by u desc limit 4"
+))
+
+print("\n— round 5: string functions + GROUP BY expressions —")
+print(ctx.sql_df(
+    "select upper(substr(region, 1, 3)) as r3, count(*) as n "
+    "from sales group by upper(substr(region, 1, 3)) order by r3"
+))
+
+print("\n— round 5: FOLLOWING frames, NTILE, NTH_VALUE —")
+print(ctx.sql_df(
+    "select region, units, "
+    "sum(units) over (partition by region order by units, product "
+    "rows between 1 preceding and 1 following) as s3, "
+    "ntile(2) over (partition by region order by units) as half, "
+    "nth_value(units, 2) over (partition by region order by units, "
+    "product) as second "
+    "from sales order by region, units limit 6"
+))

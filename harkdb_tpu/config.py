@@ -38,6 +38,13 @@ class EngineConfig:
     # cleanly onto (8,128) VPU lanes. Data-dependent output sizes (join) are
     # bucketed to powers of two to bound the jit cache.
     row_align: int = 1024
+    # After a filter-pushdown compaction on a single-table query, slice the
+    # working capacity down to the live row count (power-of-two bucket)
+    # before phase B — its sorts then run over the SURVIVORS, not the input
+    # capacity (a 50%-selectivity 16M-row group-by sorts 8M rows: ~half the
+    # sort time for one n_valid host readback). Engaged only at or above
+    # this capacity so small queries skip the sync.
+    shrink_rows_min: int = 1 << 22
 
     # ---- kernel selection ----------------------------------------------------
     # Enable the Pallas kernels (MXU one-hot aggregation, streaming

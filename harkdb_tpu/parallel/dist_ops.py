@@ -727,8 +727,12 @@ def dist_join(
     if kind == "cross":
         kind = "inner"
     l_flag_names = list(l_flag_names)
+    # Salting replicates hot-key BUILD rows D-fold — fine for inner/left
+    # (right rows never emit on their own) but it would multiply FULL
+    # OUTER's appended unmatched-right rows: a replica on a shard that got
+    # no probe rows of its key counts as unmatched there.
     salted = (config.skew_salted_join and D > 1
-              and len(l_keys) == 1 and not cross)
+              and len(l_keys) == 1 and not cross and kind != "full")
 
     def _null_of(cols, flag_names):
         if not flag_names:

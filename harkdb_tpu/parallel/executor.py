@@ -381,7 +381,9 @@ class DistExecutor:
                 if not rest:
                     continue
                 specs = rest
-            win_names = [s[0] for s in specs]
+            from harkdb_tpu.plan.windows import validity_names
+
+            win_names = [s[0] for s in specs] + validity_names(specs)
             work = dist_window(
                 work, parts,
                 # [0]: per-shard local order is irrelevant — the executor's

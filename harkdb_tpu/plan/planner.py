@@ -1048,7 +1048,7 @@ class QueryPlan(StringLowering, NullSemantics):
             )
             # code-preserving funcs keep the argument's dictionary
             if node.func in ("min", "max", "lag", "lead", "first_value",
-                             "last_value") and arg_is_str:
+                             "last_value", "nth_value") and arg_is_str:
                 self.win_out_dicts[out] = self._expr_str_dict(node.arg)
             if node.func in ("lag", "lead"):
                 if node.params and (
@@ -1064,13 +1064,34 @@ class QueryPlan(StringLowering, NullSemantics):
                         f"support an explicit default"
                     )
             if node.frame is not None:
-                if node.func == "prod" and node.frame[1] is not None:
+                # frame = ("rows", lo, hi): signed offsets from the
+                # current row (negative = PRECEDING), None = unbounded.
+                lo_f, hi_f = node.frame[1], node.frame[2]
+                if node.func == "prod" and lo_f is not None:
                     raise PlanError(
                         "PROD does not support a bounded ROWS frame "
                         "(no inverse for the sliding combine)"
                     )
-                if node.frame[1] is not None and node.frame[1] < 0:
-                    raise PlanError("Frame bound must be non-negative")
+                if node.func in ("min", "max") and not (
+                    (lo_f is None or lo_f <= 0)
+                    and (hi_f is None or hi_f >= 0)
+                ):
+                    raise PlanError(
+                        "Bounded MIN/MAX frames must include the current "
+                        "row (no inverse for the sliding combine)"
+                    )
+                if node.func != "count" and (
+                    (lo_f is not None and lo_f > 0)
+                    or (hi_f is not None and hi_f < 0)
+                ):
+                    # frame can be empty → NULL result rows (hidden
+                    # validity column emitted by plan/windows.py)
+                    self.agg_null_flags[out] = f"#winvalid{i}"
+            if node.func == "nth_value":
+                # all-frame-shorter-than-n rows are NULL — a hidden
+                # validity column computed alongside the value drives the
+                # output NULL indicators (plan/windows.py)
+                self.agg_null_flags[out] = f"#winvalid{i}"
             self.window_specs.append((
                 out, node.func,
                 None if (node.arg is None or isinstance(node.arg, Star))
@@ -1766,6 +1787,32 @@ class QueryPlan(StringLowering, NullSemantics):
         # Phase B: compiled pipeline (jit keyed by MXU fast-path span).
         fast_span, key_min = self._resolve_fast(batch)
         self.last_fast_span = fast_span
+        # Capacity shrink after filter pushdown (single-table): phase B's
+        # sorts run over the surviving rows' power-of-two bucket instead of
+        # the input capacity — the group/order sort is capacity-bound, so a
+        # 50%-selectivity WHERE halves it for one n_valid readback
+        # (config.shrink_rows_min gates small inputs out of the sync).
+        if (not self.join_steps and self.pushdown and fast_span is None
+                and batch.capacity >= self.config.shrink_rows_min
+                and (self.grouped or self.order_items or self.distinct
+                     or self.window_specs)):
+            n_live = int(batch.n_valid)
+            cap_b = min(
+                _next_pow2(max(n_live, self.config.row_align)),
+                batch.capacity,
+            )
+            if cap_b < batch.capacity:
+                key = ("slice", cap_b)
+                f = self._phase_b_cache.get(key)
+                if f is None:
+                    def g(b: ColumnBatch, _c=cap_b) -> ColumnBatch:
+                        return ColumnBatch(
+                            {n: c[:_c] for n, c in b.columns.items()},
+                            b.n_valid,
+                        )
+                    f = jax.jit(g)
+                    self._phase_b_cache[key] = f
+                batch = f(batch)
         if self.grouped and (self.order_items or self.distinct):
             # Split at the aggregate: sync n_groups, bucket the tail's
             # capacity down (one ~RTT round-trip buys the tail a sort over

@@ -42,6 +42,25 @@ _SCAN = {"sum": jnp.add, "prod": jnp.multiply,
          "max": jnp.maximum, "min": jnp.minimum}
 
 
+def validity_names(specs) -> List[str]:
+    """Hidden ``#winvalid*`` output columns ``compute_windows`` emits for
+    the given specs: NTH_VALUE (frame shorter than n ⇒ NULL) and any
+    empty-capable ROWS frame (start after the partition slice's end). The
+    distributed dispatcher needs the exact output-column set up front for
+    its shard_map out_specs."""
+    out = []
+    for s in specs:
+        frame = s[7] if len(s) > 7 else None
+        need = s[1] == "nth_value" or (
+            frame is not None
+            and ((frame[1] is not None and frame[1] > 0)
+                 or (frame[2] is not None and frame[2] < 0))
+        )
+        if need:
+            out.append("#winvalid" + s[0][4:])
+    return out
+
+
 def compute_windows(plan, batch: ColumnBatch,
                     specs: Sequence[Tuple] = None,
                     allow_skip_restore: bool = False):
@@ -152,7 +171,9 @@ def compute_windows(plan, batch: ColumnBatch,
                 order_keys.append(_slot(gi, "o", j, oe))
         arg_slot: Dict[int, object] = {}
         for si, (_o, func, arg, *_r) in enumerate(gspecs):
-            if func in ("row_number", "rank", "dense_rank", "count"):
+            if arg is None or func in ("row_number", "rank", "dense_rank",
+                                       "count", "ntile", "percent_rank",
+                                       "cume_dist"):
                 continue
             arg_slot[si] = _slot(gi, "a", si, arg)
         plans.append((gspecs, part_keys, order_keys, arg_slot))
@@ -213,6 +234,25 @@ def compute_windows(plan, batch: ColumnBatch,
             )
             return jnp.flip(first)
 
+        safe_part = jnp.where(valid, sid_p, jnp.int32(1 << 30))
+
+        def part_last(S):
+            """Broadcast each PARTITION's last value backward (same trick
+            as peers_last, over partition ids)."""
+            rev_sid = jnp.flip(jnp.int32(1 << 30) - safe_part)
+            first = doubling_segmented_scan(
+                lambda cur, prev: prev, rev_sid, jnp.flip(S)
+            )
+            return jnp.flip(first)
+
+        _plen_memo: List = []
+
+        def get_plen():
+            """Partition row count per row (computed once per shape)."""
+            if not _plen_memo:
+                _plen_memo.append(part_last(pos) + 1)
+            return _plen_memo[0]
+
         def pscan(opname, x):
             if _use_segscan(plan.config.use_pallas):
                 from harkdb_tpu.kernels.segscan import (
@@ -267,35 +307,157 @@ def compute_windows(plan, batch: ColumnBatch,
                 m = op(m, jnp.where(sid_sh == ssid_w, sh, ne))
             return m
 
+        def shift_next(a, s, fill):
+            if s <= 0:
+                return a
+            s = min(s, cap)
+            return jnp.concatenate(
+                [a[s:], jnp.full((s,), fill, a.dtype)]
+            )
+
+        def shift_rel(a, d, fill):
+            """a[i + d] (global shift; callers clamp partition crossings
+            via plen-based selects — partitions are contiguous, so a
+            within-partition relative position IS a global shift)."""
+            if d == 0:
+                return a
+            return (shift_next(a, d, fill) if d > 0
+                    else shift_prev(a, -d, fill))
+
+        def leading_minmax(opname, x, L):
+            """min/max over the NEXT L rows (current row included) within
+            the partition: the trailing window machinery over reversed
+            arrays (reversal flips partition boundaries consistently)."""
+            ne = jnp.asarray(_neutral_py(opname, x.dtype), x.dtype)
+            op = _SCAN[opname]
+            rx = jnp.flip(x)
+            rsid = jnp.flip(ssid_w)
+            m = jnp.where(jnp.flip(valid), rx, ne)
+            w = 1
+            while w * 2 <= L:
+                sh = shift_prev(m, w, ne)
+                sid_sh = shift_prev(rsid, w, jnp.int32(-9))
+                m = op(m, jnp.where(sid_sh == rsid, sh, ne))
+                w *= 2
+            rem = L - w
+            if rem:
+                sh = shift_prev(m, rem, ne)
+                sid_sh = shift_prev(rsid, rem, jnp.int32(-9))
+                m = op(m, jnp.where(sid_sh == rsid, sh, ne))
+            return jnp.flip(m)
+
+        def frame_outputs(func, si, lo, hi):
+            """General ROWS frame [pos+lo, pos+hi] (None = unbounded):
+            counts from position arithmetic; sums/prods from the inclusive
+            partition scan selected at constant relative shifts with
+            partition-edge clamps (no gathers); bounded min/max from
+            trailing ∪ leading pow2 windows. Returns (value, n_in_frame)."""
+            plen_ = get_plen()
+            cstart = jnp.maximum(pos + lo, 0) if lo is not None \
+                else jnp.zeros((cap,), jnp.int32)
+            cend = jnp.minimum(pos + hi, plen_ - 1) if hi is not None \
+                else plen_ - 1
+            n_f = jnp.maximum(cend - cstart + 1, 0)
+            if func == "count":
+                return n_f, n_f
+            x = state[arg_slot[si]]
+            if func in ("sum", "avg", "prod"):
+                op = "prod" if func == "prod" else "sum"
+                xs = x.astype(jnp.float32) if func == "avg" else x
+                PS = pscan(op, xs)
+                total = part_last(PS)
+                zero = jnp.zeros((), PS.dtype) if op == "sum" \
+                    else jnp.ones((), PS.dtype)
+                if hi is None:
+                    hi_val = total
+                else:
+                    hv = shift_rel(PS, hi, zero)
+                    hi_val = jnp.where(pos + hi >= plen_, total, hv)
+                    hi_val = jnp.where(pos + hi < 0, zero, hi_val)
+                if lo is None:
+                    lo_excl = zero
+                else:
+                    lv = shift_rel(PS, lo - 1, zero)
+                    lo_excl = jnp.where(pos + lo - 1 < 0, zero, lv)
+                    lo_excl = jnp.where(pos + lo - 1 >= plen_, total,
+                                        lo_excl)
+                if func == "prod":
+                    # planner guarantees lo is None (no inverse)
+                    val = hi_val
+                elif func == "avg":
+                    val = (hi_val - lo_excl) / jnp.maximum(
+                        n_f.astype(jnp.float32), 1.0
+                    )
+                else:
+                    val = hi_val - lo_excl
+                return val, n_f
+            # min / max
+            if lo is None and hi is None:
+                return part_last(pscan(func, x)), n_f
+            if lo is None:
+                PS = pscan(func, x)
+                ne = jnp.asarray(_neutral_py(func, x.dtype), x.dtype)
+                total = part_last(PS)
+                hv = shift_rel(PS, hi, ne)
+                val = jnp.where(pos + hi >= plen_, total, hv)
+                val = jnp.where(pos + hi < 0, ne, val)
+                return val, n_f
+            assert hi is not None   # [lo, ∞) min/max handled by the caller
+            # both bounded: caller enforces lo <= 0 <= hi
+            t = sliding_minmax(func, x, min(1 - lo, cap))
+            ld = leading_minmax(func, x, min(hi + 1, cap))
+            return _SCAN[func](t, ld), n_f
+
         for si, (out_name, func, _arg, *_rest) in enumerate(gspecs):
             params = gspecs[si][6]
             frame = gspecs[si][7] if len(gspecs[si]) > 7 else None
             if frame is not None:
-                # ROWS frame: positional, peers excluded. frame[1] is None
-                # (UNBOUNDED PRECEDING) or k (k PRECEDING); the high bound
-                # is always CURRENT ROW (parser-enforced).
-                k = frame[1]
-                L = None if k is None else min(k + 1, cap)
-                if func == "count":
-                    o = pos + 1 if L is None else jnp.minimum(pos + 1, L)
-                elif func == "avg":
-                    x = state[arg_slot[si]].astype(jnp.float32)
-                    s = (pscan("sum", x) if L is None
-                         else frame_sum_diff(pscan("sum", x), L))
-                    c = (pos + 1 if L is None
-                         else jnp.minimum(pos + 1, L)).astype(jnp.float32)
-                    o = s / jnp.maximum(c, 1.0)
-                elif func in ("sum", "prod") or (
-                    func in ("min", "max") and L is None
+                # frame = ("rows", lo, hi): signed offsets from the
+                # current row, None = unbounded (parser). Positional,
+                # peers excluded.
+                lo, hi = frame[1], frame[2]
+                if func in ("min", "max") and not (
+                    (lo is None or lo <= 0) and (hi is None or hi >= 0)
                 ):
+                    from harkdb_tpu.plan.errors import PlanError
+
+                    raise PlanError(
+                        "Bounded MIN/MAX frames must include the current "
+                        "row (no inverse for the sliding combine)"
+                    )
+                if func in ("min", "max") and lo is not None and hi is None:
+                    # [pos+lo, partition end] (lo ≤ 0): SUFFIX scan —
+                    # reversed segmented scan over reversed partition ids
+                    # — selected at the constant shift `lo`, clamped to
+                    # the partition start (where the whole-partition value
+                    # = the suffix at the first row applies).
                     x = state[arg_slot[si]]
-                    S = pscan(func, x)
-                    o = S if L is None else frame_sum_diff(S, L)
-                else:                       # bounded min / max
-                    o = sliding_minmax(func, state[arg_slot[si]], L)
+                    ne = jnp.asarray(_neutral_py(func, x.dtype), x.dtype)
+                    rev_sid = jnp.flip(jnp.int32(1 << 30) - safe_part)
+                    sfx = jnp.flip(doubling_segmented_scan(
+                        _SCAN[func], rev_sid,
+                        jnp.flip(jnp.where(valid, x, ne)),
+                    ))                       # sfx[i] = op over [i, pend]
+                    sv = shift_rel(sfx, lo, ne)
+                    part_first_sfx = doubling_segmented_scan(
+                        lambda cur, prev: prev, safe_part, sfx
+                    )                        # whole-partition value
+                    o = jnp.where(pos + lo < 0, part_first_sfx, sv)
+                    n_f = get_plen() - jnp.maximum(pos + lo, 0)
+                else:
+                    o, n_f = frame_outputs(func, si, lo, hi)
                 key = ("out", out_name)
                 state[key] = o
                 out_keys.append((out_name, key))
+                if (lo is not None and lo > 0) or (
+                    hi is not None and hi < 0
+                ):
+                    # empty-capable frame: hidden validity column (0 ⇔
+                    # the frame contains no rows → SQL NULL) drives the
+                    # output NULL indicators (planner agg_null_flags)
+                    vkey = ("out", "#winvalid" + out_name[4:])
+                    state[vkey] = (n_f > 0).astype(jnp.int32)
+                    out_keys.append(("#winvalid" + out_name[4:], vkey))
                 continue
             if func == "row_number":
                 o = pos + 1
@@ -306,6 +468,41 @@ def compute_windows(plan, batch: ColumnBatch,
                 g = jnp.cumsum(is_tstart.astype(jnp.int32))
                 gp = jax.lax.cummax(jnp.where(is_pstart, g, 0))
                 o = g - gp + 1
+            elif func == "ntile":
+                # SQL NTILE(n): the first plen%n buckets get one extra row
+                nb = int(params[0])
+                plen_ = get_plen()
+                q, r = plen_ // nb, plen_ % nb
+                big = r * (q + 1)           # rows covered by the big buckets
+                o = jnp.where(
+                    pos < big,
+                    pos // jnp.maximum(q + 1, 1),
+                    r + (pos - big) // jnp.maximum(q, 1),
+                ) + 1
+            elif func == "percent_rank":
+                tstart_idx = jax.lax.cummax(jnp.where(is_tstart, idx, 0))
+                rk = (tstart_idx - start).astype(jnp.float32)  # rank - 1
+                plen_ = get_plen().astype(jnp.float32)
+                o = jnp.where(plen_ > 1.0, rk / jnp.maximum(plen_ - 1.0,
+                                                            1.0), 0.0)
+            elif func == "cume_dist":
+                plen_ = get_plen().astype(jnp.float32)
+                o = (peers_last(pos + 1).astype(jnp.float32)
+                     / jnp.maximum(plen_, 1.0))
+            elif func == "nth_value":
+                # value at partition-local position n-1 (the SQL default
+                # frame reaches the last PEER, so rows whose frame is
+                # shorter than n are NULL — hidden #winvalid indicator)
+                x = state[arg_slot[si]]
+                nn = int(params[0])
+                z = jnp.where(valid & (pos == nn - 1), x,
+                              jnp.zeros((), x.dtype))
+                o = part_last(pscan("sum", z))   # exactly one contributor
+                vkey = ("out", "#winvalid" + out_name[4:])
+                state[vkey] = (
+                    peers_last(pos) >= nn - 1
+                ).astype(jnp.int32)
+                out_keys.append(("#winvalid" + out_name[4:], vkey))
             elif func in ("lag", "lead"):
                 # ROWS-based (position, not peers) per the standard;
                 # partition edges fill with the default (0 when omitted —

@@ -53,10 +53,12 @@ SCALAR_FUNCS = {"abs", "floor", "ceil", "round", "sqrt"}
 # string scalar functions — plan-time dictionary transforms (StrFunc →
 # CodeMap in plan/strings.py); substr takes (expr, start [, length])
 STR_FUNCS = {"upper", "lower", "trim", "length", "substr", "substring"}
-WINDOW_ONLY_FUNCS = {"row_number", "rank", "dense_rank"}   # require OVER
+WINDOW_ONLY_FUNCS = {"row_number", "rank", "dense_rank", "percent_rank",
+                     "cume_dist"}                          # require OVER
 # positional window funcs with an argument; lag/lead take optional
-# (offset, default) numeric literals
-WINDOW_ARG_FUNCS = {"lag", "lead", "first_value", "last_value"}
+# (offset, default) numeric literals; nth_value takes a 1-based position
+WINDOW_ARG_FUNCS = {"lag", "lead", "first_value", "last_value",
+                    "nth_value"}
 
 _TOKEN_RE = re.compile(
     r"""
@@ -523,6 +525,22 @@ class Parser:
                     part, order, frame = self.parse_over()
                     return WindowFn(low, arg, part, order, frame=frame)
                 return agg
+            if low == "ntile" and nxt.kind == "op" and nxt.text == "(":
+                self.next()          # func name
+                self.next()          # "("
+                t2 = self.peek()
+                if t2.kind != "num" or "." in t2.text or int(t2.text) < 1:
+                    raise SqlError(
+                        f"NTILE expects a positive integer bucket count, "
+                        f"got {t2.text!r}"
+                    )
+                nb = int(self.next().text)
+                self.expect_op(")")
+                self.expect_kw("over")
+                part, order, frame = self.parse_over()
+                if frame is not None:
+                    raise SqlError("ntile does not accept a frame clause")
+                return WindowFn("ntile", None, part, order, (nb,))
             if low in WINDOW_ONLY_FUNCS and nxt.kind == "op" and nxt.text == "(":
                 self.next()          # func name
                 self.next()          # "("
@@ -540,7 +558,7 @@ class Parser:
                 arg = self.parse_expr()
                 params = []
                 while self.eat_op(","):
-                    if low not in ("lag", "lead"):
+                    if low not in ("lag", "lead", "nth_value"):
                         raise SqlError(
                             f"{low} takes exactly one argument"
                         )
@@ -554,7 +572,14 @@ class Parser:
                     v = float(t2.text) if "." in t2.text else int(t2.text)
                     self.next()
                     params.append(-v if neg else v)
-                if len(params) > 2:
+                if low == "nth_value":
+                    if (len(params) != 1
+                            or not isinstance(params[0], int)
+                            or params[0] < 1):
+                        raise SqlError(
+                            "NTH_VALUE expects (expr, positive integer n)"
+                        )
+                elif len(params) > 2:
                     raise SqlError(f"{low} takes at most 3 arguments")
                 self.expect_op(")")
                 self.expect_kw("over")
@@ -659,27 +684,42 @@ class Parser:
         if self.at_kw("rows", "range"):
             is_rows = self.next().text.lower() == "rows"
             self.expect_kw("between")
-            if self.eat_kw("unbounded"):
-                self.expect_kw("preceding")
-                lo = None
-            elif self.eat_kw("current"):
-                self.expect_kw("row")
-                lo = 0
-            else:
+
+            def bound(side: str):
+                """Signed offset relative to the current row: negative =
+                PRECEDING, positive = FOLLOWING, None = unbounded in that
+                direction."""
+                if self.eat_kw("unbounded"):
+                    if side == "lo":
+                        self.expect_kw("preceding")
+                    else:
+                        self.expect_kw("following")
+                    return None
+                if self.eat_kw("current"):
+                    self.expect_kw("row")
+                    return 0
                 t = self.peek()
                 if t.kind != "num" or "." in t.text:
                     raise SqlError(
                         f"Frame bound expects an integer, UNBOUNDED or "
                         f"CURRENT, got {t.text!r}"
                     )
-                lo = int(self.next().text)
-                self.expect_kw("preceding")
+                k = int(self.next().text)
+                if self.eat_kw("preceding"):
+                    return -k
+                self.expect_kw("following")
+                return k
+
+            lo = bound("lo")
             self.expect_kw("and")
-            self.expect_kw("current")
-            self.expect_kw("row")
+            hi = bound("hi")
             if is_rows:
-                frame = ("rows", lo)
-            elif lo is not None:
+                if lo is not None and hi is not None and lo > hi:
+                    raise SqlError(
+                        "Frame start must not be after frame end"
+                    )
+                frame = ("rows", lo, hi)
+            elif not (lo is None and hi == 0):
                 raise SqlError(
                     "Only RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT "
                     "ROW (the default frame) is supported; use ROWS for "

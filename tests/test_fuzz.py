@@ -383,3 +383,153 @@ def test_fuzz_round4_surface(seed):
         fr = g.rolling(k + 1, min_periods=1).sum().astype(int)
         assert got["s"].tolist() == g.tolist(), q
         assert got["fr"].tolist() == fr.tolist(), q
+
+
+# ---- round-5 surface sweep: 3VL predicates, NULL aggregates, join kinds --
+
+_NULLABLE_PREDS = [
+    # (sql over l LEFT JOIN r ON l.a = r.j, pandas mask over the merge;
+    #  pandas NaN semantics == SQL 3VL: NaN comparisons are False,
+    #  .notna() guards express the NOT cases)
+    ("r.w > 0", lambda m: m.w > 0),
+    ("not (r.w > 0)", lambda m: m.w.notna() & ~(m.w > 0)),
+    ("r.w > 0 or l.b < 0", lambda m: (m.w > 0) | (m.b < 0)),
+    ("r.w + l.b > 5", lambda m: (m.w + m.b) > 5),
+    ("not (r.w > 0 and l.b < 0)",
+     lambda m: (m.w.notna() & ~(m.w > 0)) | ~(m.b < 0)),
+    ("r.w is null or r.w > 10", lambda m: m.w.isna() | (m.w > 10)),
+    ("r.w between -2 and 8", lambda m: (m.w >= -2) & (m.w <= 8)),
+    ("r.w in (0, 1, 2, 3)", lambda m: m.w.isin([0, 1, 2, 3])),
+]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_3vl_where(seed):
+    """Kleene WHERE over nullable LEFT-JOIN columns vs the pandas oracle
+    (round-5 item 1's 'fuzz extended with nullable WHERE clauses')."""
+    rng = np.random.default_rng(7000 + seed)
+    n = int(rng.integers(5, 250))
+    t1 = pd.DataFrame({
+        "a": rng.integers(0, 14, n).astype(np.int32),   # keys 8-13 unmatched
+        "b": rng.integers(-8, 9, n).astype(np.int32),
+    })
+    t2 = pd.DataFrame({
+        "j": rng.permutation(8).astype(np.int32),
+        "w": rng.integers(-5, 20, 8).astype(np.int32),
+    })
+    ctx = Context()
+    ctx.create_table("l", t1)
+    ctx.create_table("r", t2)
+    sql_pred, oracle = _NULLABLE_PREDS[seed % len(_NULLABLE_PREDS)]
+    q = (f"select l.a, l.b from l left join r on l.a = r.j "
+         f"where {sql_pred} order by l.a, l.b")
+    got = ctx.sql(q)
+    m = t1.merge(t2, left_on="a", right_on="j", how="left")
+    exp = m[oracle(m).fillna(False)][["a", "b"]].sort_values(["a", "b"])
+    _assert_rows_equal(got, exp.to_numpy(), q)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_null_aggregates(seed):
+    """SUM/AVG/MIN/MAX over nullable columns: NULL for all-NULL groups,
+    exact skip semantics elsewhere — matched against pandas NaN math."""
+    rng = np.random.default_rng(7100 + seed)
+    n = int(rng.integers(10, 300))
+    t1 = pd.DataFrame({
+        "a": rng.integers(0, 12, n).astype(np.int32),
+        "b": rng.integers(-8, 9, n).astype(np.int32),
+    })
+    t2 = pd.DataFrame({
+        "j": rng.permutation(6).astype(np.int32),
+        "w": rng.integers(-5, 20, 6).astype(np.int32),
+    })
+    ctx = Context()
+    ctx.create_table("l", t1)
+    ctx.create_table("r", t2)
+    agg = ["sum", "avg", "min", "max"][seed % 4]
+    q = (f"select l.a, {agg}(r.w) as x, count(r.w) as c from l "
+         f"left join r on l.a = r.j group by l.a order by l.a")
+    got = ctx.sql_df(q)
+    m = t1.merge(t2, left_on="a", right_on="j", how="left")
+    fn = {"sum": lambda s: s.sum(min_count=1), "avg": "mean",
+          "min": "min", "max": "max"}[agg]
+    exp = m.groupby("a")["w"].agg(fn)
+    np.testing.assert_allclose(
+        got["x"].to_numpy(np.float64), exp.to_numpy(np.float64),
+        rtol=1e-6, err_msg=q,
+    )
+    assert got["c"].tolist() == m.groupby("a")["w"].count().tolist()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_join_kinds(seed):
+    """Multi-key / RIGHT / FULL OUTER joins vs pandas merge."""
+    rng = np.random.default_rng(7200 + seed)
+    nl, nr = int(rng.integers(5, 200)), int(rng.integers(5, 120))
+    a = pd.DataFrame({
+        "u": rng.integers(0, 9, nl).astype(np.int32),
+        "v": rng.integers(0, 4, nl).astype(np.int32),
+        "x": rng.integers(-50, 50, nl).astype(np.int32),
+    })
+    b = pd.DataFrame({
+        "p": rng.integers(0, 9, nr).astype(np.int32),
+        "q": rng.integers(0, 5, nr).astype(np.int32),
+        "w": rng.integers(0, 100, nr).astype(np.int32),
+    })
+    ctx = Context()
+    ctx.create_table("a", a)
+    ctx.create_table("b", b)
+    kind, how = [("join", "inner"), ("left join", "left"),
+                 ("right join", "right"),
+                 ("full outer join", "outer")][seed % 4]
+    multi = seed % 2 == 0
+    on_sql = ("a.u = b.p and a.v = b.q" if multi else "a.u = b.p")
+    on_l, on_r = (["u", "v"], ["p", "q"]) if multi else (["u"], ["p"])
+    q = (f"select a.x, b.w from a {kind} b on {on_sql} "
+         f"order by a.x nulls last, b.w nulls last")
+    got = ctx.sql_df(q)
+    m = a.merge(b, left_on=on_l, right_on=on_r, how=how)
+    exp = m[["x", "w"]].sort_values(["x", "w"], na_position="last")
+    np.testing.assert_array_equal(
+        got["x"].to_numpy(np.float64), exp["x"].to_numpy(np.float64),
+        err_msg=q,
+    )
+    np.testing.assert_array_equal(
+        got["w"].to_numpy(np.float64), exp["w"].to_numpy(np.float64),
+        err_msg=q,
+    )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_3vl_distributed_parity(seed):
+    """The 3VL/NULL paths must be bit-equal between single-chip and the
+    8-device mesh (round-5 item 1: 'distributed bit-equal')."""
+    from harkdb_tpu.parallel import make_engine_mesh
+
+    rng = np.random.default_rng(7300 + seed)
+    n = int(rng.integers(50, 400))
+    t1 = pd.DataFrame({
+        "a": rng.integers(0, 14, n).astype(np.int32),
+        "b": rng.integers(-8, 9, n).astype(np.int32),
+    })
+    t2 = pd.DataFrame({
+        "j": rng.permutation(8).astype(np.int32),
+        "w": rng.integers(-5, 20, 8).astype(np.int32),
+    })
+    cs = Context()
+    cm = Context(mesh=make_engine_mesh(8))
+    for c in (cs, cm):
+        c.create_table("l", t1)
+        c.create_table("r", t2)
+    sql_pred, _ = _NULLABLE_PREDS[seed % len(_NULLABLE_PREDS)]
+    for q in [
+        f"select l.a, l.b, r.w from l left join r on l.a = r.j "
+        f"where {sql_pred} order by l.a, l.b, r.w",
+        "select l.a, sum(r.w) as s, avg(r.w) as av from l "
+        "left join r on l.a = r.j group by l.a "
+        "having count(*) > 1 order by l.a",
+        "select a.u, b.w from (select a as u from l where b > 0) a "
+        "full outer join (select j, w from r where w > 2) b "
+        "on a.u = b.j order by a.u nulls last, b.w nulls last",
+    ]:
+        pd.testing.assert_frame_equal(cs.sql_df(q), cm.sql_df(q))

@@ -731,3 +731,158 @@ class TestSortOrderTracking:
         pd.testing.assert_frame_equal(
             head, full.iloc[3:10].reset_index(drop=True)
         )
+
+
+class TestFramesFollowing:
+    """Round-5: general ROWS frames (FOLLOWING bounds, shifted frames)
+    and the ranking/positional additions NTILE / PERCENT_RANK /
+    CUME_DIST / NTH_VALUE — brute-force oracle per partition."""
+
+    @pytest.fixture
+    def fctx(self, rng):
+        df = pd.DataFrame({
+            "k": rng.integers(0, 6, 120).astype(np.int32),
+            "v": rng.integers(0, 100, 120).astype(np.int32),
+        })
+        c = Context()
+        c.create_table("t", df)
+        return c, df
+
+    @staticmethod
+    def _roll(vals, lo, hi, fn):
+        out = []
+        for i in range(len(vals)):
+            a = 0 if lo is None else max(i + lo, 0)
+            b = len(vals) - 1 if hi is None else min(i + hi,
+                                                     len(vals) - 1)
+            w = vals[a:b + 1] if b >= a >= 0 else []
+            out.append(fn(w) if w else None)
+        return out
+
+    def _check(self, c, df, frame_sql, lo, hi, func, pyfn):
+        q = (f"select k, v, {func}(v) over (partition by k "
+             f"order by v, k rows between {frame_sql}) as o "
+             f"from t order by k, v")
+        got = c.sql_df(q)
+        s = df.sort_values(["k", "v"], kind="stable")
+        exp = []
+        for _k, grp in s.groupby("k"):
+            exp += self._roll(grp["v"].tolist(), lo, hi, pyfn)
+        ge = [None if pd.isna(x) else float(x) for x in got["o"]]
+        ee = [None if x is None else float(x) for x in exp]
+        assert ge == ee, q
+
+    def test_following_sum_count_min_max(self, fctx):
+        c, df = fctx
+        self._check(c, df, "1 preceding and 2 following", -1, 2, "sum",
+                    sum)
+        self._check(c, df, "1 preceding and 2 following", -1, 2, "count",
+                    len)
+        self._check(c, df, "2 preceding and 1 following", -2, 1, "min",
+                    min)
+        self._check(c, df, "current row and 3 following", 0, 3, "max",
+                    max)
+        self._check(c, df, "current row and unbounded following", 0, None,
+                    "max", max)
+        self._check(c, df, "unbounded preceding and 2 following", None, 2,
+                    "sum", sum)
+        self._check(c, df, "unbounded preceding and unbounded following",
+                    None, None, "sum", sum)
+        self._check(c, df, "3 preceding and unbounded following", -3,
+                    None, "min", min)
+
+    def test_shifted_frames_null_when_empty(self, fctx):
+        c, df = fctx
+        self._check(c, df, "2 following and 4 following", 2, 4, "sum",
+                    sum)
+        self._check(c, df, "4 preceding and 2 preceding", -4, -2, "sum",
+                    sum)
+
+    def test_avg_following(self, fctx):
+        c, df = fctx
+        q = ("select k, v, avg(v) over (partition by k order by v, k "
+             "rows between 1 preceding and 1 following) as a "
+             "from t order by k, v")
+        got = c.sql_df(q)
+        s = df.sort_values(["k", "v"], kind="stable")
+        exp = []
+        for _k, grp in s.groupby("k"):
+            exp += self._roll(grp["v"].tolist(), -1, 1,
+                              lambda w: sum(w) / len(w))
+        np.testing.assert_allclose(got["a"].to_numpy(), exp, rtol=1e-6)
+
+    def test_ntile_percent_rank_cume_dist(self, fctx):
+        c, df = fctx
+        q = ("select k, v, ntile(4) over (partition by k order by v, k) "
+             "as nt, percent_rank() over (partition by k order by v) as "
+             "pr, cume_dist() over (partition by k order by v) as cd "
+             "from t order by k, v")
+        got = c.sql_df(q)
+        s = df.sort_values(["k", "v"], kind="stable")
+        for k, grp in s.groupby("k"):
+            sub = got[got["k"] == k]
+            L = len(grp)
+            q_, r = divmod(L, 4)
+            big = r * (q_ + 1)
+            nt = [(i // (q_ + 1) + 1) if i < big
+                  else r + (i - big) // max(q_, 1) + 1 for i in range(L)]
+            assert sub["nt"].tolist() == nt
+            ranks = grp["v"].rank(method="min").tolist()
+            pr = [(rk - 1) / (L - 1) if L > 1 else 0.0 for rk in ranks]
+            np.testing.assert_allclose(sub["pr"].to_numpy(), pr,
+                                       rtol=1e-6)
+            cmax = grp["v"].rank(method="max").tolist()
+            np.testing.assert_allclose(
+                sub["cd"].to_numpy(), [x / L for x in cmax], rtol=1e-6
+            )
+
+    def test_nth_value(self, fctx):
+        c, df = fctx
+        q = ("select k, v, nth_value(v, 3) over (partition by k "
+             "order by v, k) as n3 from t order by k, v")
+        got = c.sql_df(q)
+        s = df.sort_values(["k", "v"], kind="stable")
+        exp = []
+        for _k, grp in s.groupby("k"):
+            vals = grp["v"].tolist()
+            # default frame reaches the last PEER; v,k order is unique
+            # per row here, so the frame is [0, i]
+            exp += [float(vals[2]) if i >= 2 else None
+                    for i in range(len(vals))]
+        ge = [None if pd.isna(x) else float(x) for x in got["n3"]]
+        assert ge == exp
+
+    def test_prod_bounded_rejected(self, fctx):
+        c, _df = fctx
+        from harkdb_tpu.plan.planner import PlanError
+
+        with pytest.raises(PlanError, match="PROD"):
+            c.sql("select prod(v) over (order by v rows between 2 "
+                  "preceding and current row) from t")
+
+    def test_minmax_one_sided_rejected(self, fctx):
+        c, _df = fctx
+        from harkdb_tpu.plan.planner import PlanError
+
+        with pytest.raises(PlanError, match="MIN/MAX"):
+            c.sql("select min(v) over (order by v rows between 2 "
+                  "following and 4 following) from t")
+
+    def test_distributed_parity(self, fctx):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        c, df = fctx
+        cm = Context(mesh=make_engine_mesh(8))
+        cm.create_table("t", df)
+        for q in [
+            "select k, v, sum(v) over (partition by k order by v, k rows "
+            "between 1 preceding and 2 following) as s from t "
+            "order by k, v",
+            "select k, v, ntile(3) over (partition by k order by v, k) "
+            "as nt, nth_value(v, 2) over (partition by k order by v, k) "
+            "as n2 from t order by k, v",
+            "select k, v, sum(v) over (partition by k order by v, k rows "
+            "between 2 following and 4 following) as s2 from t "
+            "order by k, v",
+        ]:
+            pd.testing.assert_frame_equal(c.sql_df(q), cm.sql_df(q))
