@@ -133,7 +133,12 @@ def _emit(n_rows: int):
     # the rtt stage succeeded — even if only on its end-of-run retry).
     rtt = _PARTIAL.get("rtt", _RTT_FALLBACK)
     for name, (raw, n_syncs, inner) in _RAW.items():
-        dt = max((raw - n_syncs * rtt) / inner, 1e-9)
+        # Over-subtraction guard: a late rtt-retry can measure a slower
+        # dispatch than the stages actually paid (observed: 38.9 ms retry
+        # vs ~26 ms in-run → a 4-sync stage corrected to ≤ 0 and emitted
+        # an absurd rows/s). Never let the correction consume more than
+        # 85% of the raw time.
+        dt = max((raw - n_syncs * rtt) / inner, 0.15 * raw / inner, 1e-9)
         _PARTIAL[name] = n_rows / dt
         _TIMES_MS[name] = dt * 1e3
     mix = _PARTIAL.get("sql", _PARTIAL.get("mix"))
@@ -458,10 +463,14 @@ def _main():
         wait = time.monotonic() - t_g
         if wait > 5:
             log(f"chip grant took {wait:.0f}s")
-        t0 = time.perf_counter()
+        ts = []
         for i in range(1, 6):
+            t0 = time.perf_counter()
             _ = int(f_rtt(tiny, i))
-        rtt = (time.perf_counter() - t0) / 5
+            ts.append(time.perf_counter() - t0)
+        # MIN of the probes: RTT is a latency floor — a slow draw (remote
+        # service hiccup) must not inflate every stage's correction.
+        rtt = min(ts)
         rtt_holder[0] = rtt
         _PARTIAL["rtt"] = rtt
         log(f"dispatch RTT: {rtt*1e3:.1f} ms (subtracted from all timings)")
