@@ -47,6 +47,7 @@ Array = jax.Array
 GLOBAL_FUNCS = {
     "row_number", "rank", "dense_rank", "count", "sum", "min", "max",
     "prod", "avg", "first_value", "last_value", "lag", "lead",
+    "ntile", "percent_rank", "cume_dist",
 }
 
 _SCAN = {"sum": jnp.add, "prod": jnp.multiply,
@@ -264,6 +265,38 @@ def dist_global_window(
                     o = jnp.where(gp + off < total_rows, val, dflt)
             elif func == "row_number":
                 o = carry_rows + pos + 1            # rid order = global order
+            elif func == "ntile":
+                # global NTILE: the bucket formula over the GLOBAL position
+                # (carry) and total row count — big buckets first
+                nb = int(params[0])
+                gp = carry_rows + pos
+                q, r = total_rows // nb, total_rows % nb
+                bigb = r * (q + 1)
+                o = jnp.where(
+                    gp < bigb,
+                    gp // jnp.maximum(q + 1, 1),
+                    r + (gp - bigb) // jnp.maximum(q, 1),
+                ) + 1
+            elif func == "percent_rank":
+                if has_order:
+                    tstart_idx = jax.lax.cummax(
+                        jnp.where(is_tstart, idx, 0)
+                    )
+                    rk0 = (carry_rows + tstart_idx).astype(jnp.float32)
+                else:
+                    rk0 = jnp.zeros((C,), jnp.float32)
+                nf = total_rows.astype(jnp.float32)
+                o = jnp.where(nf > 1.0, rk0 / jnp.maximum(nf - 1.0, 1.0),
+                              0.0)
+            elif func == "cume_dist":
+                nf = jnp.maximum(total_rows.astype(jnp.float32), 1.0)
+                if has_order:
+                    lp = (carry_rows + peers_last(pos + 1)).astype(
+                        jnp.float32
+                    )
+                else:
+                    lp = nf
+                o = lp / nf
             elif func == "rank":
                 if has_order:
                     tstart_idx = jax.lax.cummax(

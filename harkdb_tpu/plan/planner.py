@@ -839,146 +839,13 @@ class QueryPlan(StringLowering, NullSemantics):
             for e in post_exprs:
                 check(e)
 
-        # Aggregate slots: each Agg → (arg column to materialize, ops, output).
-        self.agg_arg_cols: List[Tuple[str, object]] = []  # (internal, expr)
-        self.agg_specs: List[Tuple[str, str, str]] = []   # (src, op, out)
-        self.post_computes: List[Tuple[str, object]] = [] # avg, etc.
-        agg_map: Dict[Agg, str] = {}
-        # MIN/MAX over a string column preserve dictionary codes — their
-        # output columns decode through the argument's dictionary.
-        self.agg_out_dicts: Dict[str, np.ndarray] = {}
-        def expr_is_float(e) -> bool:
-            """Best-effort dtype probe for masked-aggregate neutrals."""
-            for nd in walk(e):
-                if isinstance(nd, Col) and "." in nd.name:
-                    bb, cc = nd.name.split(".", 1)
-                    tn = next((t for b2, t, _ in bindings if b2 == bb), None)
-                    if tn is not None:
-                        a = self._source(tables, tn).host_columns.get(cc)
-                        if a is not None and np.issubdtype(
-                            a.dtype, np.floating
-                        ):
-                            return True
-                if isinstance(nd, Lit) and isinstance(nd.value, float):
-                    return True
-                if isinstance(nd, UnOp) and nd.op == "sqrt":
-                    return True
-            return False
+        # Aggregate slots — plan/aggregates.py (round-5 split): each Agg
+        # lowers to argument columns + groupby specs + post-computes +
+        # NULL-result flags (SQL: SUM/AVG/MIN/MAX/PROD of an all-NULL or
+        # empty group is NULL, COUNT is 0).
+        from harkdb_tpu.plan.aggregates import lower_aggregates
 
-        _I32_MAX, _I32_MIN = (1 << 31) - 1, -(1 << 31)
-        # SQL NULL result semantics: SUM/AVG/MIN/MAX/PROD of a group with no
-        # non-NULL input is NULL (COUNT is 0). ``agg_null_flags[out]`` names
-        # a count-valued "has any valid row" column (0 ⇔ NULL) that run_tail
-        # threads into the hidden output null indicators. With GROUP BY keys
-        # every group is non-empty, so plain (non-nullable-arg) aggregates
-        # need a flag only for the implicit single group over empty input —
-        # the broadcast ``#grp_has`` column fabricated in _phase_b_impl.
-        implicit_group = not self.group_keys
-        for i, node in enumerate(agg_nodes):
-            out = f"#agg{i}"
-            if node.func in ("min", "max") and not isinstance(node.arg, Star):
-                d = self._expr_str_dict(node.arg)
-                if d is not None:
-                    self.agg_out_dicts[out] = d
-            if isinstance(node.arg, Star):        # count(*) counts ALL rows
-                self.agg_specs.append(("#ones", "count", out))
-                agg_map[node] = out
-                continue
-            # NULL-skipping: aggregates over nullable (outer-join) columns
-            # ignore NULL rows. The mask folds into the argument as a CASE
-            # on the matched flags — it rides the groupby sort like
-            # everything else.
-            nflags = self._nullable_flags_in(node.arg)
-            if nflags:
-                cond = self._matched_cond(nflags)
-
-                def masked(val, neutral, _c=cond):
-                    return Case(((_c, val),), neutral)
-
-                arg_internal = f"#aggarg{i}"
-                if node.func == "sum":
-                    hm, hi = f"#has{i}", f"#aggargh{i}"
-                    self.agg_arg_cols.append(
-                        (arg_internal, masked(node.arg, Lit(0)))
-                    )
-                    self.agg_arg_cols.append((hi, masked(Lit(1), Lit(0))))
-                    self.agg_specs.append((arg_internal, "sum", out))
-                    self.agg_specs.append((hi, "sum", hm))
-                    self.agg_null_flags[out] = hm
-                elif node.func == "count" and not node.distinct:
-                    self.agg_arg_cols.append(
-                        (arg_internal, masked(Lit(1), Lit(0)))
-                    )
-                    self.agg_specs.append((arg_internal, "sum", out))
-                elif node.func == "avg":
-                    s, c = f"#avg_s{i}", f"#avg_c{i}"
-                    ci = f"#aggargc{i}"
-                    self.agg_arg_cols.append(
-                        (arg_internal, masked(node.arg, Lit(0)))
-                    )
-                    self.agg_arg_cols.append((ci, masked(Lit(1), Lit(0))))
-                    self.agg_specs.append((arg_internal, "sum", s))
-                    self.agg_specs.append((ci, "sum", c))
-                    self.post_computes.append((out, ("avg", s, c)))
-                    self.agg_null_flags[out] = c
-                elif node.func == "count" and node.distinct:
-                    # COUNT(DISTINCT x) over a nullable x: the validity
-                    # mask rides the aux sort as an extra key operand
-                    # (ops/groupby.py countd (value, valid) form) — exact,
-                    # no sentinel value to collide with real data.
-                    vi = f"#aggargv{i}"
-                    self.agg_arg_cols.append((arg_internal, node.arg))
-                    self.agg_arg_cols.append((vi, masked(Lit(1), Lit(0))))
-                    self.agg_specs.append(
-                        ((arg_internal, vi), "countd", out)
-                    )
-                else:                         # min / max / prod
-                    if node.func == "prod":
-                        neutral = Lit(1)
-                    elif expr_is_float(node.arg):
-                        neutral = Lit(float("inf") if node.func == "min"
-                                      else float("-inf"))
-                    else:
-                        neutral = Lit(_I32_MAX if node.func == "min"
-                                      else _I32_MIN)
-                    raw, hm = f"#mraw{i}", f"#hasm{i}"
-                    hmi = f"#aggargm{i}"
-                    self.agg_arg_cols.append(
-                        (arg_internal, masked(node.arg, neutral))
-                    )
-                    self.agg_arg_cols.append((hmi, masked(Lit(1), Lit(0))))
-                    self.agg_specs.append((arg_internal, node.func, raw))
-                    self.agg_specs.append((hmi, "max", hm))
-                    # all-NULL groups: raw holds the neutral extreme — show
-                    # 0 in the raw matrix (sql), NULL through the flag
-                    self.post_computes.append((out, ("mask0", raw, hm)))
-                    self.agg_null_flags[out] = hm
-                agg_map[node] = out
-                continue
-            arg_internal = f"#aggarg{i}"
-            if isinstance(node.arg, Col):
-                arg_internal = node.arg.name       # no copy needed
-            else:
-                self.agg_arg_cols.append((arg_internal, node.arg))
-            if node.func == "avg":
-                s, c = f"#avg_s{i}", f"#avg_c{i}"
-                self.agg_specs.append((arg_internal, "sum", s))
-                self.agg_specs.append((arg_internal, "count", c))
-                self.post_computes.append((out, ("avg", s, c)))
-                if implicit_group:
-                    self.agg_null_flags[out] = c
-            elif node.func == "count" and node.distinct:
-                # COUNT(DISTINCT x) → the dedicated "countd" aggregate
-                # (ops/groupby.py: per-group distinct counts via an auxiliary
-                # sort with x as a trailing key). The parser restricts
-                # DISTINCT-in-aggregate to COUNT.
-                self.agg_specs.append((arg_internal, "countd", out))
-            else:
-                self.agg_specs.append((arg_internal, node.func, out))
-                if implicit_group and node.func != "count":
-                    # SUM/MIN/MAX/PROD over EMPTY input is NULL in SQL
-                    self.agg_null_flags[out] = "#grp_has"
-            agg_map[node] = out
+        agg_map = lower_aggregates(self, agg_nodes, tables, bindings)
 
         # Rewrite post-groupby expressions: aggs → their output columns,
         # then NULL lowering pass 2 — the isnull/COALESCE/CASE-condition

@@ -44,7 +44,7 @@ class UnionPlan:
                     "UNION arms must select the same number of columns"
                 )
         self.output_names = list(self.arms[0].output_names)
-        self.alls = list(stmt.alls)
+        self.ops = list(stmt.ops)
         self.limit = stmt.limit
         self.offset = stmt.offset
 
@@ -142,12 +142,69 @@ class UnionPlan:
         k = int(b.n_valid)
         return [b.columns[f"#u{j}"][:k] for j in range(len(cols))]
 
+    def _set_combine(self, cols: List[jax.Array], tag: jax.Array,
+                     op: str) -> List[jax.Array]:
+        """INTERSECT / EXCEPT (distinct) of packed column tuples: rows with
+        ``tag`` 0 come from the accumulated left side, 1 from the new arm.
+        One sort by (tuple..., tag) groups equal tuples into runs with the
+        left copies first; per-run tag counts (the join machinery's
+        cummax/reversed-cummin run fills — scatter-free) decide membership,
+        and the first row of each qualifying run survives. NULL indicators
+        ride as ordinary key columns (NULL cells are zero-normalized), so
+        NULLs compare EQUAL — SQL set-op semantics."""
+        n = cols[0].shape[0]
+        if n == 0:
+            return cols
+        sorted_all = jax.lax.sort(
+            cols + [tag], num_keys=len(cols) + 1, is_stable=False
+        )
+        scols, stag = sorted_all[:-1], sorted_all[-1]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        changed = jnp.zeros((n,), jnp.bool_)
+        for c in scols:
+            prev = jnp.concatenate([c[:1], c[:-1]])
+            changed = changed | (c != prev)
+        start = (idx == 0) | changed
+        big = jnp.int32(n + 1)
+
+        def run_totals(x):
+            """Per-row total of x over the row's equal-tuple run."""
+            cum = jnp.cumsum(x)
+            excl = cum - x
+            base = jax.lax.cummax(jnp.where(start, excl, 0))
+            aoa = jnp.flip(jax.lax.cummin(jnp.flip(
+                jnp.where(start, excl, big)
+            )))
+            nxt = jnp.minimum(
+                jnp.concatenate([aoa[1:], big[None]]), cum[-1]
+            )
+            return nxt - base
+
+        ones_in = run_totals(stag.astype(jnp.int32))
+        size_in = run_totals(jnp.ones((n,), jnp.int32))
+        zeros_in = size_in - ones_in
+        if op == "intersect":
+            keep = start & (ones_in > 0) & (zeros_in > 0)
+        else:                                            # except
+            keep = start & (ones_in == 0) & (zeros_in > 0)
+        b = compact_batch(
+            ColumnBatch(
+                {f"#u{j}": c for j, c in enumerate(scols)}, jnp.int32(n)
+            ),
+            keep, self.config.use_pallas,
+        )
+        k = int(b.n_valid)
+        return [b.columns[f"#u{j}"][:k] for j in range(len(cols))]
+
     def execute(self, tables: Dict[str, Table], mesh=None,
                 shard_cache=None) -> ColumnBatch:
         cfg = self.config
 
         if (mesh is not None and mesh.devices.size > 1 and cfg.dist_tail
-                and jax.process_count() == 1):
+                and jax.process_count() == 1
+                and all(op in ("union", "union all") for op in self.ops)):
+            # INTERSECT/EXCEPT take the gather tail (arms still execute
+            # distributed; only the small set-op combination is local)
             return self._execute_sharded(tables, mesh, shard_cache)
 
         def run_arm(p: QueryPlan) -> ColumnBatch:
@@ -201,12 +258,19 @@ class UnionPlan:
                 fc = fc if fc is not None else jnp.ones((nc,), jnp.int32)
                 mflags.append(jnp.concatenate([fa, fc]))
             acc, acc_flags = merged, mflags
-            if not self.alls[ai - 1]:
+            op = self.ops[ai - 1]
+            if op != "union all":
                 nf_idx = [j for j, f in enumerate(acc_flags)
                           if f is not None]
-                dd = self._dedupe(
-                    acc + [acc_flags[j] for j in nf_idx], len(nf_idx)
-                )
+                packed = acc + [acc_flags[j] for j in nf_idx]
+                if op == "union":
+                    dd = self._dedupe(packed, len(nf_idx))
+                else:                       # intersect / except
+                    tag = jnp.concatenate([
+                        jnp.zeros((na,), jnp.int32),
+                        jnp.ones((nc,), jnp.int32),
+                    ])
+                    dd = self._set_combine(packed, tag, op)
                 acc = dd[:n_out]
                 acc_flags = list(acc_flags)
                 for k, j in enumerate(nf_idx):
@@ -458,7 +522,7 @@ class UnionPlan:
                 acc = dist_map(acc, cast_fn, acc.names, mesh, cfg)
                 sb = dist_map(sb, cast_fn, sb.names, mesh, cfg)
             acc = shrink_sharded(concat(acc, sb), mesh, cfg)
-            if not self.alls[ai - 1]:
+            if self.ops[ai - 1] == "union":
                 acc = dedupe(acc)
                 base = int(np.asarray(acc.shard_counts).sum())
 
@@ -492,9 +556,12 @@ class UnionPlan:
         lines = []
         for i, p in enumerate(self.arms):
             if i:
-                lines.append(
-                    "Union All" if self.alls[i - 1] else "Union (distinct)"
-                )
+                lines.append({
+                    "union all": "Union All",
+                    "union": "Union (distinct)",
+                    "intersect": "Intersect (distinct)",
+                    "except": "Except (distinct)",
+                }[self.ops[i - 1]])
             lines.extend("  " + ln for ln in p.explain().splitlines())
         if self.order_pos:
             lines.append("Sort " + ", ".join(

@@ -265,16 +265,19 @@ class SelectStmt:
 
 @dataclass(frozen=True)
 class UnionStmt:
-    """``arm1 UNION [ALL] arm2 [UNION [ALL] arm3 ...] [ORDER BY ...]
-    [LIMIT n] [OFFSET m]``.
+    """``arm1 <setop> arm2 [<setop> arm3 ...] [ORDER BY ...] [LIMIT n]
+    [OFFSET m]`` where ``<setop>`` is UNION [ALL] / INTERSECT / EXCEPT.
 
     Arms are plain SelectStmts without ORDER BY/LIMIT/OFFSET (standard SQL:
-    those trail the whole union and apply to the combined result). ``alls[i]``
-    is the ALL flag of the junction between the accumulated result and
-    ``arms[i + 1]``; evaluation is left-associative with a dedupe at every
-    non-ALL junction."""
+    those trail the whole statement and apply to the combined result).
+    ``ops[i]`` names the junction between the accumulated result and
+    ``arms[i + 1]``: "union all" | "union" | "intersect" | "except".
+    Evaluation is left-associative with equal precedence (SQLite's rule;
+    the standard's INTERSECT-binds-tighter is NOT applied — parenthesize
+    via derived tables when it matters). NULLs compare EQUAL in every
+    distinct set operation."""
     arms: Tuple[SelectStmt, ...]
-    alls: Tuple[bool, ...]               # len == len(arms) - 1
+    ops: Tuple[str, ...]                 # len == len(arms) - 1
     order_by: Tuple[OrderItem, ...] = ()
     limit: Optional[int] = None
     offset: Optional[int] = None
@@ -292,7 +295,7 @@ def substitute_ctes(stmt, cte_map):
     if isinstance(stmt, UnionStmt):
         return UnionStmt(
             arms=tuple(substitute_ctes(a, cte_map) for a in stmt.arms),
-            alls=stmt.alls, order_by=stmt.order_by, limit=stmt.limit,
+            ops=stmt.ops, order_by=stmt.order_by, limit=stmt.limit,
             offset=stmt.offset,
         )
 

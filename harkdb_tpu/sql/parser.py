@@ -41,7 +41,8 @@ KEYWORDS = {
     "limit", "offset", "join", "inner", "left", "right", "outer", "full",
     "cross", "on", "as", "and",
     "or", "not", "asc", "desc", "distinct", "in", "between", "like",
-    "case", "when", "then", "else", "end", "union", "all",
+    "case", "when", "then", "else", "end", "union", "intersect", "except",
+    "all",
     "over", "partition", "is", "null",
     "rows", "range", "unbounded", "preceding", "following", "current", "row",
     "exists", "cast", "nulls", "with",
@@ -209,12 +210,22 @@ class Parser:
         return order_by, limit, offset
 
     def parse_select(self):
-        """Full statement: SELECT arm(s) [UNION [ALL] arm]* [ORDER BY ...]
-        [LIMIT n] [OFFSET m]. Returns SelectStmt or UnionStmt."""
+        """Full statement: SELECT arm(s) joined by UNION [ALL] / INTERSECT
+        / EXCEPT, then [ORDER BY ...] [LIMIT n] [OFFSET m]. Returns
+        SelectStmt or UnionStmt."""
         arms = [self.parse_select_core()]
-        alls = []
-        while self.eat_kw("union"):
-            alls.append(self.eat_kw("all"))
+        ops = []
+        while self.at_kw("union", "intersect", "except"):
+            kw = self.next().text.lower()
+            if kw == "union":
+                ops.append("union all" if self.eat_kw("all") else "union")
+            else:
+                if self.eat_kw("all"):
+                    raise SqlError(
+                        f"{kw.upper()} ALL is not supported (distinct "
+                        f"{kw.upper()} only)"
+                    )
+                ops.append(kw)
             arms.append(self.parse_select_core())
         order_by, limit, offset = self._parse_order_limit_offset()
         if self.peek().kind != "eof":
@@ -227,7 +238,7 @@ class Parser:
                 limit=limit, offset=offset, distinct=s.distinct,
             )
         return UnionStmt(
-            arms=tuple(arms), alls=tuple(alls), order_by=order_by,
+            arms=tuple(arms), ops=tuple(ops), order_by=order_by,
             limit=limit, offset=offset,
         )
 
@@ -729,11 +740,19 @@ class Parser:
         return tuple(part), tuple(order), frame
 
     def parse_case(self) -> Case:
-        """Searched CASE: CASE WHEN cond THEN val ... [ELSE val] END."""
+        """CASE in both SQL forms: the searched
+        ``CASE WHEN cond THEN val ... [ELSE val] END`` and the simple
+        ``CASE expr WHEN v THEN val ... [ELSE val] END`` (desugared at
+        parse time to equality conditions on the operand)."""
         self.expect_kw("case")
+        operand = None
+        if not self.at_kw("when"):
+            operand = self.parse_expr()
         whens = []
         while self.eat_kw("when"):
             cond = self.parse_expr()
+            if operand is not None:
+                cond = BinOp("=", operand, cond)
             self.expect_kw("then")
             whens.append((cond, self.parse_expr()))
         if not whens:

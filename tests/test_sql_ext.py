@@ -290,3 +290,94 @@ class TestGroupByExpr:
             "order by d",
         ]:
             pd.testing.assert_frame_equal(cs.sql_df(q), cm.sql_df(q))
+
+
+class TestSetOps:
+    """INTERSECT / EXCEPT (distinct; SQLite-style left-associative equal
+    precedence) with NULLs comparing EQUAL — round-5 extension over the
+    UNION machinery."""
+
+    @pytest.fixture
+    def soctx(self):
+        c = Context()
+        c.create_table("a", pd.DataFrame({
+            "x": np.array([1, 2, 2, 3, 4], np.int32)}))
+        c.create_table("b", pd.DataFrame({
+            "y": np.array([2, 3, 3, 5], np.int32)}))
+        return c
+
+    def test_intersect(self, soctx):
+        df = soctx.sql_df("select x from a intersect select y from b "
+                          "order by x")
+        assert df["x"].tolist() == [2, 3]
+
+    def test_except(self, soctx):
+        df = soctx.sql_df("select x from a except select y from b "
+                          "order by x")
+        assert df["x"].tolist() == [1, 4]
+        df = soctx.sql_df("select y from b except select x from a")
+        assert df["y"].tolist() == [5]
+
+    def test_chained_left_assoc(self, soctx):
+        df = soctx.sql_df(
+            "select x from a union select y from b "
+            "except select x from a where x > 3 order by x"
+        )
+        assert df["x"].tolist() == [1, 2, 3, 5]
+
+    def test_nulls_compare_equal(self, soctx):
+        soctx.create_table("f", pd.DataFrame({
+            "k": np.array([1, 2], np.int32)}))
+        soctx.create_table("d", pd.DataFrame({
+            "j": np.array([1], np.int32),
+            "m": np.array([7], np.int32)}))
+        df = soctx.sql_df(
+            "select d.m from f left join d on f.k = d.j "
+            "intersect select d.m from f left join d on f.k = d.j "
+            "order by m"
+        )
+        assert len(df) == 2 and int(df["m"].isna().sum()) == 1
+        df2 = soctx.sql_df(
+            "select d.m from f left join d on f.k = d.j "
+            "except select d.m + 1 - 1 from f left join d on f.k = d.j"
+        )
+        # both arms contain {7, NULL}; NULLs equal → empty difference
+        assert len(df2) == 0
+
+    def test_all_rejected(self, soctx):
+        from harkdb_tpu.sql.parser import SqlError
+
+        with pytest.raises(SqlError, match="INTERSECT ALL"):
+            soctx.sql("select x from a intersect all select y from b")
+
+    def test_distributed_arms_gather_tail(self, soctx, rng):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        t = pd.DataFrame({"x": rng.integers(0, 40, 300).astype(np.int32)})
+        u = pd.DataFrame({"y": rng.integers(20, 60, 200).astype(np.int32)})
+        cs = Context()
+        cm = Context(mesh=make_engine_mesh(8))
+        for c in (cs, cm):
+            c.create_table("t", t)
+            c.create_table("u", u)
+        for q in [
+            "select x from t intersect select y from u order by x",
+            "select x from t except select y from u order by x desc",
+        ]:
+            pd.testing.assert_frame_equal(cs.sql_df(q), cm.sql_df(q))
+
+
+class TestSimpleCase:
+    def test_desugars_to_equality(self, tctx):
+        df = tctx.sql_df(
+            "select k, case k when 1 then 10 when 2 then 20 else -1 end "
+            "as c from t group by k order by k"
+        )
+        assert df["c"].tolist() == [10, 20, -1]
+
+    def test_operand_expression(self, tctx):
+        df = tctx.sql_df(
+            "select v, case v % 20 when 0 then 1 else 0 end as c "
+            "from t order by v"
+        )
+        assert df["c"].tolist() == [0, 1, 0, 1, 0]
