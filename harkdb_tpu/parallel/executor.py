@@ -471,21 +471,15 @@ class DistExecutor:
         post = list(plan.post_computes) if grouped else []
 
         def aug(cols, cap):
-            """Post-aggregation derived columns (avg / null-fixes) for
-            HAVING / ORDER BY / projection expressions — same math as
-            run_tail's post_computes block."""
+            """Post-aggregation derived columns (avg / variance /
+            null-fixes) for HAVING / ORDER BY / projection expressions —
+            the same shared math as run_tail (plan/aggregates.py)."""
             if not post:
                 return cols
+            from harkdb_tpu.plan.aggregates import apply_post_computes
+
             g = dict(cols)
-            for out, (kind, s, c) in post:
-                if kind == "avg":
-                    g[out] = g[s].astype(jnp.float32) / jnp.maximum(
-                        g[c], 1
-                    ).astype(jnp.float32)
-                elif kind == "mask0":
-                    g[out] = jnp.where(
-                        g[c] > 0, g[s], jnp.zeros((), g[s].dtype)
-                    )
+            apply_post_computes(g, post)
             return g
 
         if grouped and plan.having is not None:
@@ -519,12 +513,17 @@ class DistExecutor:
             caps.append(("windows", work.local_capacity))
 
         out_names = [f"#out{i}" for i in range(len(final_items))]
-        # Hidden NULL indicators (LEFT-JOIN matched flags) per nullable
-        # output — same trailing columns run_tail emits single-chip.
+        # Hidden NULL indicators per nullable output — same trailing
+        # columns run_tail emits single-chip. A flag may be a
+        # post-compute OUTPUT (sample-variance validity), available only
+        # after aug — check both sources and read flags from the
+        # augmented columns.
+        post_outs = {o for o, _s in post}
         nf_specs = [
             (i, flags)
             for i, flags in enumerate(plan.output_null_flags)
-            if flags and all(f in work.names for f in flags)
+            if flags and all(f in work.names or f in post_outs
+                             for f in flags)
         ]
         out_names = out_names + [f"#nullflag{i}" for i, _f in nf_specs]
 
@@ -537,7 +536,7 @@ class DistExecutor:
             for i, flags in nf_specs:
                 from harkdb_tpu.plan.nulls import valid_mask
 
-                out[f"#nullflag{i}"] = valid_mask(flags, cols).astype(
+                out[f"#nullflag{i}"] = valid_mask(flags, g).astype(
                     jnp.int32
                 )
             return out

@@ -34,6 +34,87 @@ from harkdb_tpu.sql.ast_nodes import Agg, Case, Col, Lit, Star, UnOp, walk
 
 _I32_MAX, _I32_MIN = (1 << 31) - 1, -(1 << 31)
 
+#: Aggregates lowered to sum/sumsq/count + a post-compute (sample variants
+#: are NULL below 2 rows, population variants below 1).
+VAR_FUNCS = {"stddev", "variance", "stddev_samp", "var_samp",
+             "stddev_pop", "var_pop"}
+
+
+def apply_post_computes(gcols, post_computes) -> None:
+    """Derive post-aggregation columns in-place over the grouped columns.
+
+    Shared by the single-chip tail (``run_tail``) and the distributed
+    executor's ``aug``. Spec kinds (first element; variable arity):
+
+      * ("avg", sum, cnt)                — sum/count (float)
+      * ("mask0", raw, has)             — zero the neutral extreme of
+        all-NULL min/max/prod groups in the raw matrix
+      * ("var", sumsq, sum, cnt, ddof, sqrt) — population/sample
+        variance from the float sums (E[x²]-E[x]² with the ddof
+        denominator, clamped at 0); sqrt=True → stddev
+      * ("nsub1", cnt)                  — max(cnt-1, 0): the validity
+        flag of sample variance/stddev (NULL below 2 rows)
+    """
+    import jax.numpy as jnp
+
+    for out, spec in post_computes:
+        kind = spec[0]
+        if kind == "avg":
+            _k, s, c = spec
+            gcols[out] = gcols[s].astype(jnp.float32) / jnp.maximum(
+                gcols[c], 1
+            ).astype(jnp.float32)
+        elif kind == "mask0":
+            _k, s, c = spec
+            gcols[out] = jnp.where(
+                gcols[c] > 0, gcols[s], jnp.zeros((), gcols[s].dtype)
+            )
+        elif kind == "var":
+            _k, sq, s, c, ddof, use_sqrt = spec
+            cf = gcols[c].astype(jnp.float32)
+            sf = gcols[s].astype(jnp.float32)
+            qf = gcols[sq].astype(jnp.float32)
+            denom = jnp.maximum(cf - ddof, 1.0)
+            var = jnp.maximum(
+                (qf - sf * sf / jnp.maximum(cf, 1.0)) / denom, 0.0
+            )
+            gcols[out] = jnp.sqrt(var) if use_sqrt else var
+        elif kind == "nsub1":
+            _k, c = spec
+            gcols[out] = jnp.maximum(gcols[c] - 1, 0).astype(jnp.int32)
+
+
+def _lower_var(plan, i: int, out: str, node: Agg, masked=None) -> None:
+    """STDDEV/VARIANCE (sample; *_POP population): float sum + sum-of-
+    squares + count per group, combined in a post-compute. Sample
+    variants are NULL below 2 rows (the max(c-1,0) flag), population
+    variants below 1 (the count itself is the flag). ``masked`` wraps
+    arguments for NULL-skipping over nullable columns."""
+    from harkdb_tpu.sql.ast_nodes import BinOp, UnOp
+
+    fexpr = UnOp("cast_float", node.arg)
+    sqexpr = BinOp("*", fexpr, fexpr)
+    cexpr = Lit(1)
+    if masked is not None:
+        fexpr = masked(fexpr, Lit(0.0))
+        sqexpr = masked(sqexpr, Lit(0.0))
+        cexpr = masked(Lit(1), Lit(0))
+    sq, s, c = f"#var_q{i}", f"#var_s{i}", f"#var_c{i}"
+    qi, si, ci = f"#aggargq{i}", f"#aggargs{i}", f"#aggargn{i}"
+    plan.agg_arg_cols += [(qi, sqexpr), (si, fexpr), (ci, cexpr)]
+    plan.agg_specs += [(qi, "sum", sq), (si, "sum", s), (ci, "sum", c)]
+    samp = node.func in ("stddev", "variance", "stddev_samp", "var_samp")
+    use_sqrt = node.func.startswith("stddev")
+    plan.post_computes.append(
+        (out, ("var", sq, s, c, 1 if samp else 0, use_sqrt))
+    )
+    if samp:
+        vf = f"#varflag{i}"
+        plan.post_computes.append((vf, ("nsub1", c)))
+        plan.agg_null_flags[out] = vf
+    else:
+        plan.agg_null_flags[out] = c
+
 
 def lower_aggregates(plan, agg_nodes: List[Agg], tables,
                      bindings) -> Dict[Agg, str]:
@@ -113,6 +194,8 @@ def lower_aggregates(plan, agg_nodes: List[Agg], tables,
                 plan.agg_specs.append((ci, "sum", c))
                 plan.post_computes.append((out, ("avg", s, c)))
                 plan.agg_null_flags[out] = c
+            elif node.func in VAR_FUNCS:
+                _lower_var(plan, i, out, node, masked=masked)
             elif node.func == "count" and node.distinct:
                 # COUNT(DISTINCT x) over a nullable x: the validity
                 # mask rides the aux sort as an extra key operand
@@ -145,6 +228,10 @@ def lower_aggregates(plan, agg_nodes: List[Agg], tables,
                 # 0 in the raw matrix (sql), NULL through the flag
                 plan.post_computes.append((out, ("mask0", raw, hm)))
                 plan.agg_null_flags[out] = hm
+            agg_map[node] = out
+            continue
+        if node.func in VAR_FUNCS:
+            _lower_var(plan, i, out, node)
             agg_map[node] = out
             continue
         arg_internal = f"#aggarg{i}"

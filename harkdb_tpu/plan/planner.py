@@ -41,6 +41,7 @@ from harkdb_tpu.config import EngineConfig, DEFAULT_CONFIG
 from harkdb_tpu.kernels.matmul_agg import KEY_TILE, MAX_KEY_SPAN
 from harkdb_tpu.ops.groupby import groupby_batch
 from harkdb_tpu.ops.join import compute_join_ranges, join_batches
+from harkdb_tpu.plan.aggregates import apply_post_computes
 from harkdb_tpu.plan.errors import PlanError
 from harkdb_tpu.plan.expr import eval_expr
 from harkdb_tpu.plan.nulls import NullSemantics, valid_mask
@@ -1375,11 +1376,27 @@ class QueryPlan(StringLowering, NullSemantics):
             b = p.execute(tables)
             n = int(b.n_valid)
             col = np.asarray(b.columns[b.names[0]])[:n]
+            # SQL NULL semantics for subquery results: NULL rows (hidden
+            # indicator 0) are not VALUES — IN drops them (a non-match
+            # against a set containing NULL is UNKNOWN → false anyway),
+            # NOT IN with any NULL in the set is false for every row.
+            nf = b.columns.get("#nullflag0")
+            has_null = False
+            if nf is not None:
+                valid = np.asarray(nf)[:n] != 0
+                has_null = bool((~valid).any())
+                col = col[valid]
             d = p.output_dicts[0]
-            values[s] = (col, d)
+            values[s] = (col, d, has_null)
 
         def scalar_of(s) -> object:
-            col, d = values[s]
+            col, d, has_null = values[s]
+            if has_null and col.shape[0] == 0:
+                raise PlanError(
+                    "Scalar subquery returned NULL; comparisons with a "
+                    "NULL scalar are not supported (rewrite with "
+                    "COALESCE inside the subquery)"
+                )
             if col.shape[0] != 1:
                 raise PlanError(
                     f"Scalar subquery returned {col.shape[0]} rows, "
@@ -1393,7 +1410,7 @@ class QueryPlan(StringLowering, NullSemantics):
             LUT form: ("slut", unique strings) for string columns (bits
             built over the OUTER column's dictionary at subst time) or
             ("ilut", min, bool bits) for bounded-span int columns."""
-            col, d = values[s]
+            col, d, _has_null = values[s]
             vals = np.unique(col)
             if vals.shape[0] <= self._IN_SUB_MAX:
                 if d is not None:
@@ -1434,6 +1451,11 @@ class QueryPlan(StringLowering, NullSemantics):
                 return Lit(scalar_of(e))
             if isinstance(e, InSub):
                 left = subst(e.expr)
+                if e.negate and values[e.sub][2]:
+                    # SQL: `x NOT IN (set containing NULL)` is never TRUE
+                    # (either x matches a real value → false, or the NULL
+                    # comparison makes it UNKNOWN) — constant false
+                    return BinOp("<", Lit(1), Lit(0))
                 kind, payload = set_of(e.sub)
                 if kind == "slut":
                     # membership bits over the OUTER column's dictionary —
@@ -1878,21 +1900,7 @@ class QueryPlan(StringLowering, NullSemantics):
         """
         if self.grouped and self.post_computes:
             gcols = dict(batch.columns)
-            for out, spec in self.post_computes:
-                kind, s, c = spec
-                if kind == "avg":
-                    gcols[out] = gcols[s].astype(jnp.float32) / jnp.maximum(
-                        gcols[c], 1
-                    ).astype(jnp.float32)
-                elif kind == "mask0":
-                    # NULL-skipping min/max/prod: all-NULL groups show 0 in
-                    # the raw matrix (masking off the sentinel neutral);
-                    # the agg_null_flags indicator marks them NULL for
-                    # sql_df / IS NULL / ORDER BY placement.
-                    gcols[out] = jnp.where(
-                        gcols[c] > 0, gcols[s],
-                        jnp.zeros((), gcols[s].dtype),
-                    )
+            apply_post_computes(gcols, self.post_computes)
             batch = ColumnBatch(gcols, batch.n_valid)
 
         # HAVING — fused into the DISTINCT / ORDER BY sort when one follows.

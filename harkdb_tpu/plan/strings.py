@@ -237,7 +237,10 @@ class StringLowering:
             if isinstance(e.arg, Star):
                 return e
             arg = self._lower_strings(e.arg)
-            if e.func in ("sum", "prod", "avg") and self._is_string_typed(arg):
+            if (e.func in ("sum", "prod", "avg", "stddev", "variance",
+                           "stddev_samp", "var_samp", "stddev_pop",
+                           "var_pop")
+                    and self._is_string_typed(arg)):
                 raise PlanError(
                     f"{e.func.upper()} over a string column is not supported"
                 )

@@ -48,7 +48,12 @@ KEYWORDS = {
     "exists", "cast", "nulls", "with",
 }
 
-AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg"}
+AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg",
+             "stddev", "variance", "stddev_samp", "var_samp",
+             "stddev_pop", "var_pop"}
+# variance family: grouped aggregates only (no window form)
+VAR_AGG_FUNCS = {"stddev", "variance", "stddev_samp", "var_samp",
+                 "stddev_pop", "var_pop"}
 # lowered to UnOp(func, arg); floor/ceil/round are identity on ints
 SCALAR_FUNCS = {"abs", "floor", "ceil", "round", "sqrt"}
 # string scalar functions — plan-time dictionary transforms (StrFunc →
@@ -532,6 +537,11 @@ class Parser:
                     if distinct:
                         raise SqlError(
                             "DISTINCT is not supported in window functions"
+                        )
+                    if low in VAR_AGG_FUNCS:
+                        raise SqlError(
+                            f"{low.upper()} is not supported as a window "
+                            f"function"
                         )
                     part, order, frame = self.parse_over()
                     return WindowFn(low, arg, part, order, frame=frame)

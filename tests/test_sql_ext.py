@@ -381,3 +381,118 @@ class TestSimpleCase:
             "from t order by v"
         )
         assert df["c"].tolist() == [0, 1, 0, 1, 0]
+
+
+class TestVarianceFamily:
+    """STDDEV/VARIANCE (sample) and STDDEV_POP/VAR_POP: float sum +
+    sum-of-squares + count with a post-compute; sample variants NULL
+    below 2 rows, population below 1 (plan/aggregates.py)."""
+
+    @pytest.fixture
+    def vctx(self, rng):
+        df = pd.DataFrame({
+            "k": rng.integers(0, 6, 200).astype(np.int32),
+            "v": rng.integers(0, 100, 200).astype(np.int32),
+        })
+        c = Context()
+        c.create_table("t", df)
+        return c, df
+
+    def test_vs_pandas(self, vctx):
+        c, df = vctx
+        got = c.sql_df(
+            "select k, stddev(v) as sd, variance(v) as va, "
+            "stddev_pop(v) as sp, var_pop(v) as vp from t "
+            "group by k order by k"
+        )
+        g = df.groupby("k")["v"]
+        np.testing.assert_allclose(got["sd"], g.std(ddof=1), rtol=2e-3)
+        np.testing.assert_allclose(got["va"], g.var(ddof=1), rtol=2e-3)
+        np.testing.assert_allclose(got["sp"], g.std(ddof=0), rtol=2e-3,
+                                   atol=1e-4)
+        np.testing.assert_allclose(got["vp"], g.var(ddof=0), rtol=2e-3,
+                                   atol=1e-4)
+
+    def test_single_row_group_sample_null(self):
+        c = Context()
+        c.create_table("u", pd.DataFrame({"k": [1], "v": [7]}))
+        one = c.sql_df(
+            "select k, stddev(v) as sd, var_pop(v) as vp from u group by k"
+        )
+        assert one["sd"].isna().tolist() == [True]
+        assert one["vp"].tolist() == [0.0]
+
+    def test_nullable_arg_skips(self):
+        c = Context()
+        c.create_table("f", pd.DataFrame({"k": np.int32([1, 2, 3])}))
+        c.create_table("d", pd.DataFrame({
+            "j": np.int32([1, 1, 2]), "m": np.int32([10, 20, 5])}))
+        got = c.sql_df(
+            "select f.k, stddev(d.m) as sd from f "
+            "left join d on f.k = d.j group by f.k order by f.k"
+        )
+        # k=2 has ONE match (sample needs 2), k=3 none
+        assert got["sd"].isna().tolist() == [False, True, True]
+        np.testing.assert_allclose(got["sd"][0], np.std([10, 20], ddof=1),
+                                   rtol=1e-5)
+
+    def test_having_and_order(self, vctx):
+        c, df = vctx
+        got = c.sql_df(
+            "select k, variance(v) as va from t group by k "
+            "having variance(v) > 0 order by va desc"
+        )
+        assert got["va"].is_monotonic_decreasing
+
+    def test_window_form_rejected(self, vctx):
+        from harkdb_tpu.sql.parser import SqlError
+
+        c, _df = vctx
+        with pytest.raises(SqlError, match="window"):
+            c.sql("select stddev(v) over (order by v) from t")
+
+    def test_distributed_parity(self, vctx):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        c, df = vctx
+        cm = Context(mesh=make_engine_mesh(8))
+        cm.create_table("t", df)
+        q = ("select k, stddev(v) as sd, var_pop(v) as vp from t "
+             "group by k having stddev(v) > 0 order by k")
+        pd.testing.assert_frame_equal(c.sql_df(q), cm.sql_df(q))
+
+
+class TestNullInSubquerySets:
+    """SQL semantics for NULLs in IN-subquery value sets: IN drops them,
+    NOT IN with any NULL in the set matches nothing, a NULL scalar
+    subquery raises a clear error (round 5)."""
+
+    @pytest.fixture
+    def nctx2(self):
+        c = Context()
+        c.create_table("f", pd.DataFrame({
+            "k": np.int32([1, 2, 3]), "v": np.int32([10, 20, 30])}))
+        c.create_table("d", pd.DataFrame({
+            "j": np.int32([1, 2]), "m": np.int32([10, 99])}))
+        return c
+
+    def test_in_drops_nulls(self, nctx2):
+        sub = "(select d.m from f left join d on f.k = d.j)"
+        got = nctx2.sql_df(f"select v from f where v in {sub}")
+        assert got["v"].tolist() == [10]
+
+    def test_not_in_with_null_matches_nothing(self, nctx2):
+        sub = "(select d.m from f left join d on f.k = d.j)"
+        got = nctx2.sql_df(f"select v from f where v not in {sub}")
+        assert len(got) == 0
+        # without the NULL row the same NOT IN works normally
+        sub2 = ("(select d.m from f join d on f.k = d.j)")
+        got2 = nctx2.sql_df(f"select v from f where v not in {sub2}")
+        assert got2["v"].tolist() == [20, 30]
+
+    def test_null_scalar_raises(self, nctx2):
+        with pytest.raises(PlanError, match="NULL"):
+            nctx2.sql(
+                "select v from f where v > (select d.m from f f2 "
+                "left join d on f2.k = d.j where f2.k = 3)"
+            )
