@@ -31,6 +31,7 @@ class Context:
         self.config = config
         self.mesh = mesh
         self.tables: Dict[str, Table] = {}
+        self.views: Dict[str, str] = {}
         self._plan_cache: Dict[tuple, object] = {}
         self._shard_cache: Dict[tuple, object] = {}
         self.last_metrics = None
@@ -52,6 +53,27 @@ class Context:
             k: v for k, v in self._shard_cache.items() if k[0] != table_name
         }
 
+    # -- views (engine extension: persistent CTEs) -----------------------------
+    def create_view(self, name: str, sql_statement: str) -> None:
+        """Register a named SELECT as a view. Views substitute at parse
+        time exactly like CTEs (``WITH name AS (...)``) — a reference
+        plans the body as a derived table with one materialization per
+        query. A view may reference earlier-created views; a table of the
+        same name shadows nothing (views resolve only where no real
+        table matches the name... the substitution applies to any
+        matching FROM reference, so avoid name collisions)."""
+        if name in self.tables:
+            raise ValueError(f"{name!r} is already a table")
+        from harkdb_tpu.sql.parser import parse_sql
+
+        parse_sql(sql_statement, views=self.views)   # syntax-check now
+        self.views[name] = sql_statement
+        self._plan_cache.clear()
+
+    def drop_view(self, name: str) -> None:
+        del self.views[name]
+        self._plan_cache.clear()
+
     # -- queries --------------------------------------------------------------
     def _plan(self, sql_statement: str):
         from harkdb_tpu.plan.planner import plan_query
@@ -59,7 +81,8 @@ class Context:
         key = (sql_statement, self._table_signature())
         plan = self._plan_cache.get(key)
         if plan is None:
-            plan = plan_query(self.tables, sql_statement, self.config)
+            plan = plan_query(self.tables, sql_statement, self.config,
+                              views=self.views)
             self._plan_cache[key] = plan
         return plan
 
@@ -68,7 +91,7 @@ class Context:
             (name, t.capacity, tuple(t.get_schema()),
              tuple(str(c.dtype) for c in t.columns.values()))
             for name, t in sorted(self.tables.items())
-        )
+        ) + tuple(sorted(self.views.items()))
 
     def sql_batch(self, sql_statement: str) -> Tuple[ColumnBatch, List[str]]:
         """Run a query; return the device-resident result batch + headers."""

@@ -157,10 +157,14 @@ def groupby_aggregate(
     # ONE sort: dropped-mask leading (live rows pack to the front in key
     # order; no dtype-max padding tricks needed, so masks fuse exactly), then
     # the keys, with all aggregate inputs as carried payload. COUNT(DISTINCT)
-    # columns do not ride as payload — each gets its own auxiliary sort where
-    # it participates as a KEY (below).
+    # and quantile columns do not ride as payload — each gets its own
+    # auxiliary sort where it participates as a KEY (below).
     dropped = jnp.logical_not(valid_in).astype(jnp.int32)
-    payload = [col for col, op in agg_cols if op not in ("count", "countd")]
+    payload = [
+        col for col, op in agg_cols
+        if op not in ("count", "countd")
+        and not str(op).startswith("quantile@")
+    ]
     sorted_all = jax.lax.sort(
         [dropped] + keys + payload, num_keys=1 + nk, is_stable=True
     )
@@ -197,6 +201,9 @@ def groupby_aggregate(
             continue
         if op == "countd":
             plans.append(("countd", -1))   # slot patched below
+            continue
+        if str(op).startswith("quantile@"):
+            plans.append(("quantile", -1))  # slot patched below
             continue
         col = sorted_payload[pay_i]
         pay_i += 1
@@ -273,6 +280,75 @@ def groupby_aggregate(
             new_val = is_start | (valid & (x_s != prev_x))
         slot_of[ai] = len(end_arrays)
         end_arrays.append(jnp.cumsum(new_val.astype(jnp.int32)))
+    # QUANTILE(x, q) / MEDIAN: one auxiliary sort per column with x as an
+    # extra trailing KEY (like countd); the q-quantile (PERCENTILE_CONT
+    # linear interpolation) sits at valid-local positions lo = ⌊(n-1)q⌋ and
+    # hi = ⌈(n-1)q⌉ within the group — exactly those rows contribute
+    # weighted values to a per-group segmented SUM (float-precise; the
+    # global-cumsum telescope would lose precision), evaluated at the
+    # shared segment ends. NULL-skipping form: (value, valid01) pair —
+    # invalid rows sort after the group's valid rows and contribute 0.
+    def _run_total(x_int):
+        """Per-row total of x over the row's group run (scatter-free
+        forward/backward fills — the join machinery's pattern)."""
+        cum = jnp.cumsum(x_int)
+        excl = cum - x_int
+        base = jax.lax.cummax(jnp.where(is_start, excl, 0))
+        big = jnp.int32(n + 1)
+        aoa = jnp.flip(jax.lax.cummin(jnp.flip(
+            jnp.where(is_start, excl, big)
+        )))
+        nxt = jnp.minimum(
+            jnp.concatenate([aoa[1:], big[None]]), cum[-1]
+        )
+        return nxt - base
+
+    for ai, (col, op) in enumerate(agg_cols):
+        if not str(op).startswith("quantile@"):
+            continue
+        q = float(str(op).split("@", 1)[1])
+        if isinstance(col, tuple):
+            val_col, valid_col = col
+            inv = (valid_col == 0).astype(jnp.int32)
+            aux = jax.lax.sort(
+                [dropped] + keys + [inv, val_col], num_keys=3 + nk
+            )
+            x_s, inv_s = aux[-1], aux[-2]
+            row_ok = valid & (inv_s == 0)
+        else:
+            aux = jax.lax.sort([dropped] + keys + [col], num_keys=2 + nk)
+            x_s = aux[-1]
+            row_ok = valid
+        gstart = jax.lax.cummax(jnp.where(is_start, idx, 0))
+        glen = _run_total(row_ok.astype(jnp.int32))
+        p = idx - gstart                     # valid rows are group-leading
+        pos_f = (glen - 1).astype(jnp.float32) * q
+        lo = jnp.floor(pos_f).astype(jnp.int32)
+        hi = lo + (pos_f > lo.astype(jnp.float32)).astype(jnp.int32)
+        frac = pos_f - lo.astype(jnp.float32)
+        xf = x_s.astype(jnp.float32)
+        z = jnp.where(row_ok & (p == lo), xf * (1.0 - frac), 0.0)
+        z = z + jnp.where(row_ok & (p == hi) & (hi != lo), xf * frac, 0.0)
+        sid_q = jnp.where(
+            valid, jnp.cumsum(is_start.astype(jnp.int32)) - 1,
+            jnp.int32(1 << 30),
+        )
+        from harkdb_tpu.kernels.segscan import (
+            flat_segscan, segscan_supported,
+        )
+
+        if _use_segscan(use_pallas) and segscan_supported(
+            "add", z.dtype
+        ):
+            scanned = flat_segscan(
+                "add", sid_q, [z], 0.0,
+                interpret=jax.default_backend() != "tpu",
+            )[0]
+        else:
+            scanned = doubling_segmented_scan(jnp.add, sid_q, z)
+        slot_of[ai] = len(end_arrays)
+        end_arrays.append(scanned)
+
     pos_slot = -1
     if need_pos:
         pos_slot = len(end_arrays)
@@ -319,6 +395,11 @@ def groupby_aggregate(
             E = packed_vals[slot_of[ai]]
             r = E - _prev(E, 0)
             outs.append(jnp.where(live_out, r, 0).astype(jnp.int32))
+        elif kind == "quantile":
+            r = packed_vals[slot_of[ai]]     # per-group segmented sum
+            outs.append(
+                jnp.where(live_out, r, 0.0).astype(jnp.float32)
+            )
         elif kind == "telescope":
             E = packed_vals[cum_base + cum_j]
             r = E - _prev(E, 0)

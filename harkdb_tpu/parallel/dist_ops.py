@@ -197,6 +197,65 @@ def dist_groupby(
     C = sb.local_capacity
     key_names = list(key_names)
 
+    if any(str(op).startswith("quantile@") for _s, op, _o in agg_specs):
+        # QUANTILE/MEDIAN cannot re-aggregate from partials (a quantile of
+        # quantiles is not the quantile): shuffle the RAW rows by key hash
+        # — every group lands wholly on one shard — and run the full
+        # group-by locally. One launch; the retry loop grows the bucket.
+        out_names_q = list(key_names) + [
+            s[2] for s in agg_specs if s[2] not in key_names
+        ]
+
+        def make_raw(bucket_cap: int):
+            def body(cols: Dict[str, Array], cnt: Array):
+                n_local = cnt[0]
+                if pre_fn is not None:
+                    cols = dict(cols)
+                    cols.update(pre_fn(cols, C))
+                rcols = dict(cols)
+                rcols["#route"] = hash_keys(rcols, key_names, D)
+                shuf, shuf_n, overflow = repartition_by_key(
+                    rcols, "#route", n_local, axis, D, bucket_cap,
+                    dest_is_bucket=True,
+                )
+                shuf.pop("#route", None)
+                final = groupby_batch(
+                    ColumnBatch(shuf, shuf_n), key_names, agg_specs
+                )
+                out_cols = {
+                    n: c for n, c in final.columns.items()
+                    if n in set(out_names_q)
+                }
+                return (out_cols, final.n_valid.reshape(1),
+                        jax.lax.psum(overflow, axis))
+
+            specs_in = ({n: P(axis) for n in sb.names}, P(axis))
+            specs_out = ({n: P(axis) for n in out_names_q}, P(axis), P())
+            # check_vma off: the quantile scan may engage the segscan
+            # kernel (no vma annotations on its ShapeDtypeStructs)
+            return jax.jit(jax.shard_map(
+                body, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+                check_vma=False,
+            ))
+
+        bucket_cap = _start_bucket(sb, D)
+        while True:
+            f = _cached_jit(
+                jit_cache,
+                ("groupby_raw", tag, C, bucket_cap, tuple(sb.names),
+                 tuple(key_names), tuple(map(repr, agg_specs))),
+                lambda: make_raw(bucket_cap),
+            )
+            out_cols, out_counts, overflow = f(sb.columns, sb.shard_counts)
+            if int(overflow) == 0:
+                return shrink_sharded(
+                    ShardedBatch(out_cols, out_counts), mesh, config,
+                    jit_cache=jit_cache,
+                )
+            if bucket_cap >= C * 2:
+                raise ShuffleOverflow("groupby shuffle bucket overflow")
+            bucket_cap *= 2
+
     countd_srcs = []
     for src, op, _ in agg_specs:
         if op == "countd":

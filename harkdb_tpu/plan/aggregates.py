@@ -40,6 +40,16 @@ VAR_FUNCS = {"stddev", "variance", "stddev_samp", "var_samp",
              "stddev_pop", "var_pop"}
 
 
+def quantile_op(func: str):
+    """Aggregate func name → the groupby "quantile@q" op string, or None.
+    MEDIAN(x) = QUANTILE(x, 0.5)."""
+    if func == "median":
+        return "quantile@0.5"
+    if func.startswith("quantile@"):
+        return func
+    return None
+
+
 def apply_post_computes(gcols, post_computes) -> None:
     """Derive post-aggregation columns in-place over the grouped columns.
 
@@ -196,6 +206,18 @@ def lower_aggregates(plan, agg_nodes: List[Agg], tables,
                 plan.agg_null_flags[out] = c
             elif node.func in VAR_FUNCS:
                 _lower_var(plan, i, out, node, masked=masked)
+            elif quantile_op(node.func) is not None:
+                # NULL-skipping quantile: the validity mask rides the aux
+                # sort as a key (invalid rows trail the group) and the
+                # valid-row count is the NULL flag (empty → NULL)
+                vi, c = f"#aggargv{i}", f"#qcnt{i}"
+                plan.agg_arg_cols.append((arg_internal, node.arg))
+                plan.agg_arg_cols.append((vi, masked(Lit(1), Lit(0))))
+                plan.agg_specs.append(
+                    ((arg_internal, vi), quantile_op(node.func), out)
+                )
+                plan.agg_specs.append((vi, "sum", c))
+                plan.agg_null_flags[out] = c
             elif node.func == "count" and node.distinct:
                 # COUNT(DISTINCT x) over a nullable x: the validity
                 # mask rides the aux sort as an extra key operand
@@ -232,6 +254,19 @@ def lower_aggregates(plan, agg_nodes: List[Agg], tables,
             continue
         if node.func in VAR_FUNCS:
             _lower_var(plan, i, out, node)
+            agg_map[node] = out
+            continue
+        if quantile_op(node.func) is not None:
+            arg_internal = f"#aggarg{i}"
+            if isinstance(node.arg, Col):
+                arg_internal = node.arg.name
+            else:
+                plan.agg_arg_cols.append((arg_internal, node.arg))
+            plan.agg_specs.append(
+                (arg_internal, quantile_op(node.func), out)
+            )
+            if implicit_group:
+                plan.agg_null_flags[out] = "#grp_has"
             agg_map[node] = out
             continue
         arg_internal = f"#aggarg{i}"

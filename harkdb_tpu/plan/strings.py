@@ -142,14 +142,16 @@ class StringLowering:
         out_op = "<" if op in ("<", "<=") else ">="
         return BinOp(out_op, col_expr, Lit(i))
 
-    def _lower_like(self, col_expr, d: np.ndarray, pattern: str):
-        """LIKE against the dictionary, host-side: % → .*, _ → . (fullmatch).
-        Contiguous matching-code runs lower to a fused compare OR-chain; a
-        scattered match set lowers to one boolean-LUT gather (LutMember)."""
+    def _lower_like(self, col_expr, d: np.ndarray, pattern: str,
+                    ci: bool = False):
+        """LIKE against the dictionary, host-side: % → .*, _ → . (fullmatch;
+        ``ci`` = ILIKE, case-insensitive). Contiguous matching-code runs
+        lower to a fused compare OR-chain; a scattered match set lowers to
+        one boolean-LUT gather (LutMember)."""
         rx = re.compile(
             "".join(".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
                     for ch in pattern),
-            re.DOTALL,
+            re.DOTALL | (re.IGNORECASE if ci else 0),
         )
         m = np.array([rx.fullmatch(s) is not None for s in d.tolist()],
                      dtype=bool)
@@ -285,12 +287,14 @@ class StringLowering:
                 raise PlanError("CASE cannot produce string values")
             return Case(whens, else_)
         if isinstance(e, BinOp):
-            if e.op == "like":
+            if e.op in ("like", "ilike"):
                 left = self._lower_strings(e.left)
                 d = self._expr_str_dict(left)
                 if d is None:
-                    raise PlanError("LIKE requires a string column")
-                return self._lower_like(left, d, e.right.value)
+                    raise PlanError(f"{e.op.upper()} requires a string "
+                                    f"column")
+                return self._lower_like(left, d, e.right.value,
+                                        ci=e.op == "ilike")
             left = self._lower_strings(e.left)
             right = self._lower_strings(e.right)
             if isinstance(left, (SubQuery, InSub)) or isinstance(

@@ -233,10 +233,13 @@ class JoinClause:
     """One JOIN step. ``conds`` is a conjunction of column equalities
     (``ON a.x = b.x AND a.y = b.y`` — multi-key equi-join; the reference
     kernel is single-key, ``join.fut:52-75``). Empty ``conds`` = CROSS
-    JOIN. ``kind``: inner | left | right | full | cross."""
+    JOIN. ``residuals`` are non-equi AND-terms of the ON condition —
+    INNER joins lower them into WHERE (equivalent), outer joins reject
+    them. ``kind``: inner | left | right | full | cross."""
     table: TableRef
     conds: Tuple[Tuple[Col, Col], ...]
     kind: str = "inner"
+    residuals: Tuple = ()
 
 
 @dataclass(frozen=True)
@@ -347,7 +350,8 @@ def substitute_ctes(stmt, cte_map):
             for it in stmt.items
         ),
         table=ref(stmt.table),
-        joins=tuple(JoinClause(ref(j.table), j.conds, j.kind)
+        joins=tuple(JoinClause(ref(j.table), j.conds, j.kind,
+                               tuple(ex(r) for r in j.residuals))
                     for j in stmt.joins),
         where=ex(stmt.where) if stmt.where is not None else None,
         group_by=stmt.group_by,

@@ -42,6 +42,7 @@ KEYWORDS = {
     "cross", "on", "as", "and",
     "or", "not", "asc", "desc", "distinct", "in", "between", "like",
     "case", "when", "then", "else", "end", "union", "intersect", "except",
+    "ilike",
     "all",
     "over", "partition", "is", "null",
     "rows", "range", "unbounded", "preceding", "following", "current", "row",
@@ -50,10 +51,10 @@ KEYWORDS = {
 
 AGG_FUNCS = {"sum", "prod", "max", "min", "count", "avg",
              "stddev", "variance", "stddev_samp", "var_samp",
-             "stddev_pop", "var_pop"}
-# variance family: grouped aggregates only (no window form)
+             "stddev_pop", "var_pop", "median"}
+# grouped-only aggregates (no window form)
 VAR_AGG_FUNCS = {"stddev", "variance", "stddev_samp", "var_samp",
-                 "stddev_pop", "var_pop"}
+                 "stddev_pop", "var_pop", "median"}
 # lowered to UnOp(func, arg); floor/ceil/round are identity on ints
 SCALAR_FUNCS = {"abs", "floor", "ceil", "round", "sqrt"}
 # string scalar functions — plan-time dictionary transforms (StrFunc →
@@ -319,26 +320,41 @@ class Parser:
         self.expect_kw("join")
         table = self.parse_table_ref()
         self.expect_kw("on")
-        # ON is a conjunction of column equalities (multi-key equi-join).
-        conds = [self._parse_join_cond()]
-        while self.eat_kw("and"):
-            conds.append(self._parse_join_cond())
+        # ON is an AND-conjunction; column equalities become sort keys
+        # (multi-key equi-join), anything else is a RESIDUAL predicate —
+        # for INNER joins it lowers into WHERE (equivalent by relational
+        # algebra); outer joins reject residuals (they would change which
+        # rows count as matched — planner-enforced).
+        conds = []
+        residuals = []
+        while True:
+            e = self.parse_and_term_for_on()
+            if (isinstance(e, BinOp) and e.op == "="
+                    and isinstance(e.left, Col)
+                    and isinstance(e.right, Col)):
+                conds.append((e.left, e.right))
+            else:
+                residuals.append(e)
+            if not self.eat_kw("and"):
+                break
         if self.at_kw("or"):
             raise SqlError(
-                "JOIN ... ON supports only AND-combined column equalities "
-                "(no OR)"
+                "JOIN ... ON must be an AND-combined condition list "
+                "(no top-level OR)"
             )
-        return JoinClause(table=table, conds=tuple(conds), kind=kind)
-
-    def _parse_join_cond(self) -> Tuple[Col, Col]:
-        a = self.parse_qualified_col()
-        if not (self.eat_op("=") or self.eat_op("==")):
+        if not conds:
             raise SqlError(
-                "JOIN ... ON expects column equalities (non-equi join "
-                "conditions belong in WHERE)"
+                "JOIN ... ON needs at least one column equality (the "
+                "equi-join key); purely non-equi joins are not supported "
+                "— use CROSS JOIN + WHERE"
             )
-        b = self.parse_qualified_col()
-        return (a, b)
+        return JoinClause(table=table, conds=tuple(conds), kind=kind,
+                          residuals=tuple(residuals))
+
+    def parse_and_term_for_on(self):
+        """One AND-term of an ON condition: a comparison-level expression
+        (no top-level AND/OR — the caller owns the conjunction)."""
+        return self.parse_not()
 
     def parse_qualified_col(self) -> Col:
         name = self.expect_ident()
@@ -403,7 +419,7 @@ class Parser:
         if self.at_kw("not"):
             nxt = self.tokens[self.i + 1]
             if nxt.kind == "kw" and nxt.text.lower() in ("in", "between",
-                                                         "like"):
+                                                         "like", "ilike"):
                 self.next()
                 negate = True
         if self.eat_kw("in"):
@@ -430,13 +446,15 @@ class Parser:
         # x [NOT] LIKE 'pattern' — pattern must be a string literal; the
         # planner lowers it against the column's dictionary (range OR-chain
         # when the matching codes are contiguous runs, LUT membership else).
-        if self.eat_kw("like"):
+        if self.at_kw("like", "ilike"):
+            op = self.next().text.lower()
             t = self.peek()
             if t.kind != "str":
                 raise SqlError(
-                    f"LIKE expects a string literal pattern, got {t.text!r}"
+                    f"{op.upper()} expects a string literal pattern, "
+                    f"got {t.text!r}"
                 )
-            e = BinOp("like", left, Lit(self.next().text))
+            e = BinOp(op, left, Lit(self.next().text))
             return UnOp("not", e) if negate else e
         if negate:
             raise SqlError("Expected IN, BETWEEN or LIKE after NOT")
@@ -546,6 +564,29 @@ class Parser:
                     part, order, frame = self.parse_over()
                     return WindowFn(low, arg, part, order, frame=frame)
                 return agg
+            if low == "quantile" and nxt.kind == "op" and nxt.text == "(":
+                # QUANTILE(x, q) — PERCENTILE_CONT with linear
+                # interpolation (DuckDB-style call form); MEDIAN(x) is
+                # QUANTILE(x, 0.5). The q rides in the Agg func name.
+                self.next()          # func name
+                self.next()          # "("
+                arg = self.parse_expr()
+                self.expect_op(",")
+                t2 = self.peek()
+                if t2.kind != "num":
+                    raise SqlError(
+                        f"QUANTILE expects a numeric fraction, got "
+                        f"{t2.text!r}"
+                    )
+                qv = float(self.next().text)
+                if not 0.0 <= qv <= 1.0:
+                    raise SqlError("QUANTILE fraction must be in [0, 1]")
+                self.expect_op(")")
+                if self.at_kw("over"):
+                    raise SqlError(
+                        "QUANTILE is not supported as a window function"
+                    )
+                return Agg(f"quantile@{qv}", arg)
             if low == "ntile" and nxt.kind == "op" and nxt.text == "(":
                 self.next()          # func name
                 self.next()          # "("
@@ -772,34 +813,48 @@ class Parser:
         return Case(tuple(whens), else_)
 
 
-def parse_sql(sql: str) -> SelectStmt:
+def parse_sql(sql: str, views=None) -> SelectStmt:
     """Parse one [WITH-prefixed] SELECT statement into the typed AST.
 
     ``WITH name AS (SELECT ...) [, name2 AS (...)] SELECT ...`` desugars at
     parse time: each CTE body becomes the backing statement of a
     ``DerivedRef`` wherever its name appears (plan/derived.py shares one
     materialization per CTE body). Later CTE bodies may reference earlier
-    ones (pre-substituted in definition order)."""
-    p = Parser(tokenize(sql))
-    cte_map = {}
-    if p.eat_kw("with"):
-        from harkdb_tpu.sql.ast_nodes import substitute_ctes
+    ones (pre-substituted in definition order).
 
+    ``views``: registered view name → SQL text (``Context.create_view``).
+    Views substitute exactly like CTEs (a view is a persistent CTE);
+    view bodies may reference other views. CTEs shadow views of the same
+    name for the statement they prefix."""
+    from harkdb_tpu.sql.ast_nodes import substitute_ctes
+
+    cte_map = {}
+    if views:
+        resolved: dict = {}
+        for name, body_sql in views.items():
+            body = Parser(tokenize(body_sql)).parse_select()
+            resolved[name] = substitute_ctes(
+                body, {k: v for k, v in resolved.items()}
+            )
+        cte_map.update(resolved)
+    p = Parser(tokenize(sql))
+    declared = set()
+    if p.eat_kw("with"):
         while True:
             name = p.expect_ident()
-            if name in cte_map:
+            if name in declared:
                 raise SqlError(f"Duplicate CTE name {name!r}")
+            declared.add(name)
             p.expect_kw("as")
             p.expect_op("(")
             body = p.parse_subquery_stmt()
             p.expect_op(")")
-            # earlier CTEs resolve inside later bodies (standard SQL)
+            # earlier CTEs (and views — a CTE shadows a same-named view)
+            # resolve inside later bodies
             cte_map[name] = substitute_ctes(body, cte_map)
             if not p.eat_op(","):
                 break
     stmt = p.parse_select()
     if cte_map:
-        from harkdb_tpu.sql.ast_nodes import substitute_ctes
-
         stmt = substitute_ctes(stmt, cte_map)
     return stmt

@@ -199,9 +199,16 @@ class TestParserFrontier:
         with pytest.raises(SqlError, match="AND-combined"):
             parse_sql("select * from a join b on a.x = b.y or a.z = b.w")
 
-    def test_non_equi_rejected(self):
-        with pytest.raises(SqlError, match="equalities"):
+    def test_non_equi_needs_an_equality_anchor(self):
+        # round 5: non-equi AND-terms are accepted as residuals, but at
+        # least one column equality must anchor the equi-join
+        with pytest.raises(SqlError, match="column equality"):
             parse_sql("select * from a join b on a.x < b.y")
+        s = parse_sql(
+            "select * from a join b on a.x = b.y and a.z < b.w"
+        )
+        assert len(s.joins[0].conds) == 1
+        assert len(s.joins[0].residuals) == 1
 
     def test_full_not_eaten_as_alias(self):
         # 'full' is reserved: previously parsed as an alias of `a` and

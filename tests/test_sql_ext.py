@@ -496,3 +496,239 @@ class TestNullInSubquerySets:
                 "select v from f where v > (select d.m from f f2 "
                 "left join d on f2.k = d.j where f2.k = 3)"
             )
+
+
+class TestMedianQuantile:
+    """MEDIAN(x) / QUANTILE(x, q) — PERCENTILE_CONT linear interpolation
+    via an aux sort with the value as a trailing key: the two straddling
+    positions contribute weighted values to a per-group segmented sum
+    (ops/groupby.py). Distributed: raw-row shuffle (quantiles cannot
+    re-aggregate from partials)."""
+
+    @pytest.fixture
+    def qctx(self, rng):
+        df = pd.DataFrame({
+            "k": rng.integers(0, 8, 300).astype(np.int32),
+            "v": rng.integers(0, 1000, 300).astype(np.int32),
+        })
+        c = Context()
+        c.create_table("t", df)
+        return c, df
+
+    def test_vs_pandas(self, qctx):
+        c, df = qctx
+        got = c.sql_df(
+            "select k, median(v) as md, quantile(v, 0.25) as q1, "
+            "quantile(v, 0.9) as q9 from t group by k order by k"
+        )
+        g = df.groupby("k")["v"]
+        np.testing.assert_allclose(got["md"], g.median(), rtol=1e-5)
+        np.testing.assert_allclose(got["q1"], g.quantile(0.25), rtol=1e-5)
+        np.testing.assert_allclose(got["q9"], g.quantile(0.9), rtol=1e-5)
+
+    def test_extremes_and_ungrouped(self, qctx):
+        c, df = qctx
+        got = c.sql_df(
+            "select quantile(v, 0) as lo, quantile(v, 1) as hi, "
+            "median(v) as md from t"
+        )
+        assert got["lo"].tolist() == [float(df.v.min())]
+        assert got["hi"].tolist() == [float(df.v.max())]
+        np.testing.assert_allclose(got["md"], [df.v.median()], rtol=1e-6)
+
+    def test_nullable_skips(self):
+        c = Context()
+        c.create_table("f", pd.DataFrame({"k": np.int32([1, 2, 3])}))
+        c.create_table("d", pd.DataFrame({
+            "j": np.int32([1, 1, 1, 2]),
+            "m": np.int32([10, 20, 30, 7])}))
+        got = c.sql_df(
+            "select f.k, median(d.m) as md from f "
+            "left join d on f.k = d.j group by f.k order by f.k"
+        )
+        np.testing.assert_array_equal(
+            got["md"].to_numpy(), [20.0, 7.0, np.nan]
+        )
+
+    def test_validation(self, qctx):
+        from harkdb_tpu.sql.parser import SqlError
+
+        c, _df = qctx
+        with pytest.raises(SqlError, match="fraction"):
+            c.sql("select quantile(v, 2) from t")
+        with pytest.raises(SqlError, match="window"):
+            c.sql("select median(v) over (order by v) from t")
+
+    def test_distributed_parity(self, qctx):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        c, df = qctx
+        cm = Context(mesh=make_engine_mesh(8))
+        cm.create_table("t", df)
+        q = ("select k, median(v) as md, quantile(v, 0.75) as q3, "
+             "sum(v) as s from t group by k order by k")
+        pd.testing.assert_frame_equal(c.sql_df(q), cm.sql_df(q))
+
+
+class TestOnResidualsAndIlike:
+    def test_inner_on_residual(self, rng):
+        a = pd.DataFrame({
+            "u": rng.integers(0, 10, 200).astype(np.int32),
+            "x": rng.integers(0, 50, 200).astype(np.int32)})
+        b = pd.DataFrame({
+            "p": rng.integers(0, 10, 100).astype(np.int32),
+            "y": rng.integers(0, 50, 100).astype(np.int32)})
+        c = Context()
+        c.create_table("a", a)
+        c.create_table("b", b)
+        got = c.sql_df(
+            "select a.u, a.x, b.y from a join b "
+            "on a.u = b.p and a.x < b.y and b.y - a.x != 7 "
+            "order by a.u, a.x, b.y"
+        )
+        m = a.merge(b, left_on="u", right_on="p")
+        m = m[(m.x < m.y) & (m.y - m.x != 7)].sort_values(["u", "x", "y"])
+        assert got["x"].tolist() == m["x"].tolist()
+        assert got["y"].tolist() == m["y"].tolist()
+
+    def test_outer_residual_rejected(self, tctx):
+        with pytest.raises(PlanError, match="INNER"):
+            tctx.sql("select * from t left join r on t.k = r.k "
+                     "and t.v < r.w")
+
+    def test_ilike(self):
+        c = Context()
+        c.create_table("p", pd.DataFrame({
+            "name": ["Alice", "ALINE", "bob", "alf"]}))
+        got = c.sql_df("select name from p where name ilike 'al%'")
+        assert got["name"].tolist() == ["Alice", "ALINE", "alf"]
+        got = c.sql_df("select name from p where name not ilike '%F'")
+        assert got["name"].tolist() == ["Alice", "ALINE", "bob"]
+
+
+class TestViews:
+    """Views = persistent CTEs (Context.create_view / drop_view):
+    substituted at parse time via the CTE machinery, planned as derived
+    tables with one materialization per query."""
+
+    @pytest.fixture
+    def wctx(self, tctx):
+        tctx.create_view("agg", "select k, sum(v) as s from t group by k")
+        tctx.create_view("big", "select k, s from agg where s > 25")
+        return tctx
+
+    def test_basic_and_chained(self, wctx):
+        df = wctx.sql_df("select * from big order by k")
+        assert df["k"].tolist() == [1, 2, 3]
+        assert df["s"].tolist() == [30, 70, 50]
+
+    def test_join_against_view(self, wctx):
+        df = wctx.sql_df(
+            "select t.k, agg.s from t join agg on t.k = agg.k "
+            "order by t.k, t.v"
+        )
+        assert df["s"].tolist() == [30, 30, 70, 70, 50]
+
+    def test_cte_shadows_view(self, wctx):
+        df = wctx.sql_df(
+            "with agg as (select k from t where k = 3) select * from agg"
+        )
+        assert df.columns.tolist() == ["k"] and df["k"].tolist() == [3]
+
+    def test_drop_and_errors(self, wctx):
+        wctx.drop_view("big")
+        with pytest.raises(PlanError, match="not in tables"):
+            wctx.sql("select * from big")
+        with pytest.raises(ValueError, match="already a table"):
+            wctx.create_view("t", "select k from t")
+        # view bodies syntax-check at creation
+        from harkdb_tpu.sql.parser import SqlError
+
+        with pytest.raises(SqlError):
+            wctx.create_view("bad", "select from where")
+
+    def test_plan_cache_invalidation(self, wctx):
+        q = "select count(*) as n from agg"
+        assert wctx.sql_df(q)["n"].tolist() == [3]
+        wctx.drop_view("agg")
+        wctx.create_view("agg",
+                         "select k from t where k = 1 group by k")
+        assert wctx.sql_df(q)["n"].tolist() == [1]
+
+
+class TestTopKLimit:
+    """ORDER BY <single key> LIMIT k (k + offset ≤ 1024) takes a
+    `lax.top_k` selection instead of the full payload sort — bit-identical
+    to the stable sort (top_k breaks ties by lowest index)."""
+
+    @pytest.fixture
+    def kctx(self, rng):
+        df = pd.DataFrame({
+            "k": rng.integers(0, 500, 5000).astype(np.int32),
+            "v": rng.integers(-500, 500, 5000).astype(np.int32),
+            "f": rng.normal(0, 10, 5000).astype(np.float32),
+        })
+        c = Context()
+        c.create_table("t", df)
+        return c, df
+
+    def test_matches_stable_sort(self, kctx):
+        c, df = kctx
+        for q, col, asc in [
+            ("select k, v from t order by v limit 7", "v", True),
+            ("select k, v from t order by v desc limit 7", "v", False),
+            ("select k, f from t order by f limit 6", "f", True),
+        ]:
+            got = c.sql_df(q)
+            w = df.sort_values(col, ascending=asc, kind="stable").head(
+                len(got))
+            assert got[col].tolist() == w[col].tolist(), q
+            assert got["k"].tolist() == w["k"].tolist(), q
+
+    def test_offset_and_where(self, kctx):
+        c, df = kctx
+        got = c.sql_df(
+            "select k, v from t where v > 0 order by v desc "
+            "limit 5 offset 2"
+        )
+        w = df[df.v > 0].sort_values("v", ascending=False,
+                                     kind="stable").iloc[2:7]
+        assert got["v"].tolist() == w["v"].tolist()
+        assert got["k"].tolist() == w["k"].tolist()
+
+    def test_same_as_sort_path(self, kctx):
+        c, _df = kctx
+        a = c.sql_df("select k, v from t order by v limit 800")
+        b = c.sql_df("select k, v from t order by v limit 2000").head(
+            800).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_nullable_key(self):
+        c = Context()
+        c.create_table("f", pd.DataFrame({"k": np.int32([1, 2, 3, 4])}))
+        c.create_table("d", pd.DataFrame({
+            "j": np.int32([1, 2]), "m": np.int32([9, 5])}))
+        got = c.sql_df(
+            "select f.k, d.m from f left join d on f.k = d.j "
+            "order by d.m limit 3"
+        )
+        assert got["k"].tolist() == [2, 1, 3]       # NULLS LAST default
+        assert got["m"].isna().tolist() == [False, False, True]
+        got2 = c.sql_df(
+            "select f.k, d.m from f left join d on f.k = d.j "
+            "order by d.m desc nulls last limit 3"
+        )
+        assert got2["k"].tolist() == [1, 2, 3]
+
+    def test_distributed_parity(self, kctx):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        c, df = kctx
+        cm = Context(mesh=make_engine_mesh(8))
+        cm.create_table("t", df)
+        for q in [
+            "select k, v from t order by v limit 9",
+            "select k, sum(v) as s from t group by k "
+            "order by s desc limit 5",
+        ]:
+            pd.testing.assert_frame_equal(c.sql_df(q), cm.sql_df(q))
