@@ -40,10 +40,13 @@ def _binding_columns(refs, tables) -> Dict[str, set]:
     out: Dict[str, set] = {}
     for ref in refs:
         if isinstance(ref, DerivedRef):
+            body = ref.stmt
+            if not isinstance(body, SelectStmt):
+                body = body.arms[0]      # set-op body: first arm's schema
             out[ref.binding] = {
                 it.alias or (it.expr.name if isinstance(it.expr, Col)
                              else "")
-                for it in ref.stmt.items
+                for it in body.items
             }
         elif ref.name in tables:
             out[ref.binding] = set(tables[ref.name].get_schema())
@@ -71,6 +74,8 @@ def decorrelate_aggregates(stmt: SelectStmt, tables) -> SelectStmt:
 
     def try_rewrite(sub: SubQuery) -> Optional[object]:
         s = sub.stmt
+        if not isinstance(s, SelectStmt):
+            return None              # set-operation body — scalar path
         if (s.group_by or s.having is not None or s.distinct
                 or s.limit is not None or s.offset):
             return None

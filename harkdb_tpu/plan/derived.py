@@ -83,7 +83,14 @@ class DerivedSource:
         """(host column dict, n_rows) for mesh resharding: the inner query
         runs through the distributed executor when a mesh is given."""
         if self._host is None:
-            if mesh is not None and mesh.devices.size > 1:
+            from harkdb_tpu.plan.union_plan import UnionPlan
+
+            if isinstance(self.plan, UnionPlan):
+                # UnionPlan drives its own arms (distributed or not)
+                b = self.plan.execute(
+                    tables, mesh=mesh, shard_cache=shard_cache
+                )
+            elif mesh is not None and mesh.devices.size > 1:
                 from harkdb_tpu.parallel.executor import DistExecutor
 
                 b = DistExecutor(

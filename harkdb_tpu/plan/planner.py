@@ -408,22 +408,15 @@ class QueryPlan(StringLowering, NullSemantics):
             seen.add(b)
             if isinstance(ref, DerivedRef):
                 from harkdb_tpu.plan.derived import DerivedSource
-                from harkdb_tpu.sql.ast_nodes import UnionStmt as _U
 
-                if isinstance(ref.stmt, _U):
-                    raise PlanError(
-                        "Set operations (UNION/INTERSECT/EXCEPT) are not "
-                        "supported inside view/CTE/derived-table bodies"
-                    )
-
-                # CTE references share the SAME SelectStmt object (parser
+                # CTE references share the SAME statement object (parser
                 # substitution) — share one DerivedSource per body so the
                 # inner query materializes once however many times the
-                # CTE is named.
+                # CTE is named. Set-operation bodies plan as UnionPlans.
                 src = self._derived_by_stmt.get(id(ref.stmt))
                 if src is None:
                     src = DerivedSource(
-                        QueryPlan(ref.stmt, tables, self.config)
+                        _plan_for_stmt(ref.stmt, tables, self.config)
                     )
                     self._derived_by_stmt[id(ref.stmt)] = src
                 self._derived[ref.name] = src
@@ -1227,8 +1220,11 @@ class QueryPlan(StringLowering, NullSemantics):
         inner_bind: Dict[str, set] = {}
         for ref in [sub.table] + [j.table for j in sub.joins]:
             if isinstance(ref, DerivedRef):
+                body = ref.stmt
+                if not isinstance(body, SelectStmt):
+                    body = body.arms[0]   # set-op body: first arm's schema
                 inner_bind[ref.binding] = {
-                    it.alias or _expr_name(it.expr) for it in ref.stmt.items
+                    it.alias or _expr_name(it.expr) for it in body.items
                 }
             elif ref.name in tables:
                 inner_bind[ref.binding] = set(tables[ref.name].get_schema())
@@ -1345,7 +1341,7 @@ class QueryPlan(StringLowering, NullSemantics):
                     found = True
                     if s not in self._subplans:
                         try:
-                            p = QueryPlan(s.stmt, tables, self.config)
+                            p = _plan_for_stmt(s.stmt, tables, self.config)
                         except PlanError as err:
                             # A sub-plan resolution failure whose
                             # STRUCTURED unresolved identifier names an
@@ -2138,13 +2134,19 @@ class QueryPlan(StringLowering, NullSemantics):
         return "\n".join(lines)
 
 
-def plan_query(tables: Dict[str, Table], sql: str,
-               config: EngineConfig = DEFAULT_CONFIG, views=None):
+def _plan_for_stmt(stmt, tables: Dict[str, Table],
+                   config: EngineConfig = DEFAULT_CONFIG):
+    """SelectStmt → QueryPlan; UnionStmt → UnionPlan (shared by the top
+    level, derived tables / CTEs / views, and IN/scalar subqueries)."""
     from harkdb_tpu.sql.ast_nodes import UnionStmt
 
-    stmt = parse_sql(sql, views=views)
     if isinstance(stmt, UnionStmt):
         from harkdb_tpu.plan.union_plan import UnionPlan
 
         return UnionPlan(stmt, tables, config)
     return QueryPlan(stmt, tables, config)
+
+
+def plan_query(tables: Dict[str, Table], sql: str,
+               config: EngineConfig = DEFAULT_CONFIG, views=None):
+    return _plan_for_stmt(parse_sql(sql, views=views), tables, config)

@@ -216,9 +216,15 @@ class Parser:
         return order_by, limit, offset
 
     def parse_select(self):
-        """Full statement: SELECT arm(s) joined by UNION [ALL] / INTERSECT
-        / EXCEPT, then [ORDER BY ...] [LIMIT n] [OFFSET m]. Returns
-        SelectStmt or UnionStmt."""
+        """Full statement: a compound select followed by end-of-input."""
+        return self.parse_compound_select()
+
+    def parse_compound_select(self):
+        """SELECT arm(s) joined by UNION [ALL] / INTERSECT / EXCEPT, then
+        [ORDER BY ...] [LIMIT n] [OFFSET m]. Returns SelectStmt or
+        UnionStmt. Used for the top-level statement AND for view / CTE /
+        derived-table / IN-subquery bodies (set operations compose
+        anywhere a SELECT does)."""
         arms = [self.parse_select_core()]
         ops = []
         while self.at_kw("union", "intersect", "except"):
@@ -234,8 +240,6 @@ class Parser:
                 ops.append(kw)
             arms.append(self.parse_select_core())
         order_by, limit, offset = self._parse_order_limit_offset()
-        if self.peek().kind != "eof":
-            raise SqlError(f"Unexpected trailing input at {self.peek().text!r}")
         if len(arms) == 1:
             s = arms[0]
             return SelectStmt(
@@ -280,7 +284,7 @@ class Parser:
     def parse_table_ref(self):
         # FROM (SELECT ...) alias — a derived table (alias mandatory).
         if self.eat_op("("):
-            stmt = self.parse_subquery_stmt()
+            stmt = self.parse_compound_select()
             self.expect_op(")")
             alias = None
             if self.eat_kw("as"):
@@ -425,7 +429,7 @@ class Parser:
         if self.eat_kw("in"):
             self.expect_op("(")
             if self.at_kw("select"):           # x [NOT] IN (SELECT ...)
-                sub = SubQuery(self.parse_subquery_stmt())
+                sub = SubQuery(self.parse_compound_select())
                 self.expect_op(")")
                 return InSub(left, sub, negate)
             exprs = [self.parse_expr()]
@@ -501,7 +505,7 @@ class Parser:
             return Lit(t.text)
         if self.eat_op("("):
             if self.at_kw("select"):           # scalar subquery
-                sub = SubQuery(self.parse_subquery_stmt())
+                sub = SubQuery(self.parse_compound_select())
                 self.expect_op(")")
                 return sub
             e = self.parse_expr()
@@ -847,7 +851,7 @@ def parse_sql(sql: str, views=None) -> SelectStmt:
             declared.add(name)
             p.expect_kw("as")
             p.expect_op("(")
-            body = p.parse_subquery_stmt()
+            body = p.parse_compound_select()
             p.expect_op(")")
             # earlier CTEs (and views — a CTE shadows a same-named view)
             # resolve inside later bodies
@@ -855,6 +859,10 @@ def parse_sql(sql: str, views=None) -> SelectStmt:
             if not p.eat_op(","):
                 break
     stmt = p.parse_select()
+    if p.peek().kind != "eof":
+        raise SqlError(
+            f"Unexpected trailing input at {p.peek().text!r}"
+        )
     if cte_map:
         stmt = substitute_ctes(stmt, cte_map)
     return stmt

@@ -732,3 +732,60 @@ class TestTopKLimit:
             "order by s desc limit 5",
         ]:
             pd.testing.assert_frame_equal(c.sql_df(q), cm.sql_df(q))
+
+
+class TestSetOpBodies:
+    """Set operations compose anywhere a SELECT does (round 5): views,
+    CTEs, derived tables and IN-subqueries may have UNION/INTERSECT/
+    EXCEPT bodies (planned as UnionPlans behind a DerivedSource)."""
+
+    @pytest.fixture
+    def bctx(self):
+        c = Context()
+        c.create_table("a", pd.DataFrame({"x": np.int32([1, 2, 2, 3])}))
+        c.create_table("b", pd.DataFrame({"y": np.int32([2, 3, 5])}))
+        return c
+
+    def test_derived_union(self, bctx):
+        df = bctx.sql_df(
+            "select d.x, count(*) as n from "
+            "(select x from a union select y from b) d "
+            "group by d.x order by d.x"
+        )
+        assert df["x"].tolist() == [1, 2, 3, 5]
+        assert df["n"].tolist() == [1, 1, 1, 1]
+
+    def test_cte_intersect(self, bctx):
+        df = bctx.sql_df(
+            "with u as (select x from a intersect select y from b) "
+            "select * from u order by x"
+        )
+        assert df["x"].tolist() == [2, 3]
+
+    def test_view_union_all(self, bctx):
+        bctx.create_view("uni", "select x from a union all "
+                                "select y from b")
+        assert bctx.sql_df("select count(*) as n from uni")[
+            "n"].tolist() == [7]
+
+    def test_in_subquery_except(self, bctx):
+        df = bctx.sql_df(
+            "select x from a where x in "
+            "(select x from a except select y from b)"
+        )
+        assert df["x"].tolist() == [1]
+
+    def test_distributed_parity(self, rng):
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        a = pd.DataFrame({"x": rng.integers(0, 50, 400).astype(np.int32)})
+        b = pd.DataFrame({"y": rng.integers(25, 75, 300).astype(np.int32)})
+        cs = Context()
+        cm = Context(mesh=make_engine_mesh(8))
+        for c in (cs, cm):
+            c.create_table("a", a)
+            c.create_table("b", b)
+        q = ("select d.x, count(*) as n from "
+             "(select x from a union all select y from b) d "
+             "group by d.x order by d.x")
+        pd.testing.assert_frame_equal(cs.sql_df(q), cm.sql_df(q))

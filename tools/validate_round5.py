@@ -22,6 +22,9 @@ import signal
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
 import numpy as np
 
 EXPECTED = "/tmp/harkdb_r5_expected.pkl"
@@ -49,6 +52,13 @@ QUERIES = [
                  "where t.k in (select k from hot) "
                  "and t.v > (select avg(t2.v) from t t2 where t2.k = t.k) "
                  "group by t.k order by t.k"),
+    ("median", "select k, median(v) md, quantile(v, 0.25) q1, "
+               "stddev(v) sd from t group by k order by k"),
+    ("topk", "select k, v from t order by v desc limit 25"),
+    ("setop_body", "select d.x, count(*) n from "
+                   "(select v % 97 as x from t intersect "
+                   "select m % 97 as x from d2) d "
+                   "group by d.x order by d.x limit 50"),
 ]
 
 
