@@ -3,18 +3,25 @@
 Replaces the reference's ``moz_sql_parser`` dependency (``parse.py:27``) with a
 zero-dependency parser for the engine's grammar:
 
-    SELECT select_list
-    FROM table [alias]
-    [ [INNER|LEFT] JOIN table [alias] ON col = col ]*
-    [ WHERE expr ]
-    [ GROUP BY col ]
-    [ HAVING expr ]
-    [ ORDER BY expr [ASC|DESC], ... | SORT BY ... ]
-    [ LIMIT n ] [ OFFSET m ]
+    [ WITH name AS ( compound_select ) [, ...] ]
+    compound_select := select_core
+        [ {UNION [ALL] | INTERSECT | EXCEPT} select_core ]*
+        [ ORDER BY expr [ASC|DESC] [NULLS FIRST|LAST], ... | SORT BY ... ]
+        [ LIMIT n ] [ OFFSET m ]
+    select_core := SELECT [DISTINCT] select_list
+        FROM table_or_derived [alias]
+        [ {INNER|LEFT|RIGHT|FULL [OUTER]|CROSS} JOIN table_or_derived
+          [alias] ON cond [AND cond]* ]*       -- equalities are join keys,
+                                               -- non-equi terms lower to
+                                               -- WHERE on inner joins
+        [ WHERE expr ] [ GROUP BY expr, ... ] [ HAVING expr ]
 
 Expression grammar (precedence climbing): OR < AND < NOT < comparison
-(= == != <> < <= > >=) < additive (+ -) < multiplicative (* / %) < unary minus
-< primary (literal, [table.]column, aggregate call, parenthesized expr).
+(= == != <> < <= > >=, IS [NOT] NULL, [NOT] IN / BETWEEN / LIKE / ILIKE)
+< additive (+ -) < multiplicative (* / %) < unary minus < primary
+(literal, [table.]column, aggregate / window / scalar / string function
+call, CASE in both forms, CAST, COALESCE, EXISTS, (sub)query,
+parenthesized expr).
 
 Case-insensitive keywords; identifiers keep their case (reference schema
 lookup is exact-match, ``parse.py:9-13``).
