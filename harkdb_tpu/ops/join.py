@@ -76,6 +76,7 @@ class JoinRanges(NamedTuple):
     r_matched: object = None   # (nr,) bool: right row has a left match
     #                            (FULL-OUTER ranges only, need_full=True)
     total_full: object = None  # total_left + unmatched right rows
+    total_approx: object = None  # float32 pair total — int32 wrap guard
 
 
 def compute_join_ranges(
@@ -177,6 +178,12 @@ def compute_join_ranges(
     total_left = jnp.sum(
         jnp.where(is_left, jnp.maximum(counts_sorted, 1), 0)
     ).astype(jnp.int32)
+    # int32 overflow sentinel: a 65536² CROSS JOIN sums to exactly 2^32 →
+    # total wraps to 0 and the planner would silently size an empty
+    # result. int64 is unavailable (x64 off), so an approximate float32
+    # total guards the exact one — anything near/above 2^31 pairs is
+    # unmaterializable anyway and must be a clear error, not a wrap.
+    total_approx = jnp.sum(counts_sorted.astype(jnp.float32))
 
     r_matched_sorted = None
     total_full = None
@@ -240,7 +247,7 @@ def compute_join_ranges(
 
     return JoinRanges(
         l_orig, counts, lo, l_payload, r_orig, r_payload,
-        n_lefts, total, total_left, r_matched, total_full,
+        n_lefts, total, total_left, r_matched, total_full, total_approx,
     )
 
 

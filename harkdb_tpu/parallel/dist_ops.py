@@ -858,18 +858,26 @@ def dist_join(
                    else [jnp.zeros_like(ls[next(iter(ls))], jnp.int32)])
             rkc = ([rs[k] for k in r_keys] if r_keys
                    else [jnp.zeros_like(rs[next(iter(rs))], jnp.int32)])
-            cnt = join_match_count(
-                lkc, ln, rkc, rn, kind,
+            from harkdb_tpu.ops.join import compute_join_ranges
+
+            rngs = compute_join_ranges(
+                lkc, ln, rkc, rn,
                 use_pallas=config.use_pallas,
                 l_null=_l_null(ls), r_null=_r_null(rs),
+                need_full=kind == "full",
             )
+            cnt = (rngs.total_left if kind == "left"
+                   else rngs.total_full if kind == "full"
+                   else rngs.total)
             # Replicated scalars (pmax/psum) so the multi-process host loop
             # can read them: max local join size sets the uniform static
-            # capacity; overflow drives the retry.
+            # capacity; overflow drives the retry; the approximate pair
+            # total guards the int32-exact one against wrap (ops/join.py).
             cnt_max = jax.lax.pmax(cnt, axis)
+            apx_max = jax.lax.pmax(rngs.total_approx, axis)
             overflow = jax.lax.psum(lof + rof, axis)
             return (ls, ln.reshape(1), rs, rn.reshape(1),
-                    cnt_max, overflow)
+                    cnt_max, apx_max, overflow)
 
         specs_in = (
             {n: P(axis) for n in left.names}, P(axis),
@@ -878,7 +886,7 @@ def dist_join(
         specs_out = (
             {n: P(axis) for n in left.names}, P(axis),
             {n: P(axis) for n in right.names}, P(axis),
-            P(), P(),
+            P(), P(), P(),
         )
         return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=specs_in,
                                      out_specs=specs_out))
@@ -895,9 +903,17 @@ def dist_join(
              left.local_capacity, right.local_capacity, kind, salted),
             lambda: make_stage1(l_cap, r_cap, r_exp_cap),
         )
-        (l_shuf, l_n, r_shuf, r_n, counts, overflow) = f(
+        (l_shuf, l_n, r_shuf, r_n, counts, apx, overflow) = f(
             left.columns, left.shard_counts, right.columns, right.shard_counts
         )
+        if float(apx) > 1.8e9:
+            from harkdb_tpu.plan.errors import PlanError
+
+            raise PlanError(
+                f"Join result would exceed ~1.8e9 pairs on one shard "
+                f"(≈{float(apx):.3g}) — beyond the 2^31-row capacity; "
+                f"add join keys or filters"
+            )
         if int(overflow) == 0:
             break
         if l_cap >= left.local_capacity * 2 and r_cap >= max_r_cap:

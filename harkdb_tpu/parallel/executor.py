@@ -164,6 +164,10 @@ class DistExecutor:
                 l_flag_names=kflags,
                 jit_cache=self._jit_cache, tag=f"join:{step_idx}",
             )
+            # a nullable join key orders its NULL rows AFTER the valid
+            # rows of the tying key value (the concat sort's nullcode
+            # operand) — the restore chain needs the same component
+            nf_entry = [("nullflags", tuple(kflags))] if kflags else []
             if kind == "full":
                 # single-chip FULL = left-join part (by key) then the
                 # unmatched right rows appended in key order: the flag
@@ -172,11 +176,12 @@ class DistExecutor:
                     [("desc", f"#lmatched.{rb}")]
                     + [("merge", f"#lmatched.{rb}", lk, rk)
                        for lk, rk in zip(lks, rks)]
+                    + nf_entry
                     + restore_specs
                 )
             else:
                 restore_specs = (
-                    [("asc", k) for k in lks] + restore_specs
+                    [("asc", k) for k in lks] + nf_entry + restore_specs
                 )
             rid_order.append(f"#rid.{rb}")
 
@@ -193,6 +198,16 @@ class DistExecutor:
                                 cols[fl] != 0, cols[ln], cols[rn]
                             )
                         )
+                elif spec[0] == "nullflags":
+                    fls = list(spec[1])
+                    if set(fls) <= names:
+                        def nf(cols, fls=fls):
+                            from harkdb_tpu.plan.nulls import valid_mask
+
+                            return 1 - valid_mask(fls, cols).astype(
+                                jnp.int32
+                            )
+                        out.append(nf)
                 elif spec[1] in names:
                     if spec[0] == "desc":
                         out.append(lambda cols, k=spec[1]: -cols[k])
@@ -235,6 +250,12 @@ class DistExecutor:
                 extra = {}
                 for name, ge in plan.group_key_exprs:
                     extra[name] = eval_expr(ge, cols, cap, cfg)
+                for name in keys:
+                    dfe = plan.derived_flag_cols.get(name)
+                    if dfe is not None:
+                        extra[name] = eval_expr(
+                            dfe, cols, cap, cfg
+                        ).astype(jnp.int32)
                 for internal, e in arg_cols:
                     extra[internal] = eval_expr(e, cols, cap, cfg)
                 if need_ones:
@@ -522,8 +543,9 @@ class DistExecutor:
         nf_specs = [
             (i, flags)
             for i, flags in enumerate(plan.output_null_flags)
-            if flags and all(f in work.names or f in post_outs
-                             for f in flags)
+            if flags and plan._flags_available(
+                flags, set(work.names) | post_outs
+            )
         ]
         out_names = out_names + [f"#nullflag{i}" for i, _f in nf_specs]
 
@@ -534,11 +556,9 @@ class DistExecutor:
                 for i, (e, _n) in enumerate(final_items)
             }
             for i, flags in nf_specs:
-                from harkdb_tpu.plan.nulls import valid_mask
-
-                out[f"#nullflag{i}"] = valid_mask(flags, g).astype(
-                    jnp.int32
-                )
+                out[f"#nullflag{i}"] = plan._valid_arr(
+                    flags, g, cap
+                ).astype(jnp.int32)
             return out
 
         if plan.distinct:

@@ -71,8 +71,18 @@ def decorrelate_aggregates(stmt: SelectStmt, tables) -> SelectStmt:
     )
     new_joins: List[JoinClause] = []
     counter = [0]
+    memo: Dict[SubQuery, Optional[object]] = {}
 
     def try_rewrite(sub: SubQuery) -> Optional[object]:
+        # identical subqueries (value equality — frozen AST dataclasses)
+        # share ONE grouped derived table + LEFT JOIN instead of
+        # duplicating the aggregation per occurrence
+        if sub in memo:
+            return memo[sub]
+        memo[sub] = r = _try_rewrite(sub)
+        return r
+
+    def _try_rewrite(sub: SubQuery) -> Optional[object]:
         s = sub.stmt
         if not isinstance(s, SelectStmt):
             return None              # set-operation body — scalar path

@@ -155,8 +155,11 @@ def eval_expr(expr, columns: Dict[str, Array], capacity: int,
         raise ExprError(
             "Aggregate reached the evaluator unrewritten — planner bug"
         )
-    from harkdb_tpu.sql.ast_nodes import InSub, SubQuery
+    from harkdb_tpu.sql.ast_nodes import InSub, NullTag, SubQuery
 
+    if isinstance(expr, NullTag):
+        # nullability marker only — the value is the wrapped expression
+        return eval_expr(expr.expr, columns, capacity, config)
     if isinstance(expr, (SubQuery, InSub)):
         raise ExprError(
             "Subquery reached the evaluator unresolved — planner bug "

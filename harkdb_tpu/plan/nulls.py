@@ -48,8 +48,8 @@ from __future__ import annotations
 from typing import Dict, List, Sequence
 
 from harkdb_tpu.sql.ast_nodes import (
-    Agg, BinOp, Case, Coalesce, CodeMap, Col, InSub, Lit, LutMember, Star,
-    StrFunc, UnOp, WindowFn, walk,
+    Agg, BinOp, Case, Coalesce, CodeMap, Col, InSub, Lit, LutMember,
+    NullTag, Star, StrFunc, UnOp, WindowFn, walk,
 )
 
 #: Comparison operators — the 3VL "leaf predicates".
@@ -82,6 +82,56 @@ class NullSemantics:
     """
 
     # -- flag lookup ----------------------------------------------------------
+    def _flag_ast(self, f: str):
+        """AST whose non-zero value means "flag f valid": the flag column
+        itself, or a DERIVED flag's defining expression (an OR over
+        matched conditions — plan.derived_flag_cols; COALESCE lowering)."""
+        e = getattr(self, "derived_flag_cols", {}).get(f)
+        return e if e is not None else Col(f)
+
+    def _flag_arr(self, f: str, cols, cap):
+        """Evaluated flag array, or None when unavailable in ``cols``
+        (a post-grouping context that consumed the base flags)."""
+        a = cols.get(f)
+        if a is not None:
+            return a
+        e = getattr(self, "derived_flag_cols", {}).get(f)
+        if e is None:
+            return None
+        if not all(n.name in cols for n in walk(e) if isinstance(n, Col)):
+            return None
+        from harkdb_tpu.plan.expr import eval_expr
+
+        return eval_expr(e, cols, cap, self.config)
+
+    def _flags_available(self, flags, names) -> bool:
+        """True when every flag is a column in ``names`` or a derived
+        flag whose referenced columns are."""
+        names = set(names)
+        for f in flags:
+            if f in names:
+                continue
+            e = getattr(self, "derived_flag_cols", {}).get(f)
+            if e is None or not all(
+                n.name in names for n in walk(e) if isinstance(n, Col)
+            ):
+                return False
+        return True
+
+    def _valid_arr(self, flags, cols, cap):
+        """Boolean validity array (every flag non-zero), or None when a
+        flag is unavailable."""
+        import jax.numpy as jnp
+
+        m = None
+        for f in flags:
+            a = self._flag_arr(f, cols, cap)
+            if a is None:
+                return None
+            t = a != 0 if a.dtype != jnp.bool_ else a
+            m = t if m is None else m & t
+        return m
+
     def _col_null_flags(self, name: str) -> List[str]:
         """Flag columns guarding one internal column name."""
         if "." in name:
@@ -148,7 +198,9 @@ class NullSemantics:
                     out.append(f)
 
         def rec(x):
-            if isinstance(x, Col):
+            if isinstance(x, NullTag):
+                add(x.flags)
+            elif isinstance(x, Col):
                 add(self._col_null_flags(x.name))
             elif isinstance(x, BinOp):
                 rec(x.left)
@@ -194,10 +246,12 @@ class NullSemantics:
         return out
 
     def _matched_cond(self, flags: Sequence[str]):
-        """Boolean expression: every flag is non-zero (row/value valid)."""
-        cond = BinOp("!=", Col(flags[0]), Lit(0))
+        """Boolean expression: every flag is non-zero (row/value valid).
+        Derived flags inline their defining OR-expressions."""
+        cond = BinOp("!=", self._flag_ast(flags[0]), Lit(0))
         for f in flags[1:]:
-            cond = BinOp("and", cond, BinOp("!=", Col(f), Lit(0)))
+            cond = BinOp("and", cond,
+                         BinOp("!=", self._flag_ast(f), Lit(0)))
         return cond
 
     # -- IS NULL / COALESCE lowering ------------------------------------------
@@ -218,14 +272,41 @@ class NullSemantics:
             if defer_aggs and any(_contains_agg(a) for a in args):
                 return Coalesce(tuple(args))
             whens = []
+            conds = []
             else_ = args[-1]
+            exhausted = True
             for a in args:
                 fs = self._nullable_flags_in(a)
                 if not fs:
                     else_ = a           # never NULL: later args are dead
+                    exhausted = False
                     break
-                whens.append((self._matched_cond(fs), a))
-            return Case(tuple(whens), else_) if whens else else_
+                c = self._matched_cond(fs)
+                conds.append(c)
+                whens.append((c, a))
+            if not whens:
+                return else_
+            value = Case(tuple(whens), else_)
+            if not exhausted:
+                return value            # some argument is never NULL
+            # EVERY argument nullable: the result is NULL iff ALL are —
+            # an OR over the per-argument matched conditions, which the
+            # AND-of-flags list cannot express. Register a DERIVED flag
+            # carrying the OR and tag the value with it.
+            or_expr = conds[0]
+            for c in conds[1:]:
+                or_expr = BinOp("or", or_expr, c)
+            dfc = self.derived_flag_cols
+            # reuse a structurally-equal derived flag: two lowerings of
+            # the same COALESCE (select item vs GROUP BY key) must yield
+            # EQUAL NullTags or the group-expression substitution misses
+            fname = next(
+                (k for k, v in dfc.items() if v == or_expr), None
+            )
+            if fname is None:
+                fname = f"#orflag{len(dfc)}"
+                dfc[fname] = or_expr
+            return NullTag(value, (fname,))
         if isinstance(e, UnOp):
             inner = self._lower_isnull(e.operand, defer_aggs)
             if e.op != "isnull":
@@ -235,9 +316,14 @@ class NullSemantics:
             flags = self._nullable_flags_in(inner)
             if not flags:
                 return Lit(0)               # never NULL
-            out = BinOp("=", Col(flags[0]), Lit(0))
+            def null_test(f):
+                a = self._flag_ast(f)
+                if isinstance(a, Col):
+                    return BinOp("=", a, Lit(0))    # guard-recognizable
+                return UnOp("not", BinOp("!=", a, Lit(0)))
+            out = null_test(flags[0])
             for f in flags[1:]:
-                out = BinOp("or", out, BinOp("=", Col(f), Lit(0)))
+                out = BinOp("or", out, null_test(f))
             return out
         if isinstance(e, BinOp):
             return BinOp(
@@ -249,6 +335,8 @@ class NullSemantics:
                        e.distinct)
         if isinstance(e, LutMember):
             return LutMember(self._lower_isnull(e.col, defer_aggs), e.lut)
+        if isinstance(e, NullTag):
+            return NullTag(self._lower_isnull(e.expr, defer_aggs), e.flags)
         if isinstance(e, CodeMap):
             return CodeMap(self._lower_isnull(e.col, defer_aggs), e.lut,
                            e.out_dict)
@@ -330,6 +418,8 @@ class NullSemantics:
             return Agg(e.func, self._rewrite_case_conds(e.arg), e.distinct)
         if isinstance(e, LutMember):
             return LutMember(self._rewrite_case_conds(e.col), e.lut)
+        if isinstance(e, NullTag):
+            return NullTag(self._rewrite_case_conds(e.expr), e.flags)
         if isinstance(e, CodeMap):
             return CodeMap(self._rewrite_case_conds(e.col), e.lut,
                            e.out_dict)

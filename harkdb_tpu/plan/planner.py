@@ -62,6 +62,20 @@ def _next_pow2(n: int) -> int:
     return 1 << (int(n - 1).bit_length())
 
 
+def _check_join_total(ranges) -> None:
+    """int32 wrap guard: the exact pair total wraps past 2^31 (a 65536²
+    CROSS JOIN wraps to exactly 0) — the approximate float32 total turns
+    that into a clear error instead of a silently empty/truncated
+    result. The threshold is far beyond any materializable capacity."""
+    if (ranges.total_approx is not None
+            and float(ranges.total_approx) > 1.8e9):
+        raise PlanError(
+            f"Join result would exceed ~1.8e9 pairs "
+            f"(≈{float(ranges.total_approx):.3g}) — beyond the engine's "
+            f"2^31-row capacity; add join keys or filters"
+        )
+
+
 def _null_extreme_sub(a, isnull, d: bool, nu):
     """Substitute the dtype extreme for NULL rows in a sort KEY (values are
     untouched), so NULLs sort to the requested end: default LAST for ASC,
@@ -242,6 +256,13 @@ def _substitute_wins(expr, win_map):
         return _Coalesce(tuple(
             _substitute_wins(a, win_map) for a in expr.args
         ))
+    from harkdb_tpu.sql.ast_nodes import CodeMap as _CM, NullTag as _NT
+
+    if isinstance(expr, _CM):
+        return _CM(_substitute_wins(expr.col, win_map), expr.lut,
+                   expr.out_dict)
+    if isinstance(expr, _NT):
+        return _NT(_substitute_wins(expr.expr, win_map), expr.flags)
     if isinstance(expr, BinOp):
         return BinOp(
             expr.op, _substitute_wins(expr.left, win_map),
@@ -614,6 +635,9 @@ class QueryPlan(StringLowering, NullSemantics):
         # subtrees defer to pass 2 (post-substitution, where aggregate
         # outputs carry their own validity flags).
         self.agg_null_flags: Dict[str, str] = {}
+        #: derived flag name → validity expression (OR over matched
+        #: conditions; COALESCE over several nullable args — plan/nulls.py)
+        self.derived_flag_cols: Dict[str, object] = {}
         items = [
             (self._rewrite_case_conds(self._lower_isnull(e, defer_aggs=True)),
              name)
@@ -688,6 +712,10 @@ class QueryPlan(StringLowering, NullSemantics):
                     return LutMember(subst_g(e.col), e.lut)
                 if isinstance(e, _CM):
                     return _CM(subst_g(e.col), e.lut, e.out_dict)
+                from harkdb_tpu.sql.ast_nodes import NullTag as _NT
+
+                if isinstance(e, _NT):
+                    return _NT(subst_g(e.expr), e.flags)
                 if isinstance(e, _SF):
                     return _SF(e.func, subst_g(e.arg), e.params)
                 if isinstance(e, InSub):
@@ -854,6 +882,21 @@ class QueryPlan(StringLowering, NullSemantics):
                         check(r, inside_agg)
                     if e.else_ is not None:
                         check(e.else_, inside_agg)
+                else:
+                    from harkdb_tpu.sql.ast_nodes import (
+                        Coalesce as _Co, CodeMap as _CM2, NullTag as _NT2,
+                        StrFunc as _SF2,
+                    )
+
+                    if isinstance(e, _NT2):
+                        check(e.expr, inside_agg)
+                    elif isinstance(e, _CM2):
+                        check(e.col, inside_agg)
+                    elif isinstance(e, _SF2):
+                        check(e.arg, inside_agg)
+                    elif isinstance(e, _Co):
+                        for a in e.args:
+                            check(a, inside_agg)
             for e in post_exprs:
                 check(e)
 
@@ -1298,10 +1341,10 @@ class QueryPlan(StringLowering, NullSemantics):
         end (``_null_extreme_sub``); plain expressions unchanged."""
         a = eval_expr(expr, cols, cap, self.config)
         flags = self._nullable_flags_in(expr)
-        if flags and all(f in cols for f in flags):
-            a = _null_extreme_sub(
-                a, jnp.logical_not(valid_mask(flags, cols)), d, nu
-            )
+        if flags:
+            m = self._valid_arr(flags, cols, cap)
+            if m is not None:
+                a = _null_extreme_sub(a, jnp.logical_not(m), d, nu)
         return a
 
     # -- subqueries ------------------------------------------------------------
@@ -1535,6 +1578,10 @@ class QueryPlan(StringLowering, NullSemantics):
                     tuple((subst(c), subst(r)) for c, r in e.whens),
                     subst(e.else_) if e.else_ is not None else None,
                 )
+            from harkdb_tpu.sql.ast_nodes import NullTag as _NT
+
+            if isinstance(e, _NT):
+                return _NT(subst(e.expr), e.flags)
             return e
 
         def lower(e):
@@ -1665,6 +1712,7 @@ class QueryPlan(StringLowering, NullSemantics):
                     rks, lks, r_names, l_names, self.config.use_pallas,
                     (), kflags,
                 )(right, batch)
+                _check_join_total(ranges)
                 total = int(ranges.total_left)
                 cap = _next_pow2(max(total, self.config.row_align))
                 l_out = tuple((n, n) for n in r_names)
@@ -1678,6 +1726,7 @@ class QueryPlan(StringLowering, NullSemantics):
                 lks, rks, l_names, r_names, self.config.use_pallas,
                 kflags, (), kind == "full",
             )(batch, right)
+            _check_join_total(ranges)
             total = int(
                 ranges.total_full if kind == "full"
                 else ranges.total_left if kind == "left"
@@ -1843,6 +1892,14 @@ class QueryPlan(StringLowering, NullSemantics):
             cols = dict(batch.columns)
             for name, gexpr in self.group_key_exprs:
                 cols[name] = eval_expr(gexpr, cols, cap, self.config)
+            for name in self.group_exec_keys:
+                # derived flags used as NULL-group exec keys materialize
+                # here (they are expressions over the matched columns)
+                dfe = self.derived_flag_cols.get(name)
+                if dfe is not None and name not in cols:
+                    cols[name] = eval_expr(
+                        dfe, cols, cap, self.config
+                    ).astype(jnp.int32)
             for internal, expr in self.agg_arg_cols:
                 cols[internal] = eval_expr(expr, cols, cap, self.config)
             if any(src == "#ones" for src, _, _ in self.agg_specs):
@@ -1959,10 +2016,10 @@ class QueryPlan(StringLowering, NullSemantics):
         # absent post-grouping when the output is not a group key — then the
         # output is never NULL and no flag is needed).
         for i, flags in enumerate(getattr(self, "output_null_flags", [])):
-            if flags and all(f in cols for f in flags):
-                out_cols[f"#nullflag{i}"] = valid_mask(
-                    flags, cols
-                ).astype(jnp.int32)
+            if flags:
+                m = self._valid_arr(flags, cols, batch.capacity)
+                if m is not None:
+                    out_cols[f"#nullflag{i}"] = m.astype(jnp.int32)
         out = ColumnBatch(out_cols, batch.n_valid)
 
         # DISTINCT: lexicographic sort of the output tuple (pads last), then
@@ -2012,24 +2069,40 @@ class QueryPlan(StringLowering, NullSemantics):
                 expr, d, nu, cols, batch.capacity
             )
             top_k_ok = (
-                jnp.issubdtype(key.dtype, jnp.integer)
+                (jnp.issubdtype(key.dtype, jnp.integer)
+                 and key.dtype.itemsize <= 4)
                 or key.dtype == jnp.float32
             )
         if self.order_items and top_k_ok:
             from harkdb_tpu.parallel.dist_ops import _route_order_view
 
             L = min(self.limit + (self.offset or 0), out.capacity)
+            # Dead rows must never beat a live row whose view EQUALS the
+            # dtype minimum (NULL-extreme substitution / real extremes):
+            # top_k breaks ties by LOWEST index, so it suffices that live
+            # rows sit at lower indices than dead ones — true for the
+            # packed batch, restored by compacting any pending WHERE mask
+            # (the key rides the compaction to stay row-aligned).
+            if filter_mask is not None:
+                tmp = compact_batch(
+                    ColumnBatch(dict(out.columns, **{"#tkkey": key}),
+                                out.n_valid),
+                    filter_mask, self.config.use_pallas,
+                )
+                key = tmp.columns["#tkkey"]
+                out = ColumnBatch(
+                    {n: c for n, c in tmp.columns.items()
+                     if n != "#tkkey"},
+                    tmp.n_valid,
+                )
+                filter_mask = None
             # top_k picks the LARGEST of the view: identity view for
             # DESC output, order-reversed view for ASC
             view = _route_order_view(key, not d)
             idx4 = jnp.arange(out.capacity, dtype=jnp.int32)
             live = idx4 < out.n_valid
-            if filter_mask is not None:
-                live = live & filter_mask
-                filter_mask = None
-            n_live = jnp.sum(live.astype(jnp.int32))
-            view = jnp.where(live, view,
-                             jnp.iinfo(view.dtype).min)
+            n_live = out.n_valid
+            view = jnp.where(live, view, jnp.iinfo(view.dtype).min)
             _vals, pick = jax.lax.top_k(view, L)
             out = ColumnBatch(
                 {n: c[pick] for n, c in out.columns.items()},

@@ -228,6 +228,10 @@ class StringLowering:
             return self._lower_str_func(e)
         if isinstance(e, CodeMap):
             return e                      # already lowered (idempotent pass)
+        from harkdb_tpu.sql.ast_nodes import NullTag
+
+        if isinstance(e, NullTag):
+            return NullTag(self._lower_strings(e.expr), e.flags)
         if isinstance(e, UnOp):
             v = self._lower_strings(e.operand)
             if (e.op in ("-", "abs", "floor", "ceil", "round", "sqrt",

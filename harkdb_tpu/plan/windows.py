@@ -278,15 +278,6 @@ def compute_windows(plan, batch: ColumnBatch,
                 [jnp.full((s,), fill, a.dtype), a[:cap - s]]
             )
 
-        def frame_sum_diff(S, L):
-            """Sliding-window sum of width L from the partition-local
-            inclusive scan: S[i] - S[i-L], 0 when i-L crosses the
-            partition start (exact under two's-complement for ints)."""
-            prev_s = shift_prev(S, L, jnp.zeros((), S.dtype))
-            prev_sid = shift_prev(ssid_w, L, jnp.int32(-9))
-            return S - jnp.where(prev_sid == ssid_w, prev_s,
-                                 jnp.zeros((), S.dtype))
-
         def sliding_minmax(opname, x, L):
             """min/max over the last L rows within the partition: log2(L)
             doubling passes build partition-clamped pow2 windows, then two

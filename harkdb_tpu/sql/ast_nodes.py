@@ -127,6 +127,19 @@ class InSub:
 
 
 @dataclass(frozen=True)
+class NullTag:
+    """Planner-internal wrapper overriding nullability analysis: the
+    VALUE is ``expr``; the expression is NULL iff any flag in ``flags``
+    is 0 — where a flag may be a *derived* flag name resolved through
+    ``plan.derived_flag_cols`` (an OR over matched conditions, needed for
+    COALESCE over several independently-nullable arguments: NULL iff ALL
+    of them are, which a plain AND-of-flags list cannot express).
+    Created by ``plan/nulls.py``'s COALESCE lowering; never parsed."""
+    expr: "Expr"
+    flags: Tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class StrFunc:
     """String scalar function ``UPPER/LOWER/TRIM/SUBSTR/LENGTH`` (engine
     extension; the reference is numeric-only). Parse-time node only: the
@@ -382,6 +395,8 @@ def walk(expr) -> list:
         out += walk(expr.col)
     elif isinstance(expr, StrFunc):
         out += walk(expr.arg)
+    elif isinstance(expr, NullTag):
+        out += walk(expr.expr)
     elif isinstance(expr, InSub):
         out += walk(expr.expr)       # the subquery body is self-contained —
                                      # its names resolve against its own plan

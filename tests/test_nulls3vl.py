@@ -26,6 +26,7 @@ import pandas as pd
 import pytest
 
 from harkdb_tpu import Context
+from harkdb_tpu.plan.errors import PlanError
 
 
 @pytest.fixture
@@ -327,3 +328,98 @@ class TestDistributedParity:
             "where r.m > 999",
         ]:
             pd.testing.assert_frame_equal(cs.sql_df(q), cm.sql_df(q))
+
+
+class TestReviewFindings:
+    """Regression pins for the round-5 self-review findings (all
+    reproduced before the fixes)."""
+
+    def test_coalesce_multi_nullable_or_semantics(self):
+        # finding 1: NULL iff ALL args NULL — an OR over matched
+        # conditions, carried by a derived flag (plan/nulls.py NullTag)
+        c = Context()
+        c.create_table("a", pd.DataFrame({"k": np.int32([1, 2, 3])}))
+        c.create_table("r", pd.DataFrame({
+            "k": np.int32([1]), "w": np.int32([10])}))
+        c.create_table("r2", pd.DataFrame({
+            "k": np.int32([2]), "u": np.int32([20])}))
+        base = ("from a left join r on a.k = r.k "
+                "left join r2 on a.k = r2.k")
+        df = c.sql_df(
+            f"select a.k, coalesce(r.w, r2.u) as x {base} order by a.k"
+        )
+        assert df["x"].tolist()[:2] == [10.0, 20.0]
+        assert df["x"].isna().tolist() == [False, False, True]
+        df2 = c.sql_df(
+            f"select a.k {base} where coalesce(r.w, r2.u) = 10"
+        )
+        assert df2["k"].tolist() == [1]
+        df3 = c.sql_df(
+            f"select sum(coalesce(r.w, r2.u)) as s, "
+            f"count(coalesce(r.w, r2.u)) as n {base}"
+        )
+        assert df3["s"].tolist() == [30] and df3["n"].tolist() == [2]
+        df5 = c.sql_df(
+            f"select coalesce(r.w, r2.u) as g, count(*) as n {base} "
+            f"group by coalesce(r.w, r2.u) order by g nulls last"
+        )
+        assert df5["g"].isna().tolist() == [False, False, True]
+
+    def test_topk_never_returns_filtered_rows(self):
+        # finding 2: dead rows tying the view minimum must not win top_k
+        c = Context()
+        c.create_table("a", pd.DataFrame({
+            "k": np.int32([0, 1, 2]), "v": np.int32([100, 10, 10])}))
+        c.create_table("r", pd.DataFrame({
+            "k": np.int32([0, 1]), "w": np.int32([1, 5])}))
+        df = c.sql_df(
+            "select a.k, r.w from a left join r on a.k = r.k "
+            "where a.v + coalesce(r.w, 0) < 50 order by r.w asc limit 2"
+        )
+        assert df["k"].tolist() == [1, 2]
+        assert df["w"].isna().tolist() == [False, True]
+
+    def test_join_total_overflow_guard(self):
+        # finding 3: 65536² cross join wraps int32 to exactly 0 — must
+        # raise, not return an empty result
+        c = Context()
+        n = 65536
+        c.create_table("a", pd.DataFrame({"x": np.zeros(n, np.int32)}))
+        c.create_table("b", pd.DataFrame({"y": np.zeros(n, np.int32)}))
+        with pytest.raises(PlanError, match="pairs"):
+            c.sql("select count(*) from a cross join b")
+
+    def test_dist_null_key_tie_order(self):
+        # finding 4: NULL-key 0-fill tying a real key 0 must not change
+        # the distributed row order vs single-chip
+        from harkdb_tpu.parallel import make_engine_mesh
+
+        a = pd.DataFrame({"k": np.int32([1, 2])})
+        r = pd.DataFrame({"k": np.int32([2]), "j": np.int32([0])})
+        s = pd.DataFrame({"j": np.int32([0]), "w": np.int32([100])})
+        cs = Context()
+        cm = Context(mesh=make_engine_mesh(8))
+        for c in (cs, cm):
+            c.create_table("a", a)
+            c.create_table("r", r)
+            c.create_table("s", s)
+        q = ("select a.k, r.j, s.w from a left join r on a.k = r.k "
+             "left join s on r.j = s.j")
+        pd.testing.assert_frame_equal(cs.sql_df(q), cm.sql_df(q))
+
+    def test_decorrelate_shares_identical_subqueries(self):
+        # finding 5: identical correlated aggregates share one join
+        c = Context()
+        c.create_table("t", pd.DataFrame({
+            "k": np.int32([1, 1, 2]), "v": np.int32([5, 30, 40])}))
+        c.create_table("r", pd.DataFrame({
+            "k": np.int32([1, 2]), "w": np.int32([10, 50])}))
+        q = ("select t.k, (select avg(r.w) from r where r.k = t.k) as a "
+             "from t where t.v > (select avg(r.w) from r where r.k = t.k)"
+             " order by t.k")
+        df = c.sql_df(q)
+        assert df["k"].tolist() == [1] and df["a"].tolist() == [10.0]
+        plan = c._plan(q)
+        corr = [b for b, _t, _c in plan.bindings
+                if b.startswith("#corr")]
+        assert len(corr) == 1
